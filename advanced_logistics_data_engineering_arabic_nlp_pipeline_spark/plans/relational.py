@@ -1,0 +1,274 @@
+"""Relational core (SURVEY.md §2 B/C/G4/H/I) as oracle-checked queries.
+
+These exercise the engine spine — scan → filter → project → join → aggregate →
+window → sort — on the TPC-H-ish fixture tables. Design-for-scale notes:
+
+- Filters use literal predicates on scan columns so Catalyst pushes them into
+  the parquet reader (check ``PushedFilters`` in ``.explain("formatted")``).
+- Sums over doubles go through :func:`dsum` (decimal-cast) so results are
+  order-independent — mandatory for reproducibility on a 1000-executor
+  cluster AND for the DuckDB oracle value-hash to match.
+- Small dims (nation/region) are broadcast explicitly; fact-fact joins are
+  left to AQE, which converts to broadcast or splits skew at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.coercion import dsum
+from ..functions.scalars import extract_plate, us_date_string
+from ..sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# H1-style aggregation: pricing summary (flagship; reference's groupby-agg
+# shape, Main.py:259-261 / 284-288, at TPC-H Q1 scale).
+# --------------------------------------------------------------------------
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            F.round(dsum(F.col("l_quantity"), 2) / F.count("*"), 2).alias("avg_qty"),
+            F.round(dsum(F.col("l_extendedprice"), 2) / F.count("*"), 2).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# 5-way star join + aggregation (the "explicit join" the reference never had,
+# SURVEY.md §2 I; dims broadcast — zero shuffle for the dim side at any SF).
+# --------------------------------------------------------------------------
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT r_name,
+       n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Top-k by aggregate (SURVEY.md §2 I "limits/top-k" gap — reference's only
+# top-1 is the fuzzy extractOne; here the general operator).
+# --------------------------------------------------------------------------
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT c_custkey,
+       c_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# H2/H4 percentage-of-total pattern: reference computes denominators as a
+# separate scalar aggregate (Main.py:262-263, 289-290); the Spark-native form
+# is a window ``count(*) over ()`` — no second pass over the data.
+# --------------------------------------------------------------------------
+def order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy()
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .withColumn("pct", F.round(F.col("n_orders") * 100.0 / F.sum("n_orders").over(w), 2))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORDER_PRIORITY_SHARE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# C2 plate extraction + B5 string scrub on customer (regex digits, lstrip
+# zeros, 'No Plate' default — Main.py:392-397 semantics on c_name).
+# --------------------------------------------------------------------------
+def customer_plates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        F.col("c_custkey"),
+        extract_plate(F.col("c_name")).alias("plate"),
+        F.coalesce(F.col("c_mktsegment").cast("string"), F.lit("")).alias("segment"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+
+
+CUSTOMER_PLATES_SQL = r"""
+SELECT c_custkey,
+       CASE WHEN regexp_replace(regexp_replace(c_name, '\D', '', 'g'), '^0+', '') = ''
+            THEN 'No Plate'
+            ELSE regexp_replace(regexp_replace(c_name, '\D', '', 'g'), '^0+', '')
+       END AS plate,
+       COALESCE(CAST(c_mktsegment AS VARCHAR), '') AS segment,
+       ROUND(c_acctbal, 2) AS acctbal
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# C3 US-style date string (no zero padding, Main.py:399-402) + B4 timestamp.
+# --------------------------------------------------------------------------
+def orders_us_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey"),
+        us_date_string(F.col("o_orderdate")).alias("order_date_us"),
+        F.round(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORDERS_US_DATES_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderdate IS NOT NULL
+            THEN CAST(month(o_orderdate) AS VARCHAR) || '/' ||
+                 CAST(day(o_orderdate) AS VARCHAR) || '/' ||
+                 CAST(year(o_orderdate) AS VARCHAR)
+            ELSE '' END AS order_date_us,
+       ROUND(o_totalprice, 2) AS total_price
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# G4 unpivot/melt (reference's df.melt, Main.py:273-277) on lineitem measures.
+# --------------------------------------------------------------------------
+def lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count("*").alias("n_values"),
+            dsum(F.col("value"), 6).alias("total"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("measure")
+    )
+
+
+LINEITEM_UNPIVOT_SQL = """
+WITH long AS (
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+SELECT measure,
+       COUNT(*) AS n_values,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       ROUND(MIN(value), 6) AS min_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM long
+GROUP BY measure
+ORDER BY measure
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "top_customers": top_customers,
+    "order_priority_share": order_priority_share,
+    "customer_plates": customer_plates,
+    "orders_us_dates": orders_us_dates,
+    "lineitem_unpivot": lineitem_unpivot,
+}
+
+ORACLES = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "order_priority_share": ORDER_PRIORITY_SHARE_SQL,
+    "customer_plates": CUSTOMER_PLATES_SQL,
+    "orders_us_dates": ORDERS_US_DATES_SQL,
+    "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
+}

@@ -1,0 +1,42 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32) but every
+config choice is made for a real multi-executor cluster at ~100 TB:
+
+- AQE on: runtime shuffle-partition coalescing, broadcast-join conversion and
+  skew-join splitting replace hand-tuned partition counts at scale.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE coalesces.
+- Arrow on: every Pandas-UDF boundary is Arrow-batched (the only Python code
+  paths in this engine are the tier-3 fuzzy lookup and multimodal decode).
+- UTC session timezone: deterministic timestamp semantics across engines
+  (parity with the DuckDB oracle and with any downstream warehouse).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aldean-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .getOrCreate()
+    )

@@ -1,0 +1,40 @@
+"""Parquet table sources for the driver fixture schema (TESTDATA.md).
+
+Reading is declarative (``spark.read.parquet``) so Catalyst gets predicate
+pushdown, column pruning and partition pruning for free — at 100 TB the same
+code reads a partitioned table directory and scans only the needed columns
+(verify with ``df.explain``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor (they grow
+# sub-linearly or not at all in TPC-H-style schemas).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
