@@ -1,0 +1,135 @@
+"""Semantic extraction & classification (SURVEY.md §2 F1-F4).
+
+Behavioral contract (cleaner_v6.py:223-320, Main.py:406-425), preserved
+verbatim — including the reference's dead branch where any airport-regex hit
+categorizes as 'Airport Transfer' unconditionally (cleaner_v6.py:284-288):
+category parity requires keeping that quirk.
+
+Two implementations of the location scan:
+
+- ``extract_all_locations_expr``: pure Column expression (tiers 1-2).
+  Zero-shuffle, whole-stage-codegen, SQL-mirrorable → the oracle-checked
+  fast path and the default at scale.
+- ``with_all_locations_fuzzy``: adds tier-3 fuzzy via posexplode →
+  distinct-resolve-join (operators.lookup) → ordered re-aggregation.
+  Costs one groupBy shuffle; used when fuzzy recall is worth it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.arabic import (
+    is_admin,
+    is_airport,
+    is_nile,
+    is_ops_only,
+    is_round_trip,
+    normalize_arabic,
+    scrub_round_trip,
+    title_first_two_words,
+    tokenize_trip,
+)
+from .lookup import resolve_token_expr, resolve_tokens_fuzzy
+
+_DIGITS_ONLY = "^[0-9٠-٩]+$"
+
+
+def extract_all_locations_expr(text: Column, index: dict[str, str] | None = None) -> Column:
+    """F2 (cleaner_v6.py:248-266): round-trip scrub → tokenize → per-token
+    cascade → order-preserving distinct canonicals. Empty array for null/''.
+
+    ``array_distinct`` keeps first-occurrence order, matching the
+    reference's ``if loc not in locations: locations.append(loc)``."""
+    raw = F.trim(text.cast("string"))
+    tokens = tokenize_trip(scrub_round_trip(raw))
+    resolved = F.transform(tokens, lambda t: resolve_token_expr(t, index))
+    hits = F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))
+    return F.when(text.isNull() | (raw == ""), F.array().cast("array<string>")).otherwise(hits)
+
+
+def end_location_clean_expr(text: Column, locs: Column) -> Column:
+    """F4's End_Location_Clean (Main.py:408-417): first detected location,
+    else F1's guards/fallback (cleaner_v6.py:223-246). When the scan found
+    anything, F1's first hit equals locs[0], so the fallback chain only
+    engages on an empty scan."""
+    raw = F.trim(text.cast("string"))
+    return (
+        F.when(F.size(locs) > 0, F.element_at(locs, 1))
+        .when(text.isNull() | (raw == ""), F.lit("Undefined"))
+        .when(raw.rlike(_DIGITS_ONLY) | (F.length(raw) < 2), F.lit("Unknown"))
+        .otherwise(title_first_two_words(raw))
+    )
+
+
+def categorize_trip_type_expr(text: Column, locs: Column) -> Column:
+    """F3 cascade (cleaner_v6.py:268-320) as one ``when`` chain, order and
+    dead-code semantics preserved:
+
+    Undefined → Invalid Data → airport regex (always wins, :284-288) →
+    admin (locs or regex) → 'Airport' in locs → round-trip regex on RAW →
+    Nile (locs or keywords) → Special Operations (locs, or ops-only regex) →
+    Multi-Destination (≥2 locs) → Standard Transfer."""
+    raw = F.trim(text.cast("string"))
+    norm = normalize_arabic(text)
+    return (
+        F.when(text.isNull() | (raw == ""), F.lit("Undefined"))
+        .when(F.array_contains(locs, "Invalid Data"), F.lit("Invalid Data"))
+        .when(is_airport(norm), F.lit("Airport Transfer"))
+        .when(F.array_contains(locs, "Admin/Management"), F.lit("Admin/Management"))
+        .when(is_admin(norm), F.lit("Admin/Management"))
+        .when(F.array_contains(locs, "Airport"), F.lit("Airport Transfer"))
+        .when(is_round_trip(raw), F.lit("Round Trip"))
+        .when(F.array_contains(locs, "Nile Cruise") | is_nile(norm), F.lit("Nile Cruise"))
+        .when(F.array_contains(locs, "Special Operations"), F.lit("Special Operations"))
+        .when(is_ops_only(norm), F.lit("Special Operations"))
+        .when(F.size(locs) >= 2, F.lit("Multi-Destination"))
+        .otherwise(F.lit("Standard Transfer"))
+    )
+
+
+def with_all_locations_fuzzy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_col: str = "all_locations_list",
+    index: dict[str, str] | None = None,
+) -> DataFrame:
+    """F2 with tier-3 fuzzy: posexplode tokens → 3-tier resolve (distinct
+    fuzzy, E4) → re-aggregate ordered, order-preserving distinct.
+
+    ``id_col`` must be unique per row. The final groupBy shuffles on it;
+    sort_array(collect_list(struct(pos, loc))) makes re-assembly
+    deterministic under shuffle."""
+    raw = F.trim(F.col(text_col).cast("string"))
+    tokens = F.when(
+        F.col(text_col).isNull() | (raw == ""), F.array().cast("array<string>")
+    ).otherwise(tokenize_trip(scrub_round_trip(raw)))
+
+    exploded = df.select(F.col(id_col), F.posexplode_outer(tokens).alias("__pos", "__tok"))
+    resolved = resolve_tokens_fuzzy(exploded, "__tok", "__canon", index)
+    rebuilt = (
+        resolved.groupBy(id_col)
+        .agg(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__canon").isNotNull(),
+                                    F.struct(F.col("__pos"), F.col("__canon").alias("loc")),
+                                )
+                            )
+                        ),
+                        lambda x: x["loc"],
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias(out_col)
+        )
+    )
+    return df.join(rebuilt, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )

@@ -1,0 +1,179 @@
+"""Golden-case + cross-engine parity tests for the Arabic NLP stack
+(SURVEY.md §5: README messy-string fixture, locations.json dictionary)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.functions import arabic
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.extract import (
+    categorize_trip_type_expr,
+    end_location_clean_expr,
+    extract_all_locations_expr,
+    with_all_locations_fuzzy,
+)
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.lookup import (
+    fuzzy_best_match,
+    token_sort_ratio,
+)
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.dictionary import (
+    build_variant_index,
+)
+
+CORPUS = [
+    "تشغيل 12 ساعه مطارررر القاهره وعوده",
+    "الهرم + المطار و وسط البلد",
+    "فاتورة ادارة",
+    "12345",
+    "",
+    "مطار القاهرة",
+    "المطار",
+    "استقبال مطار",
+    "توصيلة الهرم",
+    "وسط البلد + التحرير",
+    "ميدان التحرير وعودة",
+    "ذهاب وعودة الهرم",
+    "رحلة نيلية مركب",
+    "هيلتون",
+    "فندق هيلتون والتحرير",
+    "يوم كامل سيدان",
+    "abc airport terminal 2",
+    "downtown cairo trip",
+    "the pyramids and downtown",
+    "مستر احمد تحصيل فاتورة",
+    "ابو الهول والاهرامات",
+    "هرم، المطار، هيلتون",
+    "عودة",
+    "سفرمطار",
+    "جولة اهرامات وايجار مركب",
+    "مطاار الي الفندق",
+]
+
+
+def _spark_eval(spark, col, values):
+    df = spark.createDataFrame([(v,) for v in values], ["t"])
+    return [r[0] for r in df.select(col(F.col("t"))).collect()]
+
+
+def test_normalize_golden(spark):
+    out = _spark_eval(spark, arabic.normalize_arabic, [CORPUS[0]])
+    assert out[0] == "تشغيل 12 ساعة مطارر القاهرة وعودة"
+
+
+def test_normalize_three_mirrors_agree(spark):
+    spark_out = _spark_eval(spark, arabic.normalize_arabic, CORPUS)
+    py_out = [arabic.normalize_py(t) for t in CORPUS]
+    con = duckdb.connect()
+    sql = arabic.sql_normalize("t")
+    duck_out = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        for t in CORPUS
+    ]
+    for t, s, p, d in zip(CORPUS, spark_out, py_out, duck_out):
+        assert s == p, f"spark vs py on {t!r}: {s!r} != {p!r}"
+        assert s == d, f"spark vs duckdb on {t!r}: {s!r} != {d!r}"
+
+
+def test_clean_text_mirrors_agree(spark):
+    spark_out = _spark_eval(spark, arabic.clean_text, CORPUS)
+    con = duckdb.connect()
+    sql = arabic.sql_clean_text("t")
+    duck_out = [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        for t in CORPUS
+    ]
+    for t, s, d in zip(CORPUS, spark_out, duck_out):
+        assert s == d, f"{t!r}: {s!r} != {d!r}"
+
+
+def test_tokenize(spark):
+    out = _spark_eval(spark, arabic.tokenize_trip, ["الهرم + المطار و وسط البلد"])
+    assert out[0] == ["الهرم", "المطار", "وسط البلد"]
+    # attached و is not a separator
+    out = _spark_eval(spark, arabic.tokenize_trip, ["فندق هيلتون والتحرير"])
+    assert out[0] == ["فندق هيلتون والتحرير"]
+
+
+def test_token_sort_ratio_matches_published_behavior():
+    # مطارر vs مطار: 2*4/9*100 ≈ 88.9 ≥ 82 (SURVEY.md E3 example)
+    assert token_sort_ratio("مطارر", "مطار") == pytest.approx(88.888, abs=0.01)
+    idx = build_variant_index()
+    assert idx[fuzzy_best_match("مطارر", list(idx))] == "Cairo Airport"
+    assert fuzzy_best_match("xyz", list(idx)) is None
+
+
+EXPECTED_LOCS = {
+    "الهرم + المطار و وسط البلد": ["Pyramids of Giza", "Cairo Airport", "Downtown Cairo"],
+    "مطار القاهرة": ["Cairo Airport"],
+    "توصيلة الهرم": ["Pyramids of Giza"],
+    "وسط البلد + التحرير": ["Downtown Cairo"],
+    "هرم، المطار، هيلتون": ["Pyramids of Giza", "Cairo Airport", "Helton Hotel"],
+    "abc airport terminal 2": ["Cairo Airport"],
+    "the pyramids and downtown": ["Pyramids of Giza"],
+    "": [],
+    "عودة": [],
+    "سفرمطار": ["Cairo Airport"],
+}
+
+
+def test_extract_all_locations_expr(spark):
+    texts = list(EXPECTED_LOCS)
+    out = _spark_eval(spark, extract_all_locations_expr, texts)
+    for t, got in zip(texts, out):
+        assert got == EXPECTED_LOCS[t], f"{t!r}: {got}"
+
+
+def test_fuzzy_pipeline_readme_string(spark):
+    # README.md:103-104 manual fixture: only resolvable via tier-3 fuzzy
+    df = spark.createDataFrame(
+        [(1, "تشغيل 12 ساعه مطارررر القاهره وعوده"), (2, "الهرم + المطار و وسط البلد"), (3, None)],
+        ["id", "txt"],
+    )
+    out = with_all_locations_fuzzy(df, "txt", "id").orderBy("id").collect()
+    assert out[0]["all_locations_list"] == ["Cairo Airport"]
+    assert out[1]["all_locations_list"] == [
+        "Pyramids of Giza",
+        "Cairo Airport",
+        "Downtown Cairo",
+    ]
+    assert out[2]["all_locations_list"] == []
+
+
+EXPECTED_TYPES = {
+    "تشغيل 12 ساعه مطارررر القاهره وعوده": "Airport Transfer",
+    "الهرم + المطار و وسط البلد": "Airport Transfer",
+    "فاتورة ادارة": "Admin/Management",
+    "12345": "Standard Transfer",
+    "": "Undefined",
+    "ميدان التحرير وعودة": "Round Trip",
+    "ذهاب وعودة الهرم": "Round Trip",
+    "رحلة نيلية مركب": "Nile Cruise",
+    "يوم كامل سيدان": "Special Operations",
+    # op-prefix توصيلة reaches the ops-only branch before Multi-Destination
+    # (cleaner_v6.py:307-316) even though a location was detected
+    "توصيلة الهرم": "Special Operations",
+    "وسط البلد + التحرير": "Standard Transfer",
+    "هرم، المطار، هيلتون": "Airport Transfer",
+    "downtown cairo trip": "Standard Transfer",
+}
+
+
+def test_categorize_trip_type(spark):
+    texts = list(EXPECTED_TYPES)
+    col = lambda t: categorize_trip_type_expr(t, extract_all_locations_expr(t))  # noqa: E731
+    out = _spark_eval(spark, col, texts)
+    for t, got in zip(texts, out):
+        assert got == EXPECTED_TYPES[t], f"{t!r}: {got}"
+
+
+def test_end_location_clean_fallbacks(spark):
+    col = lambda t: end_location_clean_expr(t, extract_all_locations_expr(t))  # noqa: E731
+    texts = ["مطار القاهرة", "", "12345", "x", "مستر احمد تحصيل فاتورة"]
+    out = _spark_eval(spark, col, texts)
+    assert out[0] == "Cairo Airport"
+    assert out[1] == "Undefined"
+    assert out[2] == "Unknown"
+    assert out[3] == "Unknown"
+    assert out[4] == "مستر احمد"  # title-cased first two words (Arabic unchanged)
