@@ -10,9 +10,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import relational
+from .plans import relational, trips
 
-_PLAN_MODULES = [relational]
+_PLAN_MODULES = [relational, trips]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
