@@ -1,0 +1,270 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §2 M1).
+
+All designed for 100 TB:
+
+- exact dedup: hash groupBy on the full text (one shuffle keyed by text; at
+  scale, group on xxhash64(text) first so the shuffle key is 8 bytes).
+- n-gram Jaccard: shingle-explode + equi-join on the shingle. The join key
+  is a shingle, never a document pair, so candidate generation is linear in
+  total shingle count; the O(n²) pair space is never materialized beyond
+  actually-overlapping pairs. High-frequency "stop shingles" should be
+  dropped at scale (df cap) — parameterized here.
+- MinHash-LSH: 64 deterministic affine permutations over xxhash64 shingle
+  hashes, banded signature join (16 bands × 4 rows). Only same-band
+  collisions shuffle; verification recomputes exact Jaccard on the
+  candidates only.
+- SimHash: 64-bit sign-aggregated token hashes; candidate pairs via the
+  4×16-bit chunk pigeonhole (hamming ≤ 3 ⇒ some chunk equal), verified with
+  bit_count(xor).
+
+Hash constants are generated from a fixed seed at import → results are
+deterministic across runs and cluster layouts (all hashing is xxhash64 +
+integer arithmetic, no JVM/Python hash randomization).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_PRIME = 2147483647  # 2^31 - 1; keeps a*x + b inside 64-bit range
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+_rng = random.Random(42)
+MINHASH_COEFFS = [
+    (_rng.randrange(1, MINHASH_PRIME), _rng.randrange(0, MINHASH_PRIME))
+    for _ in range(N_HASHES)
+]
+
+
+def tokens_expr(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
+
+
+def shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles; whole text if shorter than k tokens."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    shingled = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.try_element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(
+        F.when(n >= k, shingled).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups: per distinct text, the kept (min) id and the
+    number of copies. ``dropDuplicates`` is the keep-everything variant; this
+    returns the group ledger a pipeline audits."""
+    return (
+        df.groupBy(text_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("keep_id", "n_copies", F.length(text_col).alias("text_len"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-shingle Jaccard, candidate-generated
+    through a shingle equi-join (never a cross join).
+
+    ``max_shingle_df``: drop shingles appearing in more than this many docs
+    (stop-shingle cap) — at 100 TB this bounds join fan-out; None keeps all.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), k)).alias("sh")
+    )
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df_cnt"))
+            .filter(F.col("df_cnt") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signature(text: Column, k: int = 3) -> Column:
+    """64-long MinHash signature over k-shingles (deterministic)."""
+    base = F.transform(
+        shingles_expr(text, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
+    )
+    sig_parts = [
+        F.array_min(F.transform(base, lambda x: F.pmod(a * x + b, F.lit(MINHASH_PRIME))))
+        for a, b in MINHASH_COEFFS
+    ]
+    return F.array(*sig_parts)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.6,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: banded signature → same-bucket candidate
+    pairs → exact-Jaccard verification of candidates only.
+
+    Scale shape: the banded explode is narrow (×16); the only shuffles are
+    the band-bucket groupBy and the verification join against the (small)
+    candidate set. No O(n²) stage exists."""
+    sigs = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), k).alias("sig"),
+        shingles_expr(F.col(text_col), k).alias("sh"),
+    )
+    bands = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda bnd: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        bnd,
+                        F.concat_ws(
+                            ",",
+                            F.slice(F.col("sig"), bnd * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sigs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sigs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified
+
+
+def simhash_expr(text: Column) -> Column:
+    """64-bit SimHash of whitespace tokens as a signed long."""
+    toks = tokens_expr(text)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda b: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + F.when(
+                    F.call_function("shiftright", F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # shiftleft|or, not acc*2+bit: the top bit would overflow a signed long
+    # and ANSI mode (Spark 4 default) raises on arithmetic overflow
+    return F.aggregate(
+        bits,
+        F.lit(0).cast("bigint"),
+        lambda acc, bit: F.call_function("shiftleft", acc, F.lit(1)).bitwiseOR(bit),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: 4×16-bit chunk pigeonhole for candidates
+    (hamming ≤ 3 ⇒ at least one chunk identical), bit_count(xor) verify."""
+    h = df.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sim"))
+    chunks = h.select(
+        "id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk_id") == F.col("y.chunk_id"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("doc_a"),
+            F.col("y.id").alias("doc_b"),
+            F.col("x.sim").alias("sim_a"),
+            F.col("y.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

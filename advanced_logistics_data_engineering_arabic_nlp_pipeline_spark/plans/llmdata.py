@@ -1,0 +1,437 @@
+"""LLM training-data pipeline queries (SURVEY.md §2 M1-M5) over the
+documents / embeddings / events / lineitem fixtures, each with a DuckDB
+oracle where SQL can express it (MinHash/SimHash/LSH/approx are rows-only
+by nature; their recall/quality is pytest-checked against the exact
+operators instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.coercion import dsum
+from ..operators import dedup, similarity, textanalysis as ta
+from ..operators.multimodal import attach_fake_media, extract_features
+from ..sources.tables import load_table
+
+# ── M1 dedup ────────────────────────────────────────────────────────────────
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(docs, "text", "doc_id").orderBy("keep_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies,
+       LENGTH(text) AS text_len
+FROM documents
+GROUP BY text
+HAVING COUNT(*) > 1
+ORDER BY keep_id
+"""
+
+
+def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+DEDUP_JACCARD_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+shd AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [COALESCE(array_to_string(toks, ' '), '')] END
+         ) AS shs
+  FROM tok
+),
+ex AS (SELECT doc_id AS id, unnest(shs) AS sh FROM shd),
+sizes AS (SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id),
+inter AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = doc_a
+JOIN sizes sb ON sb.id = doc_b
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# ── M2 similarity search ────────────────────────────────────────────────────
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_bruteforce(
+        emb.filter(F.col("vec_id") < 5), emb, "embedding", "vec_id", k=5
+    )
+
+
+_COS = """
+ROUND(
+  list_sum(list_transform(list_zip(qv, cv),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(cv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  6)
+"""
+
+SIMILARITY_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+s AS (
+  SELECT query_id, neighbor_id, {_COS} AS score
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_lsh(
+        emb.filter(F.col("vec_id") < 5), emb, "embedding", "vec_id", k=5
+    )
+
+
+# ── M3 text analysis ────────────────────────────────────────────────────────
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        ta.token_count(t).alias("n_tokens"),
+        ta.bpe_ish_token_count(t).alias("n_units"),
+        ta.stopword_ratio(t).alias("stop_ratio"),
+        ta.mean_token_len(t).alias("mean_token_len"),
+        ta.quality_score(t).alias("quality"),
+        ta.lang_id(t).alias("lang_pred"),
+        ta.fingerprint(t).alias("fp"),
+    ).orderBy("doc_id")
+
+
+def _sql_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+TEXT_QUALITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_units,
+         ROUND({_sql_hits(ta.EN_STOP)} * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
+         ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len,
+         {_sql_hits(ta.EN_STOP)} AS en_h, {_sql_hits(ta.FR_STOP)} AS fr_h, {_sql_hits(ta.ES_STOP)} AS es_h
+  FROM tok
+)
+SELECT doc_id, n_tokens, n_units, stop_ratio, mean_token_len,
+       ROUND(CAST(
+         (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+         * (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+         * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality,
+       CASE WHEN en_h >= fr_h AND en_h >= es_h AND en_h > 0 THEN 'en'
+            WHEN fr_h >= es_h AND fr_h > 0 THEN 'fr'
+            WHEN es_h > 0 THEN 'es'
+            ELSE 'unknown' END AS lang_pred,
+       md5(COALESCE(array_to_string(list_sort(list_distinct(toks)), ' '), '')) AS fp
+FROM m
+ORDER BY doc_id
+"""
+
+
+def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
+            F.sum(ta.token_count(F.col("text"))).alias("total_tokens"),
+            F.countDistinct(ta.fingerprint(F.col("text"))).alias("n_fingerprints"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+LANG_SOURCE_STATS_SQL = """
+WITH tok AS (
+  SELECT lang, source, n_chars,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(SUM(n_chars) * 1.0 / COUNT(*), 2) AS avg_chars,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT md5(COALESCE(array_to_string(list_sort(list_distinct(toks)), ' '), ''))) AS n_fingerprints
+FROM tok
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ta.tokens_expr(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(25)
+    )
+
+
+TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS cnt
+FROM tok GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT 25
+"""
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ta.tokens_expr(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.try_element_at(toks, i), F.try_element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(25)
+    )
+
+
+TOP_BIGRAMS_SQL = """
+WITH tok AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM tok
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram
+LIMIT 25
+"""
+
+
+# ── M4 multimodal ───────────────────────────────────────────────────────────
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing end to end: attach payload+metadata, Arrow-
+    batched mapInPandas feature extraction. The fake feature (mean payload
+    byte) is deterministic, so even the Python batch path is oracle-checked.
+    Oracle assumes ASCII document text (bytes == codepoints) — true for the
+    fixture corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "text", "doc_id")
+    return extract_features(media).orderBy("doc_id")
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       ROUND(list_sum(list_transform(range(1, length(text) + 1),
+                                     i -> ord(substring(text, CAST(i AS INT), 1)))) * 1.0
+             / octet_length(encode(text)), 6) AS feat_mean,
+       CAST(1 AS INT) AS feat_dim
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 JSON prop extraction (get_json_object) + aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.sum("k") / F.count("*"), 2).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_PROPS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       ROUND(SUM(k) * 1.0 / COUNT(*), 2) AS avg_k,
+       MAX(k) AS max_k
+FROM e GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ── M5 approximate aggregates ───────────────────────────────────────────────
+
+def distinct_parts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+DISTINCT_PARTS_EXACT_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch distinct counts — algorithm-specific, rows-only check;
+    pytest asserts relative error vs the exact query instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("approx_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def price_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile(F.col("l_extendedprice"), F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    q = li.groupBy("l_returnflag").agg(pct.alias("qs"))
+    return q.select(
+        "l_returnflag",
+        *[
+            F.round(F.try_element_at(F.col("qs"), F.lit(i + 1)), 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    ).orderBy("l_returnflag")
+
+
+PRICE_QUANTILES_EXACT_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx(
+        F.col("l_extendedprice"),
+        F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]),
+        F.lit(10000),
+    )
+    q = li.groupBy("l_returnflag").agg(pct.alias("qs"))
+    return q.select(
+        "l_returnflag",
+        *[
+            F.round(F.try_element_at(F.col("qs"), F.lit(i + 1)), 4).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p95"])
+        ],
+    ).orderBy("l_returnflag")
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_jaccard": dedup_jaccard,
+    "dedup_minhash": dedup_minhash,
+    "dedup_simhash": dedup_simhash,
+    "similarity_topk": similarity_topk,
+    "similarity_topk_lsh": similarity_topk_lsh,
+    "text_quality": text_quality,
+    "lang_source_stats": lang_source_stats,
+    "top_terms": top_terms,
+    "top_bigrams": top_bigrams,
+    "multimodal_features": multimodal_features,
+    "events_json_props": events_json_props,
+    "distinct_parts_exact": distinct_parts_exact,
+    "approx_distinct_parts": approx_distinct_parts,
+    "price_quantiles_exact": price_quantiles_exact,
+    "price_quantiles_approx": price_quantiles_approx,
+}
+
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_jaccard": DEDUP_JACCARD_SQL,
+    "similarity_topk": SIMILARITY_TOPK_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "lang_source_stats": LANG_SOURCE_STATS_SQL,
+    "top_terms": TOP_TERMS_SQL,
+    "top_bigrams": TOP_BIGRAMS_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "events_json_props": EVENTS_JSON_PROPS_SQL,
+    "distinct_parts_exact": DISTINCT_PARTS_EXACT_SQL,
+    "price_quantiles_exact": PRICE_QUANTILES_EXACT_SQL,
+}

@@ -10,9 +10,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import relational, trips
+from .plans import llmdata, relational, trips
 
-_PLAN_MODULES = [relational, trips]
+_PLAN_MODULES = [relational, trips, llmdata]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

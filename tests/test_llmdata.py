@@ -1,0 +1,78 @@
+"""Quality checks for the non-SQL-expressible M operators: the rows-only
+driver check only proves they run; these prove they're *right* (recall vs
+exact counterparts, error bounds vs exact aggregates)."""
+
+from __future__ import annotations
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans import llmdata
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    exact = _pairs(llmdata.dedup_jaccard(spark, sf_dir))
+    lsh = llmdata.dedup_minhash(spark, sf_dir)
+    lsh_pairs = _pairs(lsh)
+    assert exact, "fixture should contain near-duplicate pairs"
+    # verification step recomputes exact jaccard → no false positives
+    assert lsh_pairs <= exact
+    # banded MinHash at 16x4 should catch nearly all >=0.6 pairs
+    recall = len(lsh_pairs & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_finds_duplicate_pairs(spark, sf_dir):
+    exact = _pairs(llmdata.dedup_jaccard(spark, sf_dir))
+    sim = _pairs(llmdata.dedup_simhash(spark, sf_dir))
+    # simhash (hamming<=3) should overlap heavily with high-jaccard pairs
+    assert sim, "simhash should find near-dup pairs in the fixture"
+    prec = len(sim & exact) / len(sim)
+    assert prec >= 0.5, f"simhash precision vs jaccard too low: {prec}"
+
+
+def test_approx_distinct_within_error(spark, sf_dir):
+    exact = {
+        r["l_returnflag"]: (r["n_parts"], r["n_supps"])
+        for r in llmdata.distinct_parts_exact(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["approx_parts"], r["approx_supps"])
+        for r in llmdata.approx_distinct_parts(spark, sf_dir).collect()
+    }
+    for flag, (ep, es) in exact.items():
+        ap, asu = approx[flag]
+        assert abs(ap - ep) / ep < 0.1, f"{flag}: parts {ap} vs {ep}"
+        assert abs(asu - es) / es < 0.1, f"{flag}: supps {asu} vs {es}"
+
+
+def test_quantiles_approx_close_to_exact(spark, sf_dir):
+    exact = {r["l_returnflag"]: r for r in llmdata.price_quantiles_exact(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r for r in llmdata.price_quantiles_approx(spark, sf_dir).collect()}
+    for flag, er in exact.items():
+        ar = approx[flag]
+        for q in ("p25", "p50", "p75", "p95"):
+            assert abs(ar[q] - er[q]) / max(er[q], 1.0) < 0.05, (flag, q, ar[q], er[q])
+
+
+def test_similarity_lsh_subset_of_bruteforce_space(spark, sf_dir):
+    brute = llmdata.similarity_topk(spark, sf_dir).collect()
+    lsh = llmdata.similarity_topk_lsh(spark, sf_dir).collect()
+    assert brute and lsh
+    # same-bucket neighbors re-ranked exactly → any (query, neighbor) the LSH
+    # returns with rank 1 must score <= the brute-force rank-1 score
+    b1 = {r["query_id"]: r["score"] for r in brute if r["rank"] == 1}
+    for r in lsh:
+        if r["rank"] == 1:
+            assert r["score"] <= b1[r["query_id"]] + 1e-9
+
+
+def test_multimodal_decode_stub_raises():
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.multimodal import (
+        decode_stub,
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x00")
