@@ -1,0 +1,116 @@
+"""Paginated-source landing pattern (SURVEY.md §2 A1-A5).
+
+The reference fetches a paginated REST API with retries, pickles page
+batches, and tracks a progress file for crash resume (Main.py:109-208,
+330-357, 466-518). The Spark-native shape splits that into:
+
+1. a driver-side *lander* that pulls pages through an injected fetcher and
+   writes them as JSON lines into a landing directory, with a ``progress.json``
+   high-watermark for resume (idempotent per page-file);
+2. Spark reading the landing dir — batch (``read_landing``) or streaming
+   (``stream_landing``), where Structured Streaming's checkpoint replaces the
+   reference's pickle batches entirely: offsets + sink state give
+   exactly-once without custom code.
+
+The fetcher is injected (no network in tests; a real deployment passes a
+requests-backed callable). Retry policy mirrors the reference's
+``robust_api_call`` (bounded attempts, linear-capped backoff).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+PageFetcher = Callable[[int], list[dict]]
+
+
+def _progress_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "progress.json")
+
+
+def load_progress(out_dir: str) -> dict:
+    try:
+        with open(_progress_path(out_dir), encoding="utf-8") as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"current_page": 0, "total_records": 0, "status": "new"}
+
+
+def save_progress(out_dir: str, progress: dict) -> None:
+    tmp = _progress_path(out_dir) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(progress, f)
+    os.replace(tmp, _progress_path(out_dir))
+
+
+def robust_call(fn: Callable[[], list[dict]], max_attempts: int = 5, backoff: float = 0.1):
+    """Bounded-retry wrapper (Main.py:185-208 semantics; backoff capped)."""
+    last: Exception | None = None
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — fetcher failures are retryable by contract
+            last = exc
+            time.sleep(min(backoff * attempt, 5.0))
+    raise RuntimeError(f"fetch failed after {max_attempts} attempts") from last
+
+
+def land_pages(
+    fetch_page: PageFetcher,
+    out_dir: str,
+    max_pages: int | None = None,
+    max_attempts: int = 5,
+) -> int:
+    """Pull pages starting from the resume point until an empty page; write
+    each as ``page_{n:06d}.json`` (JSON lines, idempotent overwrite), keep
+    ``progress.json`` current. Returns total records landed this run."""
+    os.makedirs(out_dir, exist_ok=True)
+    progress = load_progress(out_dir)
+    page = int(progress.get("current_page", 0))
+    landed = 0
+    while max_pages is None or page < max_pages:
+        rows = robust_call(lambda: fetch_page(page), max_attempts)
+        if not rows:
+            break
+        path = os.path.join(out_dir, f"page_{page:06d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in rows:
+                f.write(json.dumps(row, ensure_ascii=False) + "\n")
+        os.replace(tmp, path)
+        landed += len(rows)
+        page += 1
+        save_progress(
+            out_dir,
+            {
+                "current_page": page,
+                "total_records": int(progress.get("total_records", 0)) + landed,
+                "status": "in_progress",
+            },
+        )
+    progress = load_progress(out_dir)
+    progress["status"] = "completed"
+    save_progress(out_dir, progress)
+    return landed
+
+
+def read_landing(spark: SparkSession, out_dir: str, schema: StructType | str) -> DataFrame:
+    """Batch read of the landing dir (A8's structure_raw_data replacement:
+    declarative schema + confirm_status gate happen in the query)."""
+    return spark.read.schema(schema).json(os.path.join(out_dir, "page_*.json"))
+
+
+def stream_landing(spark: SparkSession, out_dir: str, schema: StructType | str) -> DataFrame:
+    """Streaming read of the landing dir — new page files become micro-batch
+    input; pair with checkpointLocation on the sink for exactly-once."""
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "page_*.json")
+        .json(out_dir)
+    )

@@ -1,0 +1,142 @@
+"""Structured Streaming + landing-source tests (SURVEY.md §2 A1-A5, L):
+windowed agg parity with batch, checkpoint-resume exactly-once, landing
+progress/resume, foreachBatch upsert."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.windows import events_hourly
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources import landing
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.streaming import pipeline
+
+EVENT_SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+def _write_event_pages(spark, sf_dir, out_dir, n_pages=4):
+    """Split the events fixture into JSON page files via the landing API."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    per = (len(rows) + n_pages - 1) // n_pages
+    pages = [rows[i * per : (i + 1) * per] for i in range(n_pages)]
+
+    def fetch(page: int) -> list[dict]:
+        return pages[page] if page < len(pages) else []
+
+    return fetch, len(rows)
+
+
+def test_landing_resume_and_read(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "land")
+    fetch, total = _write_event_pages(spark, sf_dir, out, n_pages=4)
+
+    # first run lands everything
+    landed = landing.land_pages(fetch, out)
+    assert landed == total
+    assert landing.load_progress(out)["status"] == "completed"
+    # re-run is a no-op (resumes at current_page, next page is empty)
+    assert landing.land_pages(fetch, out) == 0
+
+    df = landing.read_landing(spark, out, EVENT_SCHEMA)
+    assert df.count() == total
+    assert df.select("event_id").distinct().count() == total
+
+
+def test_landing_retry_then_success(tmp_path):
+    calls = {"n": 0}
+
+    def flaky(page: int) -> list[dict]:
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("transient")
+        return [] if page > 0 else [{"event_id": 1}]
+
+    out = str(tmp_path / "flaky")
+    assert landing.land_pages(flaky, out, max_attempts=5) == 1
+
+
+def test_stream_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "stream_land")
+    fetch, _ = _write_event_pages(spark, sf_dir, out, n_pages=3)
+    landing.land_pages(fetch, out)
+
+    stream = landing.stream_landing(spark, out, EVENT_SCHEMA)
+    q = pipeline.run_to_memory(pipeline.windowed_counts(stream), "hourly_test")
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"].strftime("%Y-%m-%d %H:%M:%S"), r["event_type"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], round(r["total_value"], 6))
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    land_dir = str(tmp_path / "cp_land")
+    sink = str(tmp_path / "cp_sink")
+    ckpt = str(tmp_path / "cp_ckpt")
+    fetch, total = _write_event_pages(spark, sf_dir, land_dir, n_pages=4)
+
+    # land half, stream it
+    landing.land_pages(fetch, land_dir, max_pages=2)
+    stream = landing.stream_landing(spark, land_dir, EVENT_SCHEMA)
+    q = pipeline.run_passthrough_to_parquet(stream, sink, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink).count()
+    assert 0 < first < total
+
+    # land the rest, resume from checkpoint → only the delta is appended
+    landing.land_pages(fetch, land_dir)
+    q2 = pipeline.run_passthrough_to_parquet(
+        landing.stream_landing(spark, land_dir, EVENT_SCHEMA), sink, ckpt
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total  # exactly-once
+
+    # idle re-run: no new files → no new rows
+    q3 = pipeline.run_passthrough_to_parquet(
+        landing.stream_landing(spark, land_dir, EVENT_SCHEMA), sink, ckpt
+    )
+    q3.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == total
+
+
+def test_foreachbatch_upsert_latest(spark, sf_dir, tmp_path):
+    land_dir = str(tmp_path / "up_land")
+    sink = str(tmp_path / "up_sink")
+    ckpt = str(tmp_path / "up_ckpt")
+    fetch, _ = _write_event_pages(spark, sf_dir, land_dir, n_pages=2)
+    landing.land_pages(fetch, land_dir)
+
+    stream = landing.stream_landing(spark, land_dir, EVENT_SCHEMA)
+    q = pipeline.run_upsert_latest(stream, ["user_id"], "ts", sink, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch = load_table(spark, sf_dir, "events")
+    want_users = batch.select("user_id").distinct().count()
+    assert got.count() == want_users  # one latest row per user
+    # the kept row per user is the max-ts one
+    latest = (
+        batch.groupBy("user_id").agg(F.max("ts").alias("ts")).orderBy("user_id").collect()
+    )
+    got_map = {r["user_id"]: r["ts"] for r in got.collect()}
+    for r in latest:
+        assert got_map[r["user_id"]] == r["ts"]
