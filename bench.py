@@ -17,11 +17,25 @@ from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.session impor
 
 # Headline queries: one per major capability area; extended as plans land.
 HEADLINE = [
+    # relational spine
     "pricing_summary",
     "revenue_by_nation",
     "top_customers",
     "order_priority_share",
     "lineitem_unpivot",
+    # NLP trips pipeline (expression tiers + fuzzy UDF variant)
+    "trips_master",
+    "trips_master_fuzzy",
+    "location_pairs",
+    "location_stats",
+    # LLM-data ops
+    "dedup_jaccard",
+    "dedup_minhash",
+    "similarity_topk",
+    "text_quality",
+    # event-time windows
+    "events_hourly",
+    "events_sessions",
 ]
 
 
