@@ -20,8 +20,15 @@ from pyspark.sql import functions as F
 
 
 def coerce_long(c: Column | str, default: int = 0) -> Column:
+    """pandas ``to_numeric`` routes mixed columns through float64, so
+    ``'3.9'`` coerces to 3 (truncation toward zero), not NULL — mirror that:
+    exact bigint cast first, then truncated double, then the default."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.coalesce(c.try_cast("bigint"), F.lit(default).cast("bigint"))
+    return F.coalesce(
+        c.try_cast("bigint"),
+        c.try_cast("double").cast("bigint"),
+        F.lit(default).cast("bigint"),
+    )
 
 
 def coerce_double(c: Column | str, default: float = 0.0) -> Column:

@@ -10,9 +10,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import llmdata, relational, trips, windows
+from .plans import llmdata, relational, showcase, trips, windows
 
-_PLAN_MODULES = [relational, trips, llmdata, windows]
+_PLAN_MODULES = [relational, trips, llmdata, windows, showcase]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
