@@ -1,0 +1,116 @@
+"""Service surface (SURVEY.md §2 K; api.py:162-382 behavior).
+
+The reference exposes the cleaner through FastAPI endpoints: /clean (single),
+/clean/batch (sequential list-comp — its own docstring claims "vectorised",
+api.py:12, but it loops), /run-cycle (broken import as shipped, api.py:334),
+/stats and /health. This module is the engine-side equivalent: the HTTP
+framing is out of engine scope, but every endpoint's computation is here,
+with /clean/batch actually vectorized as ONE DataFrame pass and /run-cycle
+actually working (landing source + enrichment instead of the broken import).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import __version__
+from .operators.extract import (
+    categorize_trip_type_expr,
+    end_location_clean_expr,
+    extract_all_locations_expr,
+    with_all_locations_fuzzy,
+)
+from .sources import landing
+from .sources.dictionary import build_variant_index
+
+
+def clean_texts_df(
+    df: DataFrame,
+    text_col: str = "text",
+    fuzzy: bool = True,
+    index: dict[str, str] | None = None,
+) -> DataFrame:
+    """F5 shared codepath (api.py:210-225 = Main.py:406-425): adds
+    all_locations, main_location, trip_type for a text column."""
+    index = index if index is not None else build_variant_index()
+    t = F.col(text_col)
+    if fuzzy:
+        df = df.withColumn("__rid", F.monotonically_increasing_id())
+        df = with_all_locations_fuzzy(df, text_col, "__rid", "all_locations", index)
+        df = df.drop("__rid")
+    else:
+        df = df.withColumn("all_locations", extract_all_locations_expr(t, index))
+    return df.withColumn(
+        "main_location", end_location_clean_expr(t, F.col("all_locations"))
+    ).withColumn("trip_type", categorize_trip_type_expr(t, F.col("all_locations")))
+
+
+class CleaningService:
+    """Driver-side service state (the reference's singleton cleaner +
+    module-global stats, api.py:106-134, 354-359)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        locations: dict[str, list[str]] | None = None,
+        fuzzy_enabled: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.fuzzy_enabled = fuzzy_enabled
+        self.index = build_variant_index(locations) if locations else build_variant_index()
+        self._last_stats: dict = {"status": "idle", "records": 0}
+
+    def health(self) -> dict:
+        return {"status": "ok", "version": __version__, "fuzzy": self.fuzzy_enabled}
+
+    def clean_one(self, text: str | None) -> dict:
+        t0 = time.perf_counter()
+        row = self.clean_batch([text])["results"][0]
+        row["processing_ms"] = round((time.perf_counter() - t0) * 1000, 3)
+        return row
+
+    def clean_batch(self, texts: list[str | None]) -> dict:
+        """One DataFrame pass for the whole batch — the vectorization the
+        reference's /clean/batch claims but doesn't do (api.py:301-304)."""
+        t0 = time.perf_counter()
+        df = self.spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "idx int, text string"
+        )
+        out = clean_texts_df(df, "text", self.fuzzy_enabled, self.index).orderBy("idx")
+        results = [
+            {
+                "original": r["text"],
+                "main_location": r["main_location"],
+                "all_locations": list(r["all_locations"]),
+                "trip_type": r["trip_type"],
+            }
+            for r in out.collect()
+        ]
+        return {
+            "results": results,
+            "total_ms": round((time.perf_counter() - t0) * 1000, 3),
+        }
+
+    def run_cycle(self, fetch_page: landing.PageFetcher, landing_dir: str) -> dict:
+        """One fetch→land→enrich cycle (K4, fixed): land new pages, read the
+        landing dir, run the cleaning pipeline, record stats."""
+        t0 = time.perf_counter()
+        landed = landing.land_pages(fetch_page, landing_dir)
+        df = landing.read_landing(
+            self.spark, landing_dir, "serialId bigint, confirm_status boolean, end_location string"
+        ).filter(F.col("confirm_status").eqNullSafe(True))
+        enriched = clean_texts_df(df, "end_location", self.fuzzy_enabled, self.index)
+        records = enriched.count()
+        self._last_stats = {
+            "status": "completed",
+            "records": records,
+            "landed": landed,
+            "duration_ms": round((time.perf_counter() - t0) * 1000, 3),
+        }
+        return dict(self._last_stats)
+
+    def stats(self) -> dict:
+        return dict(self._last_stats)

@@ -1,0 +1,47 @@
+"""Physical-plan quality gates: these lock in the properties that matter at
+100 TB (scan pushdown, column pruning, broadcast dims, shuffle-free NLP
+enrichment, top-k without global sort) so refactors can't silently regress
+them."""
+
+from __future__ import annotations
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark import registry
+
+QUERIES = registry.all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return qe.explainString(mode)
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in p, "shipdate filter not pushed to parquet"
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema, "unused columns not pruned from scan"
+    assert "l_returnflag" in read_schema
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    p = _plan(spark, sf_dir, "revenue_by_nation")
+    assert p.count("BroadcastHashJoin") >= 2, "nation/region dims must broadcast"
+
+
+def test_trips_master_is_shuffle_free(spark, sf_dir):
+    # the whole NLP enrichment is narrow: scan → project. Any Exchange here
+    # means an accidental wide transformation crept into the hot path.
+    p = _plan(spark, sf_dir, "trips_master")
+    assert "Exchange" not in p, "trips_master must not shuffle"
+
+
+def test_top_customers_avoids_global_sort(spark, sf_dir):
+    p = _plan(spark, sf_dir, "top_customers")
+    assert "TakeOrderedAndProject" in p, "limit+orderBy should be top-k, not full sort"
+
+
+def test_dictionary_lookup_join_is_broadcast(spark, sf_dir):
+    p = _plan(spark, sf_dir, "location_lookup_join")
+    assert "BroadcastHashJoin" in p, "dictionary dim must broadcast-join"
