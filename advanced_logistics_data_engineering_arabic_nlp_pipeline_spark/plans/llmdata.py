@@ -120,6 +120,13 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.topk_ivf(
+        emb.filter(F.col("vec_id") < 5), emb, "embedding", "vec_id", k=5
+    )
+
+
 # ── M3 text analysis ────────────────────────────────────────────────────────
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -410,6 +417,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "similarity_topk": similarity_topk,
     "similarity_topk_lsh": similarity_topk_lsh,
+    "similarity_topk_ivf": similarity_topk_ivf,
     "text_quality": text_quality,
     "lang_source_stats": lang_source_stats,
     "top_terms": top_terms,

@@ -253,8 +253,48 @@ ORDER BY measure
 """
 
 
+# --------------------------------------------------------------------------
+# Rollup / grouping sets (SURVEY.md §2 I — absent in the reference, free in
+# Spark): region→nation revenue with subtotals and a grand total.
+# --------------------------------------------------------------------------
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT r_name,
+       n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
+    "revenue_rollup": revenue_rollup,
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,
     "order_priority_share": order_priority_share,
@@ -265,6 +305,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": PRICING_SUMMARY_SQL,
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
     "order_priority_share": ORDER_PRIORITY_SHARE_SQL,

@@ -68,6 +68,22 @@ def test_similarity_lsh_subset_of_bruteforce_space(spark, sf_dir):
             assert r["score"] <= b1[r["query_id"]] + 1e-9
 
 
+def test_similarity_ivf_recall(spark, sf_dir):
+    brute = llmdata.similarity_topk(spark, sf_dir).collect()
+    ivf = llmdata.similarity_topk_ivf(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    # probing 4/16 cells should still recover most exact neighbors
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # IVF scores are exact cosines → any overlapping pair has identical score
+    bs = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute}
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bs:
+            assert abs(r["score"] - bs[key]) < 1e-9
+
+
 def test_multimodal_decode_stub_raises():
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.multimodal import (
         decode_stub,
