@@ -1,0 +1,45 @@
+"""A7 report sinks: the four reference analytics outputs round-trip through
+CSV/parquet with schema and values intact."""
+
+from __future__ import annotations
+
+import glob
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.trips import (
+    location_pairs,
+    location_stats,
+    multi_location_details,
+    trips_master,
+)
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.sinks import (
+    write_parquet,
+    write_report_csv,
+)
+
+
+def test_analytics_outputs_roundtrip(spark, sf_dir, tmp_path):
+    outputs = {
+        "master": trips_master(spark, sf_dir),
+        "pairs": location_pairs(spark, sf_dir),
+        "stats": location_stats(spark, sf_dir),
+        "multi": multi_location_details(spark, sf_dir),
+    }
+    for name, df in outputs.items():
+        csv_dir = str(tmp_path / f"{name}_csv")
+        pq_dir = str(tmp_path / f"{name}_pq")
+        write_report_csv(df, csv_dir)
+        write_parquet(df, pq_dir)
+        assert len(glob.glob(csv_dir + "/part-*.csv")) == 1  # single report file
+        back = spark.read.parquet(pq_dir)
+        assert back.count() == df.count()
+        assert back.columns == df.columns
+
+
+def test_partitioned_parquet(spark, sf_dir, tmp_path):
+    df = trips_master(spark, sf_dir)
+    out = str(tmp_path / "by_type")
+    write_parquet(df, out, partition_by=["Trip_Type"])
+    dirs = glob.glob(out + "/Trip_Type=*")
+    assert len(dirs) >= 3  # partition pruning layout exists
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
