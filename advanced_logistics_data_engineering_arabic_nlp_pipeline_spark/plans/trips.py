@@ -76,6 +76,16 @@ GOLDEN_TEXTS: list[str | None] = [
     "سفرمطار",
     "جولة اهرامات وايجار مركب",
     "مطاار الي الفندق",
+    # diacritics + tatweel + word-final ha folds (D1 paths in-pipeline)
+    "مَطَـــار القاهِرَه",
+    # lam-alef ligature + admin term
+    "ﻻ ادارة فواتير",
+    # mixed EN stopwords with a variant
+    "to the airport and back",
+    # arabic-indic digits only → Unknown guard
+    "٤٥٦",
+    # separator soup
+    "،،؛؛",
 ]
 
 MASTER_COLUMNS = [

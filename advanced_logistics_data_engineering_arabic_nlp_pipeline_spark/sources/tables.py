@@ -32,6 +32,9 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # deterministic timestamp semantics regardless of the caller session's
+    # JVM default zone (date parts must match the oracle's naive timestamps)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read it as nanos-since-epoch and convert to a
