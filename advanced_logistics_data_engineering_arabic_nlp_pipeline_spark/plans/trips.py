@@ -196,8 +196,18 @@ _VALID_LOC = lambda x: x.isNotNull() & (F.trim(x) != "") & (x != "Undefined")  #
 def location_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1/H2 pair analysis (Main.py:234-263): unordered sorted pairs from the
     per-trip location set, frequency/revenue/percentage-of-multi-trips."""
+    # NOTE: no persist here — the denominator branch gets column-pruned to
+    # just the locs expression, which is cheaper than materializing the full
+    # 25-column stage (measured: persist was ~2× slower at sf0.1)
     m = _master_stage(spark, sf_dir).filter(F.col("num_locations") >= 2)
     total = m.select(F.count("*").alias("__tm"))
+    # materialize locs through a 1:1 Generate (explode of a single-element
+    # array): without this boundary CollapseProject inlines the whole NLP
+    # resolution chain into the pair-lambda, re-evaluating it per element
+    # (measured ~4× slower)
+    m = m.select(
+        "#", "sale_price", F.explode(F.array(F.struct(F.col("locs")))).alias("__l")
+    ).select("#", "sale_price", F.col("__l.locs").alias("locs"))
     valid = F.array_sort(F.filter(F.slice(F.col("locs"), 1, 5), _VALID_LOC))
     pairs = F.flatten(
         F.transform(

@@ -28,13 +28,18 @@ HEADLINE = [
     "trips_master_fuzzy",
     "location_pairs",
     "location_stats",
+    "revenue_rollup",
     # LLM-data ops
     "dedup_jaccard",
     "dedup_minhash",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_topk_ivf",
     "text_quality",
+    "multimodal_features",
     # event-time windows
     "events_hourly",
+    "events_sliding",
     "events_sessions",
 ]
 
