@@ -163,8 +163,36 @@ ORDER BY user_id, event_seq
 """
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (G4's inverse): per-day event counts, one column per type.
+    Explicit pivot values keep the output schema static — mandatory at
+    scale (a dynamic pivot scans the data twice to discover columns)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    return (
+        ev.groupBy(day)
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+EVENTS_DAILY_PIVOT_SQL = f"""
+SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "events_daily_pivot": events_daily_pivot,
     "events_sliding": events_sliding,
     "events_sessions": events_sessions,
     "user_running_totals": user_running_totals,
@@ -172,6 +200,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
+    "events_daily_pivot": EVENTS_DAILY_PIVOT_SQL,
     "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "user_running_totals": USER_RUNNING_TOTALS_SQL,
