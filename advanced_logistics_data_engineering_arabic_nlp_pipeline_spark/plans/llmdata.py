@@ -332,6 +332,145 @@ ORDER BY event_type
 """
 
 
+# ── M1 embedding-cosine near-dup ────────────────────────────────────────────
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ 0.4 (exact; the banded
+    LSH in operators.similarity is the recall/scale trade-off path).
+    The pair space is bounded by vec_id ordering; at production scale the
+    candidate set comes from LSH buckets, not the full cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(similarity.cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(
+           list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ── pipeline utilities: sampling, validation, distribution, joins ───────────
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sampling per stratum (every 10th doc per
+    lang by doc_id order) — the reproducible cousin of sampleBy() for
+    train/eval splits; identical on any cluster layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") - 1) % 10 == 0)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM documents)
+WHERE (rn - 1) % 10 = 0
+ORDER BY doc_id
+"""
+
+
+def doc_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: per source, how many rows violate the
+    n_chars == length(text) invariant (FIXTURES.md M3 check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.length("text") != F.col("n_chars")).cast("bigint")).alias("n_bad"),
+        )
+        .withColumn("bad_pct", F.round(F.col("n_bad") * 100.0 / F.col("n_docs"), 2))
+        .orderBy("source")
+    )
+
+
+DOC_VALIDATION_SQL = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       ROUND(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 2) AS bad_pct
+FROM documents GROUP BY source
+ORDER BY source
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length distribution in fixed 50-char buckets (capped at bucket 11) —
+    the cheap shape check before any length-based quality filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 50), F.lit(11)).cast("bigint")
+    return (
+        docs.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+DOC_LENGTH_HISTOGRAM_SQL = """
+SELECT CAST(LEAST(n_chars // 50, 11) AS BIGINT) AS bucket, COUNT(*) AS n_docs
+FROM documents GROUP BY 1
+ORDER BY 1
+"""
+
+
+def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: documents ⋈ embeddings (doc_id = vec_id) → per-lang
+    corpus stats with an embedding-norm aggregate. The multimodal-table
+    pattern: metadata predicates prune before any vector math runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = docs.join(emb, docs.doc_id == emb.vec_id)
+    norm6 = F.round(similarity.norm_expr(F.col("embedding")), 6)
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            dsum(norm6, 6).alias("total_norm"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+DOCS_WITH_EMBEDDINGS_SQL = """
+WITH j AS (
+  SELECT d.lang, d.n_chars,
+         ROUND(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(nrm AS DECIMAL(28,6))) AS DOUBLE) AS total_norm,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM j GROUP BY lang
+ORDER BY lang
+"""
+
+
 # ── M5 approximate aggregates ───────────────────────────────────────────────
 
 def distinct_parts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,6 +567,11 @@ QUERIES = {
     "approx_distinct_parts": approx_distinct_parts,
     "price_quantiles_exact": price_quantiles_exact,
     "price_quantiles_approx": price_quantiles_approx,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "stratified_sample": stratified_sample,
+    "doc_validation": doc_validation,
+    "doc_length_histogram": doc_length_histogram,
+    "docs_with_embeddings": docs_with_embeddings,
 }
 
 ORACLES = {
@@ -442,4 +586,9 @@ ORACLES = {
     "events_json_props": EVENTS_JSON_PROPS_SQL,
     "distinct_parts_exact": DISTINCT_PARTS_EXACT_SQL,
     "price_quantiles_exact": PRICE_QUANTILES_EXACT_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "stratified_sample": STRATIFIED_SAMPLE_SQL,
+    "doc_validation": DOC_VALIDATION_SQL,
+    "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
+    "docs_with_embeddings": DOCS_WITH_EMBEDDINGS_SQL,
 }
