@@ -168,6 +168,37 @@ def test_categorize_trip_type(spark):
         assert got == EXPECTED_TYPES[t], f"{t!r}: {got}"
 
 
+def test_tier2_longest_first_invariant(spark):
+    """The generated alternation must try longer variants first so overlap
+    resolves to the most specific name (cleaner_v6.py:98-103 invariant).
+    Adversarial dict: two canonicals whose variants share a prefix."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.lookup import (
+        tier12_expr,
+    )
+
+    locations = {"Area": ["وسط"], "Downtown": ["وسط البلد"]}
+    idx = build_variant_index(locations)
+    df = spark.createDataFrame(
+        [("في وسط البلد اليوم",), ("في وسط المدينة",)], ["t"]
+    )
+    out = [
+        r[0]
+        for r in df.select(
+            tier12_expr(arabic.normalize_arabic(F.col("t")), idx)
+        ).collect()
+    ]
+    assert out[0] == "Downtown"  # longest variant wins, not the prefix
+    assert out[1] == "Area"
+
+
+def test_variant_index_first_wins(spark):
+    # duplicate variant across canonicals: first declaration wins
+    # (cleaner_v6.py:153-154)
+    idx = build_variant_index({"First": ["x", "shared"], "Second": ["shared", "y"]})
+    assert idx["shared"] == "First"
+    assert idx["y"] == "Second"
+
+
 def test_end_location_clean_fallbacks(spark):
     col = lambda t: end_location_clean_expr(t, extract_all_locations_expr(t))  # noqa: E731
     texts = ["مطار القاهرة", "", "12345", "x", "مستر احمد تحصيل فاتورة"]
