@@ -61,39 +61,75 @@ def robust_call(fn: Callable[[], list[dict]], max_attempts: int = 5, backoff: fl
     raise RuntimeError(f"fetch failed after {max_attempts} attempts") from last
 
 
+def _write_page(out_dir: str, page: int, rows: list[dict]) -> None:
+    path = os.path.join(out_dir, f"page_{page:06d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for row in rows:
+            f.write(json.dumps(row, ensure_ascii=False) + "\n")
+    os.replace(tmp, path)
+
+
 def land_pages(
     fetch_page: PageFetcher,
     out_dir: str,
     max_pages: int | None = None,
     max_attempts: int = 5,
+    max_workers: int = 5,
+    batch_size: int = 5,
 ) -> int:
-    """Pull pages starting from the resume point until an empty page; write
-    each as ``page_{n:06d}.json`` (JSON lines, idempotent overwrite), keep
-    ``progress.json`` current. Returns total records landed this run."""
+    """Pull page batches concurrently from the resume point; write each page
+    as ``page_{n:06d}.json`` (JSON lines, idempotent overwrite), keep
+    ``progress.json`` current. Stops after a batch whose pages came back
+    empty and whose last page is empty (Main.py:489-511 semantics:
+    ``max_workers=5`` over ``batch_size=5`` pages per round). Returns total
+    records landed this run."""
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(out_dir, exist_ok=True)
     progress = load_progress(out_dir)
     page = int(progress.get("current_page", 0))
     landed = 0
-    while max_pages is None or page < max_pages:
-        rows = robust_call(lambda: fetch_page(page), max_attempts)
-        if not rows:
-            break
-        path = os.path.join(out_dir, f"page_{page:06d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            for row in rows:
-                f.write(json.dumps(row, ensure_ascii=False) + "\n")
-        os.replace(tmp, path)
-        landed += len(rows)
-        page += 1
-        save_progress(
-            out_dir,
-            {
-                "current_page": page,
-                "total_records": int(progress.get("total_records", 0)) + landed,
-                "status": "in_progress",
-            },
-        )
+    keep_fetching = True
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        while keep_fetching:
+            batch_pages = [
+                p
+                for p in range(page, page + batch_size)
+                if max_pages is None or p < max_pages
+            ]
+            if not batch_pages:
+                break
+            results = list(
+                pool.map(
+                    lambda p: robust_call(lambda: fetch_page(p), max_attempts),
+                    batch_pages,
+                )
+            )
+            batch_has_data = False
+            for p, rows in zip(batch_pages, results):
+                if not rows:
+                    continue
+                _write_page(out_dir, p, rows)
+                landed += len(rows)
+                batch_has_data = True
+            # advance past contiguous non-empty pages only, so resume
+            # restarts exactly at the first empty page
+            advanced = 0
+            for rows in results:
+                if not rows:
+                    break
+                advanced += 1
+            page += advanced
+            keep_fetching = batch_has_data and bool(results[-1]) and advanced == len(results)
+            save_progress(
+                out_dir,
+                {
+                    "current_page": page,
+                    "total_records": int(progress.get("total_records", 0)) + landed,
+                    "status": "in_progress",
+                },
+            )
     progress = load_progress(out_dir)
     progress["status"] = "completed"
     save_progress(out_dir, progress)
@@ -104,6 +140,44 @@ def read_landing(spark: SparkSession, out_dir: str, schema: StructType | str) ->
     """Batch read of the landing dir (A8's structure_raw_data replacement:
     declarative schema + confirm_status gate happen in the query)."""
     return spark.read.schema(schema).json(os.path.join(out_dir, "page_*.json"))
+
+
+def distributed_fetch(
+    spark: SparkSession,
+    fetch_page: PageFetcher,
+    n_pages: int,
+    schema: StructType | str,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """The cluster-side fetch idiom (SURVEY.md A1 option 2):
+    ``spark.range(n_pages)`` repartitioned across executors, each task pulls
+    its pages through the injected fetcher inside mapInPandas. Use when the
+    source API tolerates cluster-wide fan-out; otherwise land via
+    :func:`land_pages` and read the landing dir.
+
+    ``fetch_page`` must be picklable (module-level function or closure over
+    picklable state)."""
+    import pandas as pd
+
+    parallelism = parallelism or max(2, n_pages // 4)
+    struct = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    field_names = [f.name for f in struct.fields]  # resolved driver-side
+
+    def run(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for p in pdf["id"]:
+                rows.extend(robust_call(lambda: fetch_page(int(p))))
+            if rows:
+                yield pd.DataFrame(rows)
+            else:
+                yield pd.DataFrame({name: [] for name in field_names})
+
+    return (
+        spark.range(n_pages)
+        .repartition(parallelism)
+        .mapInPandas(run, schema=struct)
+    )
 
 
 def stream_landing(spark: SparkSession, out_dir: str, schema: StructType | str) -> DataFrame:

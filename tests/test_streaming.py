@@ -50,6 +50,31 @@ def test_landing_resume_and_read(spark, sf_dir, tmp_path):
     assert df.select("event_id").distinct().count() == total
 
 
+def test_distributed_fetch(spark):
+    # a closure: cloudpickle ships it by value into Spark tasks (a test-
+    # module-level function would need the module importable on workers)
+    def fetcher(page: int) -> list[dict]:
+        if page >= 7:
+            return []
+        return [{"pid": page * 10 + i, "payload": f"p{page}r{i}"} for i in range(3)]
+
+    df = landing.distributed_fetch(
+        spark, fetcher, n_pages=10, schema="pid bigint, payload string"
+    )
+    rows = df.collect()
+    assert len(rows) == 21  # 7 non-empty pages × 3 rows
+    assert {r["pid"] for r in rows} == {p * 10 + i for p in range(7) for i in range(3)}
+
+
+def test_landing_concurrent_batches(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "conc")
+    fetch, total = _write_event_pages(spark, sf_dir, out, n_pages=12)
+    landed = landing.land_pages(fetch, out, max_workers=4, batch_size=4)
+    assert landed == total
+    # progress advanced past all non-empty pages → rerun is a no-op
+    assert landing.land_pages(fetch, out, max_workers=4, batch_size=4) == 0
+
+
 def test_landing_retry_then_success(tmp_path):
     calls = {"n": 0}
 
