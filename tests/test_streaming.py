@@ -143,6 +143,71 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert spark.read.parquet(sink).count() == total
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """L: late-data policy. An event arriving far behind the watermark must
+    be dropped from the aggregation instead of mutating a finalized window
+    (the reference had no late-data semantics at all — it refetched the
+    world every cycle)."""
+    import json as _json
+    import os
+
+    land = str(tmp_path / "late_land")
+    ckpt = str(tmp_path / "late_ckpt")
+    os.makedirs(land)
+
+    def write_page(n, rows):
+        with open(os.path.join(land, f"page_{n:06d}.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    sink = str(tmp_path / "late_sink")
+
+    def run():
+        stream = landing.stream_landing(spark, land, EVENT_SCHEMA)
+        agg = pipeline.windowed_counts(stream, watermark="1 hour")
+
+        def dump(batch, batch_id):
+            if batch.count() > 0:
+                batch.write.mode("append").parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(dump)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def ev(i, ts, typ="click", val=1.0):
+        return {"event_id": i, "ts": ts, "user_id": 1, "event_type": typ, "value": val}
+
+    # batch 1: events in hours 10 and 13 → watermark advances to 12:00,
+    # append emits every window closed below it (10:00)
+    write_page(0, [ev(1, "2024-03-01 10:05:00"), ev(2, "2024-03-01 10:20:00"), ev(3, "2024-03-01 13:00:00")])
+    run()
+    first = {
+        (r["window_start"].strftime("%H:%M"), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert first.get(("10:00", "click")) == 2
+
+    # batch 2: one LATE event for hour 10 (behind the 12:00 watermark → must
+    # be dropped) plus on-time events through 15:30, advancing the watermark
+    # to 14:30 so the 13:00 window finalizes
+    write_page(1, [ev(4, "2024-03-01 10:40:00"), ev(5, "2024-03-01 14:10:00"), ev(6, "2024-03-01 15:30:00")])
+    run()
+    cumulative = [
+        (r["window_start"].strftime("%H:%M"), r["event_type"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    # the 13:00 window closes with exactly its on-time event; the late
+    # hour-10 event produced NO second emission for 10:00 (it was dropped,
+    # not merged — the 10:00 count stays 2 and appears exactly once)
+    assert cumulative.count(("13:00", "click", 1)) == 1
+    assert [c for c in cumulative if c[0] == "10:00"] == [("10:00", "click", 2)]
+
+
 def test_foreachbatch_upsert_latest(spark, sf_dir, tmp_path):
     land_dir = str(tmp_path / "up_land")
     sink = str(tmp_path / "up_sink")
