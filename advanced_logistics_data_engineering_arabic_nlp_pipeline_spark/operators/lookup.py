@@ -92,9 +92,24 @@ def fuzzy_best_match(
     norm: str, variants: list[str], cutoff: float = FUZZY_SCORE_CUTOFF
 ) -> str | None:
     """extractOne semantics: best score ≥ cutoff; ties keep the earliest
-    candidate (strictly-greater replacement)."""
+    candidate (strictly-greater replacement).
+
+    Length blocking (lossless): score = 200·LCS/(la+lb) and LCS ≤ min(la,lb),
+    so score ≥ cutoff requires min/max ≥ cutoff/(200-cutoff). Candidates
+    outside that length window can never reach the cutoff and are skipped —
+    at 100 TB dictionary sizes this is the first-stage prune the reference's
+    survey flags as the tier-3 scaling risk (SURVEY.md §7 risk 1)."""
     best, best_score = None, None
+    # effective (token-sorted, single-spaced) lengths — the strings the
+    # ratio is actually computed on; raw lengths over-prune when the input
+    # carries extra whitespace
+    ln = len(" ".join(norm.split()))
+    ratio_bound = cutoff / (200.0 - cutoff)
     for v in variants:
+        lv = len(" ".join(v.split()))
+        mn, mx = (ln, lv) if ln <= lv else (lv, ln)
+        if mx > 0 and mn / mx < ratio_bound:
+            continue
         s = token_sort_ratio(norm, v)
         if s >= cutoff and (best_score is None or s > best_score):
             best, best_score = v, s

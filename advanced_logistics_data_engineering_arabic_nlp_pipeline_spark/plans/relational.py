@@ -292,7 +292,58 @@ ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
 
 
+# --------------------------------------------------------------------------
+# Anti / semi joins (SURVEY.md §2 I set-op gap): customers with no orders,
+# and suppliers that do appear in lineitem. Anti/semi express as one join
+# with no duplication — the shapes NOT EXISTS / IN compile to.
+# --------------------------------------------------------------------------
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders after 2000-01-01 (the bare
+    no-orders set is empty in the fixture; the date predicate makes the
+    anti-join path carry real rows)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
+def active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        supplier.join(li, supplier.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ACTIVE_SUPPLIERS_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
+    "customers_without_orders": customers_without_orders,
+    "active_suppliers": active_suppliers,
     "pricing_summary": pricing_summary,
     "revenue_rollup": revenue_rollup,
     "revenue_by_nation": revenue_by_nation,
@@ -304,6 +355,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "active_suppliers": ACTIVE_SUPPLIERS_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,

@@ -168,6 +168,34 @@ def test_categorize_trip_type(spark):
         assert got == EXPECTED_TYPES[t], f"{t!r}: {got}"
 
 
+def test_fuzzy_length_blocking_is_lossless():
+    """The length-window prune must never change fuzzy outcomes — verify
+    against an unblocked reference implementation over mixed strings."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.lookup import (
+        FUZZY_SCORE_CUTOFF,
+    )
+
+    idx = build_variant_index()
+    variants = list(idx)
+
+    def unblocked(norm):
+        best, best_score = None, None
+        for v in variants:
+            s = token_sort_ratio(norm, v)
+            if s >= FUZZY_SCORE_CUTOFF and (best_score is None or s > best_score):
+                best, best_score = v, s
+        return best
+
+    import random
+
+    rng = random.Random(7)
+    atoms = ["مطار", "مطارر", "القاهرة", "هرم", "وسط", "البلد", "هيلتون", "x", "ab", " "]
+    probes = ["".join(rng.choice(atoms) for _ in range(rng.randint(1, 4))) for _ in range(200)]
+    probes += ["مطارر", "مطارر القاهرة", "هيلتو", "فندق هيلتو", "زرع"]
+    for p in probes:
+        assert fuzzy_best_match(p, variants) == unblocked(p), p
+
+
 def test_tier2_longest_first_invariant(spark):
     """The generated alternation must try longer variants first so overlap
     resolves to the most specific name (cleaner_v6.py:98-103 invariant).
