@@ -149,14 +149,28 @@ def order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dialect-portable: CAST to DOUBLE because Spark SQL types the 100.0
+# literal as DECIMAL while DuckDB uses DOUBLE
 ORDER_PRIORITY_SHARE_SQL = """
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
+       ROUND(CAST(COUNT(*) AS DOUBLE) * 100 / SUM(COUNT(*)) OVER (), 2) AS pct
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# --------------------------------------------------------------------------
+# SQL-surface demo: the same dialect-portable SQL string runs through
+# spark.sql AND serves as the DuckDB oracle — the engine's spark.sql
+# entry point is a first-class query surface, not just the DataFrame API.
+# --------------------------------------------------------------------------
+def priority_share_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORDER_PRIORITY_SHARE_SQL)
 
 
 # --------------------------------------------------------------------------
@@ -349,6 +363,7 @@ QUERIES = {
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,
     "order_priority_share": order_priority_share,
+    "priority_share_sql": priority_share_sql,
     "customer_plates": customer_plates,
     "orders_us_dates": orders_us_dates,
     "lineitem_unpivot": lineitem_unpivot,
@@ -362,6 +377,7 @@ ORACLES = {
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
     "order_priority_share": ORDER_PRIORITY_SHARE_SQL,
+    "priority_share_sql": ORDER_PRIORITY_SHARE_SQL,
     "customer_plates": CUSTOMER_PLATES_SQL,
     "orders_us_dates": ORDERS_US_DATES_SQL,
     "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,

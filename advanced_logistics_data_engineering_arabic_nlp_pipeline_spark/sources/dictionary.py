@@ -42,6 +42,21 @@ LOCATIONS: dict[str, list[str]] = {
 }
 
 
+def load_locations_json(path: str) -> dict[str, list[str]]:
+    """A6 (cleaner_v6.py:50-73): load {canonical: [variants]} from JSON.
+    Missing or malformed files raise (the reference sys.exits; an engine
+    raises and lets the caller decide)."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    if not isinstance(data, dict) or not all(
+        isinstance(v, list) and all(isinstance(x, str) for x in v) for v in data.values()
+    ):
+        raise ValueError(f"malformed locations dictionary at {path}")
+    return data
+
+
 def build_variant_index(locations: dict[str, list[str]] | None = None) -> dict[str, str]:
     """First-wins reverse index {normalized_variant -> canonical}
     (cleaner_v6.py:149-154 semantics), in dictionary insertion order —
