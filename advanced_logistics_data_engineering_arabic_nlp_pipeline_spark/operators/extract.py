@@ -41,10 +41,30 @@ def extract_all_locations_expr(text: Column, index: dict[str, str] | None = None
     cascade → order-preserving distinct canonicals. Empty array for null/''.
 
     ``array_distinct`` keeps first-occurrence order, matching the
-    reference's ``if loc not in locations: locations.append(loc)``."""
+    reference's ``if loc not in locations: locations.append(loc)``.
+
+    Normalization is staged through per-token structs so each candidate
+    form (token / op-prefix-stripped token) is normalized exactly once —
+    HOF lambdas are interpreted without subexpression elimination, so the
+    naive per-tier formulation would re-normalize per tier."""
+    from ..functions.arabic import normalize_arabic, strip_op_prefix
+    from ..operators.lookup import tier12_expr
+
     raw = F.trim(text.cast("string"))
     tokens = tokenize_trip(scrub_round_trip(raw))
-    resolved = F.transform(tokens, lambda t: resolve_token_expr(t, index))
+    staged = F.transform(
+        tokens,
+        lambda t: F.struct(
+            normalize_arabic(t).alias("n"),
+            F.when(
+                strip_op_prefix(t) != "", normalize_arabic(strip_op_prefix(t))
+            ).alias("s"),
+        ),
+    )
+    resolved = F.transform(
+        staged,
+        lambda x: F.coalesce(tier12_expr(x["n"], index), tier12_expr(x["s"], index)),
+    )
     hits = F.array_distinct(F.filter(resolved, lambda x: x.isNotNull()))
     return F.when(text.isNull() | (raw == ""), F.array().cast("array<string>")).otherwise(hits)
 
@@ -63,16 +83,23 @@ def end_location_clean_expr(text: Column, locs: Column) -> Column:
     )
 
 
-def categorize_trip_type_expr(text: Column, locs: Column) -> Column:
+def categorize_trip_type_expr(
+    text: Column, locs: Column, norm: Column | None = None
+) -> Column:
     """F3 cascade (cleaner_v6.py:268-320) as one ``when`` chain, order and
     dead-code semantics preserved:
 
     Undefined → Invalid Data → airport regex (always wins, :284-288) →
     admin (locs or regex) → 'Airport' in locs → round-trip regex on RAW →
     Nile (locs or keywords) → Special Operations (locs, or ops-only regex) →
-    Multi-Destination (≥2 locs) → Standard Transfer."""
+    Multi-Destination (≥2 locs) → Standard Transfer.
+
+    Pass a precomputed ``norm`` column when calling in a pipeline: CASE
+    branches evaluate lazily, so an inline normalize would be recomputed
+    once per reached regex condition."""
     raw = F.trim(text.cast("string"))
-    norm = normalize_arabic(text)
+    if norm is None:
+        norm = normalize_arabic(text)
     return (
         F.when(text.isNull() | (raw == ""), F.lit("Undefined"))
         .when(F.array_contains(locs, "Invalid Data"), F.lit("Invalid Data"))

@@ -158,14 +158,27 @@ def _enrich(df: DataFrame, fuzzy: bool) -> DataFrame:
         df = with_all_locations_fuzzy(df, "end_location", "#", "locs")
     else:
         df = df.withColumn("locs", extract_all_locations_expr(F.col("end_location")))
+    # stage locs + normalized text through a 1:1 Generate barrier: both are
+    # referenced by many lazily-evaluated consumers (CASE branches get no
+    # subexpression elimination), so without the barrier the NLP chains
+    # re-run once per reached condition (measured ~2× total pipeline cost)
+    df = df.withColumn("__norm_full", arabic.normalize_arabic(F.col("end_location")))
+    other = [c for c in df.columns if c not in ("locs", "__norm_full")]
+    df = df.select(
+        *other,
+        F.explode(F.array(F.struct(F.col("locs"), F.col("__norm_full")))).alias("__b"),
+    ).select(*other, F.col("__b.locs").alias("locs"), F.col("__b.__norm_full").alias("__norm_full"))
 
     df = df.withColumn(
         "End_Location_Clean",
         end_location_clean_expr(F.col("end_location"), F.col("locs")),
     )
     df = df.withColumn(
-        "Trip_Type", categorize_trip_type_expr(F.col("end_location"), F.col("locs"))
-    )
+        "Trip_Type",
+        categorize_trip_type_expr(
+            F.col("end_location"), F.col("locs"), norm=F.col("__norm_full")
+        ),
+    ).drop("__norm_full")
     df = df.withColumn("end_location", F.col("End_Location_Clean"))
     df = df.withColumn("num_locations", F.size(F.col("locs")).cast("bigint"))
     for i in range(1, 6):

@@ -59,9 +59,11 @@ def main() -> None:
             continue
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
-        n = df.count()
+        # noop sink: forces FULL computation of every output column.
+        # A bare count() lets Spark prune projections (an NLP pipeline would
+        # "finish" without running the NLP), understating the real work.
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
