@@ -123,21 +123,25 @@ def with_all_locations_fuzzy(
     out_col: str = "all_locations_list",
     index: dict[str, str] | None = None,
 ) -> DataFrame:
-    """F2 with tier-3 fuzzy: posexplode tokens → 3-tier resolve (distinct
-    fuzzy, E4) → re-aggregate ordered, order-preserving distinct.
+    """F2 with tier-3 fuzzy: the full scan runs once per *distinct* text —
+    the reference's lru_cache insight (cleaner_v6.py:37, 180) lifted to the
+    text level — then the (text → locations) map joins back. Per distinct
+    text: posexplode tokens → 3-tier resolve (distinct-fuzzy E4 inside) →
+    ordered, order-preserving distinct re-aggregation.
 
-    ``id_col`` must be unique per row. The final groupBy shuffles on it;
-    sort_array(collect_list(struct(pos, loc))) makes re-assembly
-    deterministic under shuffle."""
-    raw = F.trim(F.col(text_col).cast("string"))
+    ``id_col`` is kept for API stability; resolution keys on the text
+    itself. At 100 TB the distinct-text side is the small side and AQE
+    broadcast-converts the join-back."""
+    texts = df.select(F.col(text_col).alias("__txt")).distinct()
+    raw = F.trim(F.col("__txt").cast("string"))
     tokens = F.when(
-        F.col(text_col).isNull() | (raw == ""), F.array().cast("array<string>")
+        F.col("__txt").isNull() | (raw == ""), F.array().cast("array<string>")
     ).otherwise(tokenize_trip(scrub_round_trip(raw)))
 
-    exploded = df.select(F.col(id_col), F.posexplode_outer(tokens).alias("__pos", "__tok"))
+    exploded = texts.select(F.col("__txt"), F.posexplode_outer(tokens).alias("__pos", "__tok"))
     resolved = resolve_tokens_fuzzy(exploded, "__tok", "__canon", index)
     rebuilt = (
-        resolved.groupBy(id_col)
+        resolved.groupBy("__txt")
         .agg(
             F.array_distinct(
                 F.filter(
@@ -157,6 +161,9 @@ def with_all_locations_fuzzy(
             ).alias(out_col)
         )
     )
-    return df.join(rebuilt, on=id_col, how="left").withColumn(
+    joined = df.join(
+        rebuilt, df[text_col].eqNullSafe(F.col("__txt")), how="left"
+    ).drop("__txt")
+    return joined.withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
     )
