@@ -76,3 +76,76 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.select("doc_id", "payload", "n_bytes").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, n_bytes bigint"
+
+
+def resize_media(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched resize over the binary payload.
+
+    A real implementation decodes and rescales pixels; the deterministic
+    fake scales the byte budget by the area ratio and truncates the payload
+    (floor, min 1 byte), which keeps the full mapInPandas path — schema,
+    batch shape, payload handling — oracle-checkable. Metadata-only
+    predicates should be applied *before* this operator so payloads for
+    filtered-out rows are never shipped to Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_len = [
+                max(1, min(int(n), int(n) * target_w * target_h // (int(w) * int(h))))
+                for n, w, h in zip(pdf["n_bytes"], pdf["width"], pdf["height"])
+            ]
+            # the truncation is the "work"; only metadata leaves the stage
+            _ = [p[:k] for p, k in zip(pdf["payload"], out_len)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [target_w] * len(pdf),
+                    "height": [target_h] * len(pdf),
+                    "n_bytes": out_len,
+                }
+            )
+
+    return media.select("doc_id", "payload", "width", "height", "n_bytes").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_mean double"
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = 16, stride: int = 4
+) -> DataFrame:
+    """Video-style frame sampling: treat the payload as fixed-size frames
+    and emit every ``stride``-th one (1:N explode through mapInPandas).
+    The fake per-frame feature is the mean byte of the frame slice; a real
+    sampler would decode keyframes. Output fans out ~n_frames/stride rows
+    per input row, so at scale repartition *after* this operator, not
+    before (input partitions are payload-heavy, output rows are tiny)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            means: list[float] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(0, len(payload), frame_size * stride):
+                    frame = payload[i : i + frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i // frame_size)
+                    sizes.append(len(frame))
+                    means.append(round(sum(frame) / len(frame), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_mean": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from ..functions.coercion import dsum
 from ..operators import dedup, similarity, textanalysis as ta
-from ..operators.multimodal import attach_fake_media, extract_features
+from ..operators.multimodal import (
+    attach_fake_media,
+    extract_features,
+    resize_media,
+    sample_frames,
+)
 from ..sources.tables import load_table
 
 # ── M1 dedup ────────────────────────────────────────────────────────────────
@@ -299,6 +304,78 @@ ORDER BY doc_id
 """
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 resize plumbing: metadata predicate *before* the payload ships to
+    Python (payload pruned for filtered rows), then Arrow-batched resize to
+    64×64. The byte-budget fake is deterministic → fully oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "text", "doc_id").filter(F.col("width") >= 32)
+    return resize_media(media, 64, 64).orderBy("doc_id")
+
+
+MULTIMODAL_RESIZE_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) % 640 + 16 AS INT) AS width,
+         CAST(length(text) % 480 + 16 AS INT) AS height,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+)
+SELECT doc_id,
+       CAST(64 AS INT) AS width,
+       CAST(64 AS INT) AS height,
+       GREATEST(1, LEAST(n_bytes, (n_bytes * 4096) // (width * height))) AS n_bytes
+FROM m
+WHERE width >= 32
+ORDER BY doc_id
+"""
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 frame sampling: payload → every 4th 16-byte frame, 1:N explode
+    through mapInPandas, then a per-document aggregate (count + mean of
+    frame means) so the fan-out is reduced before any shuffle. Oracle
+    assumes ASCII text (bytes == codepoints), true for the fixture corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs, "text", "doc_id")
+    frames = sample_frames(media, frame_size=16, stride=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            F.round(F.avg("frame_mean"), 4).alias("avg_frame_mean"),
+            F.max("frame_idx").alias("last_frame_idx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+WITH m AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, n, unnest(range(0, n, 64)) AS off
+  FROM m
+),
+fr AS (
+  SELECT doc_id,
+         CAST(off // 16 AS INT) AS frame_idx,
+         ROUND(list_sum(list_transform(range(1, CAST(LEAST(16, n - off) AS INT) + 1),
+                                       j -> ord(substring(text, CAST(off + j AS INT), 1)))) * 1.0
+               / LEAST(16, n - off), 6) AS frame_mean
+  FROM f
+)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       ROUND(AVG(frame_mean), 4) AS avg_frame_mean,
+       MAX(frame_idx) AS last_frame_idx
+FROM fr GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M4 JSON prop extraction (get_json_object) + aggregation."""
     ev = load_table(spark, sf_dir, "events")
@@ -562,6 +639,8 @@ QUERIES = {
     "top_terms": top_terms,
     "top_bigrams": top_bigrams,
     "multimodal_features": multimodal_features,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
     "events_json_props": events_json_props,
     "distinct_parts_exact": distinct_parts_exact,
     "approx_distinct_parts": approx_distinct_parts,
@@ -583,6 +662,8 @@ ORACLES = {
     "top_terms": TOP_TERMS_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frames": MULTIMODAL_FRAMES_SQL,
     "events_json_props": EVENTS_JSON_PROPS_SQL,
     "distinct_parts_exact": DISTINCT_PARTS_EXACT_SQL,
     "price_quantiles_exact": PRICE_QUANTILES_EXACT_SQL,

@@ -84,6 +84,37 @@ def test_similarity_ivf_recall(spark, sf_dir):
             assert abs(r["score"] - bs[key]) < 1e-9
 
 
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.multimodal import (
+        attach_fake_media,
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 70), (2, "b"), (3, "c" * 33)], ["doc_id", "text"]
+    )
+    media = attach_fake_media(docs, "text", "doc_id")
+    resized = {
+        r["doc_id"]: r.asDict() for r in resize_media(media, 8, 8).collect()
+    }
+    # budget scales by area ratio, floored, never 0, never grows
+    assert all(1 <= r["n_bytes"] for r in resized.values())
+    assert all(r["width"] == 8 and r["height"] == 8 for r in resized.values())
+    assert resized[2]["n_bytes"] == 1  # 1-byte payload stays 1
+
+    frames = sample_frames(media, frame_size=16, stride=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 70 bytes → frames at byte offsets 0 and 64 (stride 4 × 16B)
+    assert sorted(f["frame_idx"] for f in by_doc[1]) == [0, 4]
+    assert {f["frame_bytes"] for f in by_doc[1]} == {16, 6}  # tail frame partial
+    # 'a' == 97 everywhere → every sampled frame mean is exactly 97
+    assert all(f["frame_mean"] == 97.0 for f in by_doc[1])
+    assert by_doc[2][0]["frame_bytes"] == 1
+
+
 def test_multimodal_decode_stub_raises():
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.multimodal import (
         decode_stub,
