@@ -116,6 +116,60 @@ def categorize_trip_type_expr(
     )
 
 
+def with_nlp_enrichment(
+    df: DataFrame,
+    text_col: str,
+    fuzzy: bool = False,
+    index: dict[str, str] | None = None,
+    locs_col: str = "locs",
+    clean_col: str = "End_Location_Clean",
+    type_col: str = "Trip_Type",
+) -> DataFrame:
+    """F4's full NLP block (locs + clean location + trip type, Main.py:406-425)
+    resolved once per *distinct* text, then joined back — the reference's
+    lru_cache insight (cleaner_v6.py:37, 180) applied to the whole enrichment,
+    not just the dictionary lookup. Every output is a pure function of the
+    text, so per-distinct resolution is semantics-preserving.
+
+    Scale: trip texts are short human-entered strings with heavy repetition,
+    so the distinct side is orders of magnitude smaller than the fact side
+    and AQE broadcast-converts the join-back; the regex-heavy NLP chain runs
+    |distinct| times instead of |rows| times. If a workload ever has
+    near-unique texts, inline ``extract_all_locations_expr`` instead (the
+    expression path needs no shuffle at all)."""
+    texts = df.select(F.col(text_col).alias("__txt")).distinct()
+    if fuzzy:
+        texts = with_all_locations_fuzzy(texts, "__txt", "__txt", locs_col, index)
+    else:
+        texts = texts.withColumn(
+            locs_col, extract_all_locations_expr(F.col("__txt"), index)
+        )
+    # 1:1 Generate barrier: locs/norm feed many lazily-evaluated CASE
+    # branches (no subexpression elimination), so block CollapseProject from
+    # inlining the resolution chain into each branch
+    texts = texts.withColumn("__norm", normalize_arabic(F.col("__txt")))
+    texts = texts.select(
+        "__txt",
+        F.explode(F.array(F.struct(F.col(locs_col), F.col("__norm")))).alias("__b"),
+    ).select(
+        "__txt",
+        F.col(f"__b.{locs_col}").alias(locs_col),
+        F.col("__b.__norm").alias("__norm"),
+    )
+    texts = texts.withColumn(
+        clean_col, end_location_clean_expr(F.col("__txt"), F.col(locs_col))
+    )
+    texts = texts.withColumn(
+        type_col,
+        categorize_trip_type_expr(
+            F.col("__txt"), F.col(locs_col), norm=F.col("__norm")
+        ),
+    ).drop("__norm")
+    return df.join(
+        texts, df[text_col].eqNullSafe(texts["__txt"]), how="left"
+    ).drop("__txt")
+
+
 def with_all_locations_fuzzy(
     df: DataFrame,
     text_col: str,
@@ -132,16 +186,16 @@ def with_all_locations_fuzzy(
     ``id_col`` is kept for API stability; resolution keys on the text
     itself. At 100 TB the distinct-text side is the small side and AQE
     broadcast-converts the join-back."""
-    texts = df.select(F.col(text_col).alias("__txt")).distinct()
-    raw = F.trim(F.col("__txt").cast("string"))
+    texts = df.select(F.col(text_col).alias("__ftxt")).distinct()
+    raw = F.trim(F.col("__ftxt").cast("string"))
     tokens = F.when(
-        F.col("__txt").isNull() | (raw == ""), F.array().cast("array<string>")
+        F.col("__ftxt").isNull() | (raw == ""), F.array().cast("array<string>")
     ).otherwise(tokenize_trip(scrub_round_trip(raw)))
 
-    exploded = texts.select(F.col("__txt"), F.posexplode_outer(tokens).alias("__pos", "__tok"))
+    exploded = texts.select(F.col("__ftxt"), F.posexplode_outer(tokens).alias("__pos", "__tok"))
     resolved = resolve_tokens_fuzzy(exploded, "__tok", "__canon", index)
     rebuilt = (
-        resolved.groupBy("__txt")
+        resolved.groupBy("__ftxt")
         .agg(
             F.array_distinct(
                 F.filter(
@@ -162,8 +216,8 @@ def with_all_locations_fuzzy(
         )
     )
     joined = df.join(
-        rebuilt, df[text_col].eqNullSafe(F.col("__txt")), how="left"
-    ).drop("__txt")
+        rebuilt, df[text_col].eqNullSafe(rebuilt["__ftxt"]), how="left"
+    ).drop("__ftxt")
     return joined.withColumn(
         out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
     )

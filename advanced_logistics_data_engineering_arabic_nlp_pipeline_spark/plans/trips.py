@@ -36,12 +36,7 @@ from ..functions.scalars import (
     route_string,
     us_date_string,
 )
-from ..operators.extract import (
-    categorize_trip_type_expr,
-    end_location_clean_expr,
-    extract_all_locations_expr,
-    with_all_locations_fuzzy,
-)
+from ..operators.extract import with_nlp_enrichment
 from ..sources.dictionary import sql_tier1_case, sql_tier2_case
 from ..sources.tables import load_table
 
@@ -154,31 +149,10 @@ def _enrich(df: DataFrame, fuzzy: bool) -> DataFrame:
     df = df.withColumn("date", us_date_string(F.col("ts")))
 
     df = df.withColumn("end_location_original", F.col("end_location"))
-    if fuzzy:
-        df = with_all_locations_fuzzy(df, "end_location", "#", "locs")
-    else:
-        df = df.withColumn("locs", extract_all_locations_expr(F.col("end_location")))
-    # stage locs + normalized text through a 1:1 Generate barrier: both are
-    # referenced by many lazily-evaluated consumers (CASE branches get no
-    # subexpression elimination), so without the barrier the NLP chains
-    # re-run once per reached condition (measured ~2× total pipeline cost)
-    df = df.withColumn("__norm_full", arabic.normalize_arabic(F.col("end_location")))
-    other = [c for c in df.columns if c not in ("locs", "__norm_full")]
-    df = df.select(
-        *other,
-        F.explode(F.array(F.struct(F.col("locs"), F.col("__norm_full")))).alias("__b"),
-    ).select(*other, F.col("__b.locs").alias("locs"), F.col("__b.__norm_full").alias("__norm_full"))
-
-    df = df.withColumn(
-        "End_Location_Clean",
-        end_location_clean_expr(F.col("end_location"), F.col("locs")),
-    )
-    df = df.withColumn(
-        "Trip_Type",
-        categorize_trip_type_expr(
-            F.col("end_location"), F.col("locs"), norm=F.col("__norm_full")
-        ),
-    ).drop("__norm_full")
+    # the whole NLP block is a pure function of the text → resolve once per
+    # distinct text and broadcast-join back (reference's lru_cache insight;
+    # the chain runs |distinct| times instead of |rows| times)
+    df = with_nlp_enrichment(df, "end_location", fuzzy=fuzzy)
     df = df.withColumn("end_location", F.col("End_Location_Clean"))
     df = df.withColumn("num_locations", F.size(F.col("locs")).cast("bigint"))
     for i in range(1, 6):
@@ -214,13 +188,9 @@ def location_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 25-column stage (measured: persist was ~2× slower at sf0.1)
     m = _master_stage(spark, sf_dir).filter(F.col("num_locations") >= 2)
     total = m.select(F.count("*").alias("__tm"))
-    # materialize locs through a 1:1 Generate (explode of a single-element
-    # array): without this boundary CollapseProject inlines the whole NLP
-    # resolution chain into the pair-lambda, re-evaluating it per element
-    # (measured ~4× slower)
-    m = m.select(
-        "#", "sale_price", F.explode(F.array(F.struct(F.col("locs")))).alias("__l")
-    ).select("#", "sale_price", F.col("__l.locs").alias("locs"))
+    # locs is a join-output attribute after with_nlp_enrichment, so the
+    # pair-lambda references a materialized column, not the NLP chain
+    m = m.select("#", "sale_price", "locs")
     valid = F.array_sort(F.filter(F.slice(F.col("locs"), 1, 5), _VALID_LOC))
     pairs = F.flatten(
         F.transform(

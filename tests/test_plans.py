@@ -30,11 +30,14 @@ def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
     assert p.count("BroadcastHashJoin") >= 2, "nation/region dims must broadcast"
 
 
-def test_trips_master_is_shuffle_free(spark, sf_dir):
-    # the whole NLP enrichment is narrow: scan → project. Any Exchange here
-    # means an accidental wide transformation crept into the hot path.
+def test_trips_master_fact_side_stays_narrow(spark, sf_dir):
+    # NLP resolution runs once per distinct text; the fact side must join
+    # that map back via broadcast — never a fact-side repartition (a
+    # SortMergeJoin here would shuffle every row at 100 TB). The only
+    # hash exchange allowed is the tiny distinct-text aggregation.
     p = _plan(spark, sf_dir, "trips_master")
-    assert "Exchange" not in p, "trips_master must not shuffle"
+    assert "BroadcastHashJoin" in p, "NLP map must broadcast-join back"
+    assert "SortMergeJoin" not in p, "fact side must not shuffle for the NLP join"
 
 
 def test_top_customers_avoids_global_sort(spark, sf_dir):
