@@ -215,46 +215,32 @@ def minhash_lsh_pairs(
 def simhash_values(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sim: bigint) 64-bit SimHash per row.
 
-    Same aggregate-not-HOF design as :func:`minhash_signatures`: explode
-    tokens, compute each token's ±1 contribution per bit from its xxhash64
-    bits (one cheap transform per token), then 64 codegen'd ``sum()``
-    aggregates per id; the final bit-packing folds a materialized 64-int
-    array once (shiftleft|or — acc*2+bit would overflow signed long at bit
-    63 and ANSI mode raises on arithmetic overflow)."""
+    Formulated entirely as flat aggregates — no per-token arrays, no HOF
+    lambdas (interpreted, no subexpression elimination): each token is
+    hashed ONCE into an attribute, then 64 codegen'd ``sum(bit_b)``
+    aggregates per id. The classic ±1 contribution sum is recovered as
+    ``2·sum(bit_b) − n_tokens``, so bit b of the result is simply
+    ``2·sum_b > n``. The only shuffle is the per-id combine of 64 small
+    ints (map-side partials), identical at 100 TB."""
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("t")
-    )
-    contrib = tok.select(
-        "id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda b: F.when(
-                F.call_function("shiftright", F.xxhash64(F.col("t")), b)
-                .bitwiseAND(F.lit(1))
-                == 1,
-                1,
-            ).otherwise(-1),
-        ).alias("c"),
-    )
-    sums = contrib.groupBy("id").agg(
-        *[F.sum(F.col("c")[i]).alias(f"b{i}") for i in range(64)]
-    )
-    bits = F.array(
+    ).select("id", F.xxhash64("t").alias("h"))
+    sums = tok.groupBy("id").agg(
+        F.count("*").alias("n"),
         *[
-            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
-                F.lit(0).cast("bigint")
-            )
+            F.sum(
+                F.call_function("shiftright", F.col("h"), F.lit(i)).bitwiseAND(F.lit(1))
+            ).alias(f"b{i}")
             for i in range(64)
-        ]
+        ],
     )
-    return sums.select(
-        "id",
-        F.aggregate(
-            bits,
-            F.lit(0).cast("bigint"),
-            lambda acc, bit: F.call_function("shiftleft", acc, F.lit(1)).bitwiseOR(bit),
-        ).alias("sim"),
-    )
+    packed = F.lit(0).cast("bigint")
+    for i in range(63, -1, -1):
+        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = F.call_function("shiftleft", packed, F.lit(1)).bitwiseOR(bit)
+    return sums.select("id", packed.alias("sim"))
 
 
 def simhash_pairs(
