@@ -125,6 +125,31 @@ def jaccard_pairs(
     )
 
 
+def shingle_df_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Stop-shingle accounting for :func:`jaccard_pairs`: one row with the
+    distinct-shingle count, how many exceed the df cap (i.e. get dropped),
+    and the hottest shingle's document frequency. Run this alongside the
+    capped dedup so the drop is *counted*, never silent — a capped pipeline
+    that reports nothing reads as 'covered everything' when it didn't."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("sh"),
+    )
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_cnt"))
+    cap = F.lit(max_shingle_df) if max_shingle_df is not None else F.lit(None).cast("int")
+    return dfreq.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.when(F.col("df_cnt") > cap, 1).otherwise(0)).alias("n_dropped"),
+        F.max("df_cnt").alias("max_df"),
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
     """(id, sig: array<bigint>[64], sh: array<string>) MinHash signatures.
 

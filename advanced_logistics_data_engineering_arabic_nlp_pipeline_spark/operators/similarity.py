@@ -6,22 +6,40 @@
 - ``topk_bruteforce``: exact top-k per query via a query×candidate join and
   a row_number window. The baseline; O(Q×N) — fine when Q is small or N is
   pre-filtered.
-- ``topk_lsh``: random-hyperplane LSH scale path: sign-bit bucket over D
-  deterministic hyperplanes, candidates share a bucket (multi-probe via
-  bands), exact re-rank inside the bucket only. Recall < 1 by design; the
-  bucket join replaces the O(Q×N) product with per-bucket fan-out.
+- ``topk_lsh``: banded multi-table LSH scale path — 16 tables × 4 sign
+  bits over seeded hyperplanes; a pair is a candidate on ANY table
+  collision, queries multi-probe each band's 1-bit flips, and exact cosine
+  re-ranks candidates only. Recall < 1 by design; the bucket join replaces
+  the O(Q×N) product with per-bucket fan-out.
+- ``embedding_near_dup_lsh``: the M1 near-dup *scale path* — the same
+  banded signatures generate candidate pairs through a bucket self-join,
+  and exact cosine verifies candidates only. The O(N²) cross join never
+  materializes; the small-scale exact twin
+  (plans.llmdata.dedup_embedding_cosine) is the oracle for its recall test.
 
-Hyperplanes are seeded (numpy, seed 7) → deterministic across runs.
+Hyperplanes are seeded (numpy, seed 11) → deterministic across runs.
+The banded signature is a vectorized Arrow pandas_udf (one numpy matmul per
+batch) — 64 hyperplane dot products per vector is exactly the workload
+where Arrow batching beats interpreted HOF lambdas by orders of magnitude.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
 
-N_PLANES = 8
-_planes = np.random.RandomState(7).normal(size=(N_PLANES, 64))
+# Banded near-dup signature: 16 bands × 4 planes. Two vectors at cosine c
+# agree on one plane w.p. 1 − arccos(c)/π; at the 0.4 near-dup threshold the
+# expected candidate recall is 1 − (1 − p⁴)¹⁶ ≈ 0.94, rising fast with c.
+N_DUP_BANDS = 16
+DUP_ROWS_PER_BAND = 4
+_dup_planes = np.random.RandomState(11).normal(
+    size=(N_DUP_BANDS * DUP_ROWS_PER_BAND, 64)
+)
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -73,30 +91,6 @@ def topk_bruteforce(
     )
 
 
-def _bucket_expr(vec: Column) -> Column:
-    """Sign-bit bucket over the seeded hyperplanes → one long per vector."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in _planes[p]]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for p in range(N_PLANES)
-    ]
-    out = F.lit(0).cast("bigint")
-    for b in bits:
-        out = out * 2 + b
-    return out
-
-
 def assign_centroids(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -138,16 +132,14 @@ def topk_ivf(
     the 8-byte cell id with per-cell fan-out ≈ N/n_centroids × n_probe —
     the O(Q×N) product never materializes. A real deployment would learn
     centroids with k-means; cell-local search is identical."""
+    # Seed centroids from the n_centroids smallest-id candidates, using the
+    # vector's own id as the centroid id — no global window (a
+    # Window.orderBy() with no partition funnels the frame through one
+    # partition and warns; the id is already unique and deterministic).
     cents = (
         candidates.orderBy(id_col)
         .limit(n_centroids)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(id_col))
-            .cast("int")
-            .alias("centroid_id"),
-            F.col(vec_col),
-        )
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
     )
     cand_cells = assign_centroids(
         candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
@@ -186,24 +178,48 @@ def topk_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    hamming_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket,
-    exact cosine re-rank inside it. At 100 TB the bucket join shuffles on an
-    8-byte bucket key; per-bucket size is tunable via N_PLANES."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        _bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
+    """Approximate top-k via banded multi-table LSH: both sides hash into 16
+    tables of 4 sign bits (the same seeded signature as the near-dup path),
+    a pair is a candidate if it collides in ANY table, and exact cosine
+    re-ranks candidates only.
+
+    One b-bit table has recall p(cos)^b — hopeless for weakly-similar
+    neighbors (measured 0.08 on the fixture at 8 bits). Sixteen 4-bit
+    tables give 1−(1−p⁴)¹⁶; ``hamming_probe=1`` additionally probes each
+    query band's four 1-bit flips (a vector near a hyperplane falls on
+    either side), lifting per-band hit probability to P(≥3 of 4 bits agree).
+    Only the (small) query side pays the ×5 probe explode; the candidate
+    side is the standard ×16 multi-table explode, and the join still
+    shuffles on an 8-byte bucket key."""
+    buckets = pandas_udf(_dup_band_buckets, ArrayType(LongType()))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
-        _bucket_expr(F.col(vec_col)).alias("bucket"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
-    scored = (
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(buckets(F.col(vec_col))).alias("__b"),
+    )
+    probes = [F.col("__b")]
+    if hamming_probe >= 1:
+        # band value occupies the low DUP_ROWS_PER_BAND bits; the band index
+        # lives above bit 32, so 1-bit flips stay inside the same table
+        probes += [
+            F.col("__b").bitwiseXOR(F.lit(1 << j))
+            for j in range(DUP_ROWS_PER_BAND)
+        ]
+    q = q0.select("query_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
+    cand = (
         q.join(c, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "score", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
     return (
@@ -211,4 +227,61 @@ def topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def _dup_band_buckets(emb: pd.Series) -> pd.Series:
+    """Banded sign-bit signature: one (batch × 64) matmul against the seeded
+    hyperplanes, then 4 sign bits packed per band with the band index mixed
+    into the key so buckets never collide across bands."""
+    m = np.vstack(emb.to_numpy()).astype(np.float64)
+    signs = (m @ _dup_planes.T) > 0
+    out = np.empty((m.shape[0], N_DUP_BANDS), dtype=np.int64)
+    for band in range(N_DUP_BANDS):
+        chunk = signs[:, band * DUP_ROWS_PER_BAND : (band + 1) * DUP_ROWS_PER_BAND]
+        val = np.zeros(m.shape[0], dtype=np.int64)
+        for j in range(DUP_ROWS_PER_BAND):
+            val = (val << 1) | chunk[:, j]
+        out[:, band] = (np.int64(band) << 32) | val
+    return pd.Series(list(out))
+
+
+def embedding_near_dup_lsh(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ ``threshold`` — the M1
+    scale path. Candidates come from a banded-LSH bucket self-join (same
+    shape as dedup.minhash_lsh_pairs); exact cosine runs on candidates only,
+    so no O(N²) stage exists: the narrow (id, bucket) explode is ×16, the
+    self-join shuffles on an 8-byte bucket key, and per-bucket fan-out is
+    bounded by bucket occupancy. Exact twin for the recall pytest:
+    plans.llmdata.dedup_embedding_cosine (the cross join stays a small-scale
+    oracle only)."""
+    buckets = pandas_udf(_dup_band_buckets, ArrayType(LongType()))
+    sig = vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(buckets(F.col(vec_col))).alias("bucket"),
+    )
+    cand = (
+        sig.alias("x")
+        .join(
+            sig.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    va = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
     )

@@ -37,12 +37,22 @@ ORDER BY keep_id
 """
 
 
+# Stop-shingle document-frequency cap for the registered Jaccard query: a
+# shingle appearing in d documents contributes d² rows to the candidate
+# equi-join, so one hot boilerplate shingle at 100 TB is quadratic fan-out.
+# Shingles above the cap are dropped from BOTH signature and denominator —
+# mirrored in the oracle's df CTE so the check runs with the cap active.
+JACCARD_MAX_SHINGLE_DF = 1000
+
+
 def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, "text", "doc_id", threshold=0.6)
+    return dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
 
 
-DEDUP_JACCARD_SQL = """
+DEDUP_JACCARD_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
@@ -58,7 +68,12 @@ shd AS (
          ) AS shs
   FROM tok
 ),
-ex AS (SELECT doc_id AS id, unnest(shs) AS sh FROM shd),
+ex_all AS (SELECT doc_id AS id, unnest(shs) AS sh FROM shd),
+rare AS (
+  SELECT sh FROM ex_all GROUP BY sh
+  HAVING COUNT(*) <= {JACCARD_MAX_SHINGLE_DF}
+),
+ex AS (SELECT e.id, e.sh FROM ex_all e JOIN rare USING (sh)),
 sizes AS (SELECT id, COUNT(*) AS n_sh FROM ex GROUP BY id),
 inter AS (
   SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_common
@@ -412,10 +427,10 @@ ORDER BY event_type
 # ── M1 embedding-cosine near-dup ────────────────────────────────────────────
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by embedding cosine ≥ 0.4 (exact; the banded
-    LSH in operators.similarity is the recall/scale trade-off path).
-    The pair space is bounded by vec_id ordering; at production scale the
-    candidate set comes from LSH buckets, not the full cross join."""
+    """Near-duplicate pairs by embedding cosine ≥ 0.4 — the EXACT small-
+    scale twin. This is the oracle/recall reference for
+    :func:`dedup_embedding_lsh`; its cross join is intentional at sf≤0.1 and
+    must never be the production path (that's the LSH query below)."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -444,6 +459,16 @@ p AS (
 SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
 ORDER BY id_a, id_b
 """
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 embedding near-dup SCALE path: banded-LSH bucket candidates +
+    exact-cosine verify on candidates only (operators.similarity.
+    embedding_near_dup_lsh). Rows-only for the driver; pytest asserts
+    recall ≥ 0.8 against dedup_embedding_cosine and zero false positives
+    (the verify step recomputes exact cosine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4)
 
 
 # ── pipeline utilities: sampling, validation, distribution, joins ───────────
@@ -647,6 +672,7 @@ QUERIES = {
     "price_quantiles_exact": price_quantiles_exact,
     "price_quantiles_approx": price_quantiles_approx,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "stratified_sample": stratified_sample,
     "doc_validation": doc_validation,
     "doc_length_histogram": doc_length_histogram,
