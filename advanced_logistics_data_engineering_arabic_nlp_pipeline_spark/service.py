@@ -74,25 +74,30 @@ class CleaningService:
 
     def clean_batch(self, texts: list[str | None]) -> dict:
         """One DataFrame pass for the whole batch — the vectorization the
-        reference's /clean/batch claims but doesn't do (api.py:301-304)."""
+        reference's /clean/batch claims but doesn't do (api.py:301-304).
+        Per-item ``processing_ms`` mirrors the reference's response shape
+        (api.py:301-311); because the batch is one vectorized pass, the
+        per-item figure is the amortized share of the pass, not a per-row
+        wall clock (which doesn't exist in a set-oriented engine)."""
         t0 = time.perf_counter()
         df = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "idx int, text string"
         )
         out = clean_texts_df(df, "text", self.fuzzy_enabled, self.index).orderBy("idx")
+        collected = out.collect()
+        total_ms = round((time.perf_counter() - t0) * 1000, 3)
+        per_item_ms = round(total_ms / max(len(collected), 1), 3)
         results = [
             {
                 "original": r["text"],
                 "main_location": r["main_location"],
                 "all_locations": list(r["all_locations"]),
                 "trip_type": r["trip_type"],
+                "processing_ms": per_item_ms,
             }
-            for r in out.collect()
+            for r in collected
         ]
-        return {
-            "results": results,
-            "total_ms": round((time.perf_counter() - t0) * 1000, 3),
-        }
+        return {"results": results, "total_ms": total_ms}
 
     def run_cycle(self, fetch_page: landing.PageFetcher, landing_dir: str) -> dict:
         """One fetch→land→enrich cycle (K4, fixed): land new pages, read the

@@ -21,6 +21,10 @@ def test_clean_batch_one_pass(spark):
         ["الهرم + المطار و وسط البلد", "", None, "فاتورة ادارة", "12345"]
     )
     r = out["results"]
+    # per-item timing parity with the reference's batch response shape
+    # (amortized share of the single vectorized pass)
+    assert all(item["processing_ms"] > 0 for item in r)
+    assert abs(sum(item["processing_ms"] for item in r) - out["total_ms"]) < len(r)
     assert r[0]["all_locations"] == ["Pyramids of Giza", "Cairo Airport", "Downtown Cairo"]
     assert r[0]["trip_type"] == "Airport Transfer"
     assert r[1]["main_location"] == "Undefined"

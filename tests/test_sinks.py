@@ -29,10 +29,30 @@ def test_analytics_outputs_roundtrip(spark, sf_dir, tmp_path):
         pq_dir = str(tmp_path / f"{name}_pq")
         write_report_csv(df, csv_dir)
         write_parquet(df, pq_dir)
-        assert len(glob.glob(csv_dir + "/part-*.csv")) == 1  # single report file
+        parts = glob.glob(csv_dir + "/part-*.csv")
+        assert len(parts) == 1  # single report file
+        # utf-8-sig parity with the reference's Power BI outputs: the single
+        # report part leads with the UTF-8 BOM so Excel detects the encoding
+        with open(parts[0], "rb") as f:
+            assert f.read(3) == b"\xef\xbb\xbf"
         back = spark.read.parquet(pq_dir)
         assert back.count() == df.count()
         assert back.columns == df.columns
+
+
+def test_report_csv_bom_optional_and_readable(spark, sf_dir, tmp_path):
+    df = location_stats(spark, sf_dir)
+    no_bom = str(tmp_path / "nobom_csv")
+    write_report_csv(df, no_bom, bom=False)
+    part = glob.glob(no_bom + "/part-*.csv")[0]
+    with open(part, "rb") as f:
+        assert f.read(3) != b"\xef\xbb\xbf"
+    # the BOM'd file still round-trips through Spark's CSV reader
+    with_bom = str(tmp_path / "bom_csv")
+    write_report_csv(df, with_bom)
+    back = spark.read.option("header", "true").csv(with_bom)
+    assert back.count() == df.count()
+    assert back.columns == df.columns
 
 
 def test_partitioned_parquet(spark, sf_dir, tmp_path):
