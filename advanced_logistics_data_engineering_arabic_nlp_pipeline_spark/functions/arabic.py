@@ -21,10 +21,13 @@ Portability notes (this is why all three mirrors share rewritten patterns):
   letters/digits, diacritics excluded) — identical semantics in all three
   engines on Arabic/ASCII text.
 - RE2 (DuckDB) has no backreferences, so the reference's repeat-squeeze
-  ``(.)\\1{2,}`` is mirrored in SQL as an enumerated per-character chain over
-  ``SQUEEZE_CHARS`` (Arabic letters + a-z + 0-9). Characters outside that set
-  (punctuation runs) are squeezed by Spark but not by the oracle mirror —
-  fixture corpora avoid tripled punctuation.
+  ``(.)\\1{2,}`` is mirrored in SQL as a ``list_reduce`` character fold
+  (append a char unless the accumulator already ends with it twice) —
+  character-exact with the Spark/Python mirrors for EVERY character class,
+  with no enumerated charset and no oracle blind spot. (An enumerated
+  per-character regexp_replace chain was the previous mirror; it both left
+  unlisted characters unsqueezed and overflowed DuckDB's 128-deep
+  expression binder once punctuation was added.)
 """
 
 from __future__ import annotations
@@ -101,13 +104,6 @@ OP_ONLY_PATTERN = (
     "^(?:تشغيل[هة]?|يومي[هة]|يوم\\s*كامل|نص\\s*يوم|"
     f"ايجار|سيدان|فان|باص|تفويل|غسيل|صيانة|{_D}+\\s*ساع)"
     f"[\\s{_D}+،,]*$"
-)
-
-# Characters the SQL squeeze mirror enumerates (see module docstring).
-SQUEEZE_CHARS = (
-    [chr(c) for c in range(0x0621, 0x064B)]
-    + [chr(c) for c in range(ord("a"), ord("z") + 1)]
-    + [chr(c) for c in range(ord("0"), ord("9") + 1)]
 )
 
 _WORD_FINAL_HA_SPARK = f"ه(?=[^{WORDCH}]|$)"   # lookahead ok in Java/Python
@@ -224,10 +220,24 @@ def sql_normalize(e: str) -> str:
         f"COALESCE(array_to_string(list_filter(regexp_split_to_array({x}, '\\s+'), "
         f"w -> w <> '' AND w NOT IN ({stops})), ' '), '')"
     )
-    for ch in SQUEEZE_CHARS:
-        x = f"regexp_replace({x}, '{_sq(ch)}{{3,}}', '{_sq(ch + ch)}', 'g')"
+    x = _sql_squeeze(x)
     x = _rr(x, "\\s+", " ")
     return f"trim({x})"
+
+
+def _sql_squeeze(x: str) -> str:
+    """Repeat-squeeze (≥3 of the same char → 2) without backreferences:
+    fold over the characters, appending each unless the accumulator already
+    ends with two copies. Character-exact with ``(.)\\1{2,}`` → ``$1$1`` on
+    BMP text (DuckDB substring is codepoint-based; Java regex works on
+    UTF-16 units — identical for the BMP corpus)."""
+    chars = f"list_transform(range(1, length({x}) + 1), i -> substring({x}, CAST(i AS INT), 1))"
+    fold = (
+        f"list_reduce({chars}, (acc, ch) -> "
+        "CASE WHEN length(acc) >= 2 AND substring(acc, length(acc) - 1, 2) = ch || ch "
+        "THEN acc ELSE acc || ch END)"
+    )
+    return f"CASE WHEN length({x}) < 3 THEN {x} ELSE {fold} END"
 
 
 def sql_clean_text(e: str) -> str:

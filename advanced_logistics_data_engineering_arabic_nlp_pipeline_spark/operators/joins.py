@@ -33,13 +33,15 @@ def salted_join(
 ) -> DataFrame:
     """fact ⋈ dim on ``key`` with the fact side salted across ``n_salts``
     partitions per key. ``dim`` is replicated ×n_salts (keep it the small
-    side). Deterministic: the salt comes from xxhash64 of the fact row's
-    key, not rand()."""
+    side). Deterministic across cluster layouts and reruns: the salt is
+    xxhash64 of the row's *content* (all fact columns), never rand() or
+    monotonically_increasing_id() (both depend on partition layout, so the
+    reducer-skew distribution would differ run to run). Identical duplicate
+    rows share a salt — acceptable: skew comes from hot *keys*, whose rows
+    differ in payload columns and therefore spread."""
     salted_fact = fact.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(n_salts)).cast(
-            "int"
-        ),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int"),
     )
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -135,16 +135,21 @@ LIMIT 10
 
 # --------------------------------------------------------------------------
 # H2/H4 percentage-of-total pattern: reference computes denominators as a
-# separate scalar aggregate (Main.py:262-263, 289-290); the Spark-native form
-# is a window ``count(*) over ()`` — no second pass over the data.
+# separate scalar aggregate (Main.py:262-263, 289-290). The Spark shape is a
+# broadcast scalar denominator over the (tiny) grouped frame — NOT a
+# ``sum() over ()`` window, which funnels the frame through one partition
+# (WindowExec "No Partition Defined") and invites copy-paste onto big
+# frames. The denominator subtree repeats the groupBy, but it's the SAME
+# exchange, so Spark's ReuseExchange evaluates the scan+aggregate once.
 # --------------------------------------------------------------------------
 def order_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy()
+    counts = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    total = counts.agg(F.sum("n_orders").alias("__total"))
     return (
-        orders.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_orders"))
-        .withColumn("pct", F.round(F.col("n_orders") * 100.0 / F.sum("n_orders").over(w), 2))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("pct", F.round(F.col("n_orders") * 100.0 / F.col("__total"), 2))
+        .drop("__total")
         .orderBy("o_orderpriority")
     )
 
@@ -306,6 +311,47 @@ ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
 
 
+def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE sibling of revenue_rollup (SURVEY.md §2 I grouping-sets
+    completeness): all four grouping sets — (region, nation), region-only,
+    nation-only, grand total — in ONE pass with map-side partials;
+    grouping_id disambiguates aggregated-away NULLs from data NULLs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .cube("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"), "gid")
+    )
+
+
+REVENUE_CUBE_SQL = """
+SELECT r_name,
+       n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY CUBE(r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, gid
+"""
+
+
 # --------------------------------------------------------------------------
 # Anti / semi joins (SURVEY.md §2 I set-op gap): customers with no orders,
 # and suppliers that do appear in lineitem. Anti/semi express as one join
@@ -360,6 +406,7 @@ QUERIES = {
     "active_suppliers": active_suppliers,
     "pricing_summary": pricing_summary,
     "revenue_rollup": revenue_rollup,
+    "revenue_cube": revenue_cube,
     "revenue_by_nation": revenue_by_nation,
     "top_customers": top_customers,
     "order_priority_share": order_priority_share,
@@ -374,6 +421,7 @@ ORACLES = {
     "active_suppliers": ACTIVE_SUPPLIERS_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    "revenue_cube": REVENUE_CUBE_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
     "order_priority_share": ORDER_PRIORITY_SHARE_SQL,

@@ -177,6 +177,31 @@ def trips_master_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _master_stage(spark, sf_dir, fuzzy=True).select(*MASTER_COLUMNS)
 
 
+def trips_fuzzy_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Worst case for the distinct-resolve-join (extract.with_nlp_enrichment
+    documents the risk): every end_location is made unique with a per-row
+    suffix, so |distinct texts| == |rows| and the distinct-resolve
+    optimization buys nothing — the full 3-tier NLP (fuzzy included) runs
+    once per row. Benched at sf0.1 so the claimed fallback behavior has a
+    recorded number instead of an assertion. Rows-only by design (fuzzy tier
+    has no SQL mirror); the aggregate output keeps the bench noop sink from
+    skipping any of the per-row work."""
+    df = trips_raw(spark, sf_dir).withColumn(
+        "end_location",
+        F.concat_ws(" ", F.col("end_location"), F.col("#").cast("string")),
+    )
+    df = with_nlp_enrichment(df, "end_location", fuzzy=True)
+    return (
+        df.groupBy("Trip_Type")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.countDistinct("End_Location_Clean").alias("n_clean"),
+            F.sum(F.size("locs")).alias("n_locs"),
+        )
+        .orderBy("Trip_Type")
+    )
+
+
 _VALID_LOC = lambda x: x.isNotNull() & (F.trim(x) != "") & (x != "Undefined")  # noqa: E731
 
 
@@ -448,6 +473,7 @@ WHERE num_locations >= 2
 QUERIES = {
     "trips_master": trips_master,
     "trips_master_fuzzy": trips_master_fuzzy,
+    "trips_fuzzy_stress": trips_fuzzy_stress,
     "location_pairs": location_pairs,
     "location_stats": location_stats,
     "multi_location_details": multi_location_details,

@@ -26,15 +26,19 @@ HEADLINE = [
     # NLP trips pipeline (expression tiers + fuzzy UDF variant)
     "trips_master",
     "trips_master_fuzzy",
+    "trips_fuzzy_stress",
     "location_pairs",
     "location_stats",
     "revenue_rollup",
+    "revenue_cube",
     # LLM-data ops
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_simhash",
     "similarity_topk",
+    "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "dedup_embedding_lsh",
     "text_quality",
     "multimodal_features",
     # event-time windows

@@ -23,6 +23,9 @@ _ATOMS = (
     + list("0123456789")
     + ["مطار", "مطارر", "مطاررر", "الهرم", "هيلتون", "التحرير", "عوده", "وعودة", "ذهاب"]
     + ["+", "،", "؛", ",", ";", " ", "  ", "\t"]
+    # triple runs force the repeat-squeeze through every mirror, covering
+    # the punctuation/Arabic-Indic-digit classes the SQL mirror enumerates
+    + ["!!!", "؟؟؟", "...", "+++", "---", "٣٣٣", "٠٠٠٠", "(((", ":::"]
 )
 
 
