@@ -46,9 +46,9 @@ def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product — keeps the summation order identical to
     the DuckDB list_sum oracle mirror, so oracle-checked cosine queries
     hash-match. Measured note: an unrolled 64-term getItem chain is ~3×
-    SLOWER than this HOF on Spark 4 (codegen blow-up), and the vectorized
-    Arrow path (:func:`dot_arrow`) is ~2× faster — use that on rows-only
-    verify hot paths where fold-order parity doesn't matter."""
+    SLOWER than this HOF on Spark 4 (codegen blow-up); where fold-order
+    parity doesn't matter (rows-only paths), batch the math in numpy
+    instead (see embedding_near_dup_lsh's per-bucket gram matrix)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -66,20 +66,6 @@ def norm_expr(a: Column) -> Column:
 
 def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
-
-
-def _dot_batch(x: pd.Series, y: pd.Series) -> pd.Series:
-    mx = np.vstack(x.to_numpy()).astype(np.float64)
-    my = np.vstack(y.to_numpy()).astype(np.float64)
-    return pd.Series(np.einsum("ij,ij->i", mx, my))
-
-
-def dot_arrow() -> "F.pandas_udf":
-    """Vectorized Arrow dot product (one einsum per batch) — measured ~2×
-    faster than the fold on the LSH verify path. Summation order differs
-    from the fold in the last ulps, so use ONLY where results are rows-only
-    (never under an oracle hash or a score-equality test)."""
-    return pandas_udf(_dot_batch, "double")
 
 
 def topk_bruteforce(
@@ -273,51 +259,46 @@ def embedding_near_dup_lsh(
     threshold: float = 0.4,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold`` — the M1
-    scale path. Candidates come from a banded-LSH bucket self-join (same
-    shape as dedup.minhash_lsh_pairs); exact cosine runs on candidates only,
-    so no O(N²) stage exists: the narrow (id, bucket) explode is ×16, the
-    self-join shuffles on an 8-byte bucket key, and per-bucket fan-out is
-    bounded by bucket occupancy. Exact twin for the recall pytest:
-    plans.llmdata.dedup_embedding_cosine (the cross join stays a small-scale
-    oracle only)."""
+    scale path. Candidates come from banded-LSH buckets; each bucket's
+    all-pairs cosines are computed as ONE BLAS gram matrix (``U @ U.T`` on
+    the bucket's unit vectors) inside applyInPandas, and only pairs at or
+    above the threshold ever materialize as rows. No O(N²) stage exists
+    and — unlike a bucket self-JOIN — no O(Σ bucket²) *row* stage either:
+    the shuffle moves each vector ×16 (one per band, 8-byte key + 256-byte
+    payload), and the quadratic part stays inside a dense matmul whose
+    output is immediately thresholded.
+
+    Scale bound: the largest bucket must fit in one task's memory
+    (m × dim floats + an m×m gram tile) — tune bits-per-band up to shrink
+    occupancy at larger N. Exact twin for the recall pytest:
+    plans.llmdata.dedup_embedding_cosine (the cross join stays a
+    small-scale oracle only)."""
     buckets = pandas_udf(_dup_band_buckets, ArrayType(LongType()))
     sig = vectors.select(
         F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
         F.explode(buckets(F.col(vec_col))).alias("bucket"),
     )
-    cand = (
-        sig.alias("x")
-        .join(
-            sig.alias("y"),
-            (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
-    # norms computed once per VECTOR before the pair join (N norm chains,
-    # not 2×|candidates|); the per-pair work is a single codegen'd dot
-    va = vectors.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        norm_expr(F.col(vec_col)).alias("__na"),
-    )
-    vb = vectors.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        norm_expr(F.col(vec_col)).alias("__nb"),
-    )
-    dot = dot_arrow()
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["id"].to_numpy()
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors match nothing (cos 0)
+        u = m / norms[:, None]
+        gram = np.round(u @ u.T, 6)
+        ii, jj = np.nonzero(np.triu(gram >= threshold, k=1))
+        id_a = np.minimum(ids[ii], ids[jj])
+        id_b = np.maximum(ids[ii], ids[jj])
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": gram[ii, jj]})
+
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn(
-            "cosine",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb")), 6
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        sig.groupBy("bucket")
+        .applyInPandas(bucket_pairs, "id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
