@@ -46,18 +46,38 @@ def tokens_expr(text: Column) -> Column:
 
 
 def shingles_expr(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles; whole text if shorter than k tokens.
+    """Distinct k-word shingles; whole (whitespace-normalized) text if
+    shorter than k tokens.
 
-    Overlapping shingles come from ONE regex pass: a token-start-anchored
-    lookahead capture (`(?:^|\\s)(?=(tok(\\s tok){k-1}))`) over whitespace-
-    normalized text. The obvious transform-over-positions formulation
-    re-evaluates the token array per element inside the interpreted lambda —
-    O(n²) per document and ~3 ms/doc in practice; the regex pass is linear."""
-    norm = F.regexp_replace(F.trim(F.lower(text)), "\\s+", " ")
-    pat = "(?:^|\\s)(?=(\\S+" + "".join(["\\s\\S+"] * (k - 1)) + "))"
-    shingled = F.regexp_extract_all(norm, F.lit(pat), 1)
-    return F.array_distinct(
-        F.when(F.size(shingled) > 0, shingled).otherwise(F.array(norm))
+    The token array is bound as a LAMBDA VARIABLE — `transform(array(toks),
+    t -> …)` — so it is evaluated exactly once per row. Referencing the
+    split through a projected column does NOT achieve this: CollapseProject
+    re-inlines the subtree into every reference inside the (interpreted)
+    HOF lambda, re-splitting the text up to 9× per row (measured 4.4 s vs
+    0.5 s at sf0.1). The slice-over-positions body itself measures ~6×
+    faster than the previous token-anchored lookahead-regex single pass."""
+    norm = F.regexp_replace(F.trim(F.lower(text.cast("string"))), "\\s+", " ")
+    shingled = F.try_element_at(
+        F.transform(
+            F.array(F.split(norm, " ")),
+            lambda t: F.when(
+                F.size(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", t))),
+        ),
+        F.lit(1),
+    )
+    return F.array_distinct(shingled)
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, sh) exploded shingle rows — see :func:`shingles_expr`."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("sh"),
     )
 
 
@@ -90,9 +110,7 @@ def jaccard_pairs(
     ``max_shingle_df``: drop shingles appearing in more than this many docs
     (stop-shingle cap) — at 100 TB this bounds join fan-out; None keeps all.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles_expr(F.col(text_col), k)).alias("sh")
-    )
+    sh = shingle_rows(df, text_col, id_col, k)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("sh")
@@ -137,10 +155,7 @@ def shingle_df_stats(
     and the hottest shingle's document frequency. Run this alongside the
     capped dedup so the drop is *counted*, never silent — a capped pipeline
     that reports nothing reads as 'covered everything' when it didn't."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles_expr(F.col(text_col), k)).alias("sh"),
-    )
+    sh = shingle_rows(df, text_col, id_col, k)
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df_cnt"))
     cap = F.lit(max_shingle_df) if max_shingle_df is not None else F.lit(None).cast("int")
     return dfreq.agg(
