@@ -25,6 +25,7 @@ integer arithmetic, no JVM/Python hash randomization).
 from __future__ import annotations
 
 import random
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -78,6 +79,118 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataF
     return df.select(
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(F.col(text_col), k)).alias("sh"),
+    )
+
+
+# k/w sized for word-corpus selectivity: 8-char grams collide on shared
+# vocabulary alone (measured 79k of 125k possible pairs at sf0.01);
+# 16-char grams + min_common 10 isolate genuinely shared passages (24
+# pairs, matching the planted duplicates).
+WINNOW_K = 16        # char k-gram size
+WINNOW_W = 8         # winnowing window (matches ≥ w+k-1 = 23 chars detected)
+WINNOW_MIN_COMMON = 10
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """(id, fp) winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken, SIGMOD 2003 — the public local-fingerprinting algorithm): hash
+    every char k-gram of the whitespace-normalized lowercased text, slide a
+    w-wide window over the hash sequence, keep each window's minimum; the
+    distinct minima are the document's fingerprints. Guarantees any shared
+    substring of length ≥ w+k−1 contributes at least one common
+    fingerprint, at ~2/(w+1) selection density — the sub-linear sketch for
+    substring-level dedup.
+
+    Engine parity: the "hash" is the md5 hex string and the window minimum
+    is the lexicographic MIN — bit-identical in Python, Spark SQL and
+    DuckDB, so the operator stays fully oracle-checkable (no xxhash in
+    DuckDB). Computed in an Arrow mapInPandas batch (hashlib md5 + numpy
+    sliding-window string-min): the expression formulation pays interpreted
+    HOF cost per k-gram and measured ~5 s for 5M grams at sf0.1; this path
+    is C-speed per batch and embarrassingly parallel across partitions."""
+    import hashlib
+    from collections import deque
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+")
+
+    def winnow(grams: list[str]) -> set[str]:
+        if len(grams) <= w:
+            return {min(grams)}
+        fps: set[str] = set()
+        dq: deque[int] = deque()  # indices, values increasing front→back
+        for i, g in enumerate(grams):
+            while dq and grams[dq[-1]] >= g:
+                dq.pop()
+            dq.append(i)
+            if dq[0] <= i - w:
+                dq.popleft()
+            if i >= w - 1:
+                fps.add(grams[dq[0]])
+        return fps
+
+    def batches(it):
+        for pdf in it:
+            out_ids: list = []
+            out_fps: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                norm = ws_re.sub(" ", str(text).strip().lower())
+                n = len(norm) - (k - 1)
+                if n < 1:
+                    grams = [hashlib.md5(norm.encode("utf-8")).hexdigest()]
+                else:
+                    grams = [
+                        hashlib.md5(norm[i : i + k].encode("utf-8")).hexdigest()
+                        for i in range(n)
+                    ]
+                fps = sorted(winnow(grams))
+                out_ids.extend([doc_id] * len(fps))
+                out_fps.extend(fps)
+            yield pd.DataFrame({"id": out_ids, "fp": out_fps})
+
+    id_type = dict(df.dtypes)[id_col]
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    # CPU-bound Python stage: a small input (one parquet split locally) would
+    # otherwise run on one core. Only widen when under-parallelized — at
+    # real scale the scan already has plenty of splits and no shuffle is
+    # added.
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow.mapInPandas(batches, schema=f"id {id_type}, fp string")
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_common: int = WINNOW_MIN_COMMON,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+) -> DataFrame:
+    """Near-duplicate pairs sharing ≥ ``min_common`` winnowing fingerprints —
+    substring-level dedup (catches shared boilerplate/quotations that
+    word-shingle Jaccard misses when surrounding text differs). Same scale
+    shape as :func:`jaccard_pairs`: fingerprint equi-join, never a cross
+    join; fingerprints are md5 strings so hot-fingerprint fan-out is
+    bounded by real substring repetition."""
+    fp = winnow_fingerprint_rows(df, text_col, id_col, k, w)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -49,6 +49,61 @@ def salted_join(
     return salted_fact.join(salted_dim, [key, "__salt"], how).drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, attach the payload of
+    the LATEST right row with the same ``key`` and ``right_ts <= left_ts``
+    (NULLs when no such row) — the standard operator Spark lacks natively
+    (SURVEY.md §2 I gap; DuckDB expresses it as ``ASOF LEFT JOIN``, which is
+    the oracle mirror).
+
+    Implementation is the union–window formulation, not a range join: tag
+    both sides, union on (key, ts), and carry each payload forward with
+    ``last(col, ignorenulls=True)`` over a (key)-partitioned, (ts, side)-
+    ordered running window; keep only left rows. ONE shuffle on the key,
+    sort within partitions, zero row amplification — a theta/range join
+    would fan out |left|×|right-per-key| rows before picking the max.
+    Skewed keys behave like any keyed window (salt upstream if one key
+    dominates).
+
+    Ties: a right row at exactly ``left_ts`` is visible (sorts before the
+    left row), matching ASOF's ``>=``. Callers must pre-reduce duplicate
+    (key, right_ts) rows (e.g. keep the max-payload row) — otherwise which
+    duplicate wins is nondeterministic in BOTH engines."""
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
+        *[F.col(c) for c in payload_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l.unionByName(r).select(
+        "__side",
+        *lcols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
 def tier2_theta_join(
     tokens: DataFrame,
     dim: DataFrame,

@@ -90,6 +90,44 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints (Schleimer
+    et al. 2003): pairs sharing ≥WINNOW_MIN_COMMON selected k-gram minima.
+    Fully oracle-checked — the md5/lexicographic-min formulation is engine-
+    portable (operators/dedup.winnow_fingerprints_expr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(docs, "text", "doc_id")
+
+
+DEDUP_WINNOW_SQL = f"""
+WITH n AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(t) - {dedup.WINNOW_K - 1}, 1) + 1),
+                        i -> md5(substring(t, CAST(i AS INT), {dedup.WINNOW_K}))) AS grams
+  FROM n
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(
+           list_transform(range(1, greatest(len(grams) - {dedup.WINNOW_W - 1}, 1) + 1),
+                          j -> list_aggregate(
+                                 list_slice(grams, CAST(j AS INT), CAST(j + {dedup.WINNOW_W - 1} AS INT)),
+                                 'min'))) AS fps
+  FROM g
+),
+e AS (SELECT doc_id AS id, unnest(fps) AS fp FROM m)
+SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS n_common
+FROM e a JOIN e b ON a.fp = b.fp AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING COUNT(*) >= {dedup.WINNOW_MIN_COMMON}
+ORDER BY doc_a, doc_b
+"""
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6)
@@ -251,6 +289,53 @@ WITH tok AS (
 SELECT term, COUNT(*) AS cnt
 FROM tok GROUP BY term
 ORDER BY cnt DESC, term
+LIMIT 25
+"""
+
+
+def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most distinctive (doc, term) pairs by classic document-level TF-IDF:
+    tf = in-document term count, idf = ln(n_docs / docs containing the
+    term). One explode + two aggregations; the scalar n_docs is a broadcast
+    single-row aggregate (no global window). Top 25 with a full
+    deterministic tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(ta.tokens_expr(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_d = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df_docs")
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("__n_docs"))
+    return (
+        tf.join(df_d, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("__n_docs") / F.col("df_docs")), 6),
+        )
+        .filter(F.col("tfidf") > 0)
+        .select("doc_id", "term", "tf", "df_docs", "tfidf")
+        .orderBy(F.desc("tfidf"), "doc_id", "term")
+        .limit(25)
+    )
+
+
+TOP_TERMS_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+dfd AS (SELECT term, COUNT(DISTINCT doc_id) AS df_docs FROM terms GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df_docs,
+       ROUND(tf * ln(n_docs * 1.0 / df_docs), 6) AS tfidf
+FROM tf JOIN dfd USING (term) CROSS JOIN nd
+WHERE tf * ln(n_docs * 1.0 / df_docs) > 0
+ORDER BY tfidf DESC, doc_id, term
 LIMIT 25
 """
 
@@ -654,6 +739,7 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
+    "dedup_winnow": dedup_winnow,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "similarity_topk": similarity_topk,
@@ -662,6 +748,7 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_source_stats": lang_source_stats,
     "top_terms": top_terms,
+    "top_terms_tfidf": top_terms_tfidf,
     "top_bigrams": top_bigrams,
     "multimodal_features": multimodal_features,
     "multimodal_resize": multimodal_resize,
@@ -682,10 +769,12 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_winnow": DEDUP_WINNOW_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_source_stats": LANG_SOURCE_STATS_SQL,
     "top_terms": TOP_TERMS_SQL,
+    "top_terms_tfidf": TOP_TERMS_TFIDF_SQL,
     "top_bigrams": TOP_BIGRAMS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,

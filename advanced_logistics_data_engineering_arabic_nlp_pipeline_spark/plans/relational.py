@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.coercion import dsum
 from ..functions.scalars import extract_plate, us_date_string
+from ..operators.joins import asof_join
 from ..sources.tables import load_table
 
 
@@ -401,6 +402,72 @@ ORDER BY s_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# As-of (point-in-time) join: every event gets the latest "rate" in effect
+# at its timestamp. Rates are derived deterministically from orders and
+# mapped into the events' time range (o_orderkey % 720 hours into Jan 2024)
+# so the match genuinely varies per event; duplicate (user, ts) rates are
+# pre-reduced to the max-orderkey row, making the result exact in both
+# engines (DuckDB mirrors with a native ASOF LEFT JOIN).
+# --------------------------------------------------------------------------
+def events_asof_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    rate_ts = F.timestamp_seconds(
+        F.unix_timestamp(F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        + (F.col("o_orderkey") % 720) * 3600
+    )
+    rates0 = orders.select(
+        (F.col("o_custkey") % 150).alias("user_id"),
+        rate_ts.alias("rate_ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    w = Window.partitionBy("user_id", "rate_ts").orderBy(F.desc("o_orderkey"))
+    rates = (
+        rates0.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "rate_ts",
+            F.col("o_orderkey").alias("rate_id"),
+            F.round("o_totalprice", 2).alias("rate_price"),
+        )
+    )
+    joined = asof_join(
+        ev, rates, key="user_id", left_ts="ts", right_ts="rate_ts",
+        payload_cols=["rate_id", "rate_price"],
+    )
+    return joined.select(
+        "event_id", "user_id", "event_type", "rate_id", "rate_price"
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_RATES_SQL = """
+WITH rates0 AS (
+    SELECT o_custkey % 150 AS user_id,
+           TIMESTAMP '2024-01-01' + (o_orderkey % 720) * INTERVAL 1 HOUR AS rate_ts,
+           o_orderkey,
+           o_totalprice,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey % 150,
+                            TIMESTAMP '2024-01-01' + (o_orderkey % 720) * INTERVAL 1 HOUR
+               ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+),
+rates AS (
+    SELECT user_id, rate_ts, o_orderkey AS rate_id, ROUND(o_totalprice, 2) AS rate_price
+    FROM rates0 WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.event_type, r.rate_id, r.rate_price
+FROM events e
+ASOF LEFT JOIN rates r ON e.user_id = r.user_id AND e.ts >= r.rate_ts
+ORDER BY e.event_id
+"""
+
+
 QUERIES = {
     "customers_without_orders": customers_without_orders,
     "active_suppliers": active_suppliers,
@@ -414,6 +481,7 @@ QUERIES = {
     "customer_plates": customer_plates,
     "orders_us_dates": orders_us_dates,
     "lineitem_unpivot": lineitem_unpivot,
+    "events_asof_rates": events_asof_rates,
 }
 
 ORACLES = {
@@ -429,4 +497,5 @@ ORACLES = {
     "customer_plates": CUSTOMER_PLATES_SQL,
     "orders_us_dates": ORDERS_US_DATES_SQL,
     "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
+    "events_asof_rates": EVENTS_ASOF_RATES_SQL,
 }

@@ -31,8 +31,11 @@ HEADLINE = [
     "location_stats",
     "revenue_rollup",
     "revenue_cube",
+    # as-of (point-in-time) join
+    "events_asof_rates",
     # LLM-data ops
     "dedup_jaccard",
+    "dedup_winnow",
     "dedup_minhash",
     "dedup_simhash",
     "similarity_topk",

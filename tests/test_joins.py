@@ -68,3 +68,55 @@ def test_theta_join_matches_regex_tier(spark):
     assert theta_out == expr_out
     assert expr_out[0] == "Cairo Airport"
     assert expr_out[3] is None
+
+
+def test_asof_join_matches_naive_range_join(spark):
+    """Property: the union-window as-of equals the naive formulation
+    (range-join all earlier right rows, keep the max right_ts one) —
+    including ties at equal timestamps and left rows with no match."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 1, 50), (4, 2, 100), (5, 3, 100)],
+        ["lid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 205, "c"), (2, 150, "d")],
+        ["k", "rt", "payload"],
+    )
+    got = {
+        r["lid"]: r["payload"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="rt", payload_cols=["payload"]
+        ).collect()
+    }
+    # lid 1: rt=100 == t → visible (ASOF >=); lid 2: tie at 205 → "c";
+    # lid 3: no earlier right row → NULL; lid 4: 150 > 100 → NULL;
+    # lid 5: key absent from right → NULL
+    assert got == {1: "a", 2: "c", 3: None, 4: None, 5: None}
+
+    naive = (
+        left.join(right, (left.k == right.k) & (right.rt <= left.t), "left")
+        .groupBy("lid")
+        .agg(F.max(F.struct("rt", "payload")).alias("s"))
+        .select("lid", F.col("s.payload").alias("payload"))
+    )
+    assert got == {r["lid"]: r["payload"] for r in naive.collect()}
+
+
+def test_asof_join_is_single_shuffle(spark):
+    """Plan shape: the as-of join must be union → one Exchange on the key →
+    window, never a join node (no row amplification)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.joins import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("t"), F.col("id").alias("lid")
+    )
+    right = spark.range(20).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("rt"), F.col("id").alias("p")
+    )
+    out = asof_join(left, right, "k", "t", "rt", ["p"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan

@@ -176,3 +176,35 @@ def test_multimodal_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_stub(b"\x00")
+
+
+def test_winnow_guarantee_and_selectivity(spark):
+    """Winnowing guarantee (Schleimer et al.): documents sharing a substring
+    of ≥ w+k-1 chars share at least one fingerprint; unrelated texts with
+    distinct vocabularies share none."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " closing remarks"),
+            (2, shared + " entirely different tail content follows"),
+            (3, "zeta omega lambda kappa unrelated corpus entirely disjoint words"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in dedup.winnow_fingerprint_rows(docs, "text", "doc_id").collect():
+        fps[r["id"]].add(r["fp"])
+    assert fps[1] & fps[2], "docs sharing a long substring must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+
+    # identical docs share every fingerprint → winnow_pairs flags the pair
+    dup = spark.createDataFrame(
+        [(1, shared), (2, shared), (3, "other " + shared[::-1])], ["doc_id", "text"]
+    )
+    pairs = dedup.winnow_pairs(dup, "text", "doc_id", min_common=2).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
