@@ -225,13 +225,17 @@ def jaccard_pairs(
     """
     sh = shingle_rows(df, text_col, id_col, k)
     if max_shingle_df is not None:
-        rare = (
+        # Anti-join against the HOT shingles (df > cap) rather than
+        # equi-joining the rare set: hot is tiny by construction (it is the
+        # skew we are removing), so it broadcasts and the corpus-sized sh
+        # side never shuffles for the cap.
+        hot = (
             sh.groupBy("sh")
             .agg(F.count("*").alias("df_cnt"))
-            .filter(F.col("df_cnt") <= max_shingle_df)
+            .filter(F.col("df_cnt") > max_shingle_df)
             .select("sh")
         )
-        sh = sh.join(rare, "sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     a = sh.alias("a")
@@ -279,7 +283,7 @@ def shingle_df_stats(
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """(id, sig: array<bigint>[64], sh: array<string>) MinHash signatures.
+    """(id, sig: array<bigint>[64]) MinHash signatures.
 
     Computed as explode(shingles) → groupBy(id) with 64 codegen'd ``min()``
     aggregates — NOT as nested higher-order functions. HOF lambdas run
@@ -287,21 +291,25 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     coefficients formulation re-evaluates the whole shingling subtree per
     coefficient (~64× work; measured ~100× slower). The aggregate version
     is map-side-combinable and scales: the only shuffle is the per-id
-    combine of 64 longs."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("sh")
-    )
-    exploded = sh.select("id", F.explode("sh").alias("s")).select(
-        "id", F.pmod(F.xxhash64("s"), F.lit(MINHASH_PRIME)).alias("h")
-    )
+    combine of 64 longs.
+
+    Deliberately does NOT carry the shingle arrays: consumers that need the
+    raw shingles (e.g. candidate verification) should join the cheap
+    ``(id, sh)`` projection separately. Carrying ``sh`` here forces a
+    shuffle join of the full shingle arrays against the aggregate output,
+    and every downstream reference re-runs the whole 64-aggregate pipeline
+    (measured 4 full recomputations → 3× wall-clock in minhash_lsh_pairs)."""
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(F.col(text_col), k)).alias("s"),
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(MINHASH_PRIME)).alias("h"))
     mins = exploded.groupBy("id").agg(
         *[
             F.min(F.pmod(a * F.col("h") + b, F.lit(MINHASH_PRIME))).alias(f"m{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS)
         ]
     )
-    sig = mins.select("id", F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"))
-    return sig.join(sh, "id")
+    return mins.select("id", F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -316,8 +324,18 @@ def minhash_lsh_pairs(
 
     Scale shape: the banded explode is narrow (×16); the only shuffles are
     the band-bucket groupBy and the verification join against the (small)
-    candidate set. No O(n²) stage exists."""
+    candidate set. No O(n²) stage exists.
+
+    Reuse shape: the band self-join's two branches are canonically identical,
+    so AQE reuses one shuffle exchange for both sides; verification joins the
+    bare ``(id, sh)`` scan-level projection (NOT the signature pipeline), so
+    the 64-aggregate chain is planned exactly once per side rather than being
+    re-run to fetch shingles back (the carried-``sh`` formulation measured
+    14.5 s vs 2.9 s at sf0.1)."""
     sigs = minhash_signatures(df, text_col, id_col, k)
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("sh")
+    )
     bands = sigs.select(
         "id",
         F.posexplode(
@@ -348,8 +366,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
     verified = (
-        cand.join(sigs.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
-        .join(sigs.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        cand.join(sh.select(F.col("id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -387,12 +405,21 @@ def simhash_values(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for i in range(64)
         ],
     )
-    packed = F.lit(0).cast("bigint")
-    for i in range(63, -1, -1):
-        bit = F.when(F.col(f"b{i}") * 2 > F.col("n"), F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        packed = F.call_function("shiftleft", packed, F.lit(1)).bitwiseOR(bit)
+    # Flat 64-term sum, not a 64-deep shiftleft/or chain: the nested chain
+    # generates a 64-level expression tree whose janino compile dominates
+    # first execution; the flat sum of disjoint powers of two is equivalent
+    # (each term contributes an isolated bit; bit 63 is the two's-complement
+    # sign bit, so its term is −2⁶³) and compiles shallow.
+    packed = sum(
+        (
+            F.when(
+                F.col(f"b{i}") * 2 > F.col("n"),
+                F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for i in range(64)
+        ),
+        start=F.lit(0).cast("bigint"),
+    )
     return sums.select("id", packed.alias("sim"))
 
 

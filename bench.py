@@ -83,6 +83,19 @@ def main() -> None:
     timings = {n: run(n) for n in HEADLINE if n in queries}
     stress = {n: run(n) for n in STRESS if n in queries}
     total = round(sum(timings.values()), 3)
+    # Round-over-round continuity: the headline list grows as operators land,
+    # so the grand total is not comparable across rounds. This subtotal is
+    # the ROUND-1 query set only — compare it to BENCH_r01.json's value.
+    r1_set = {
+        "pricing_summary", "revenue_by_nation", "top_customers",
+        "order_priority_share", "lineitem_unpivot", "trips_master",
+        "trips_master_fuzzy", "location_pairs", "location_stats",
+        "revenue_rollup", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
+        "similarity_topk", "similarity_topk_ivf", "text_quality",
+        "multimodal_features", "events_hourly", "events_sliding",
+        "events_sessions",
+    }
+    subtotal_r1 = round(sum(v for n, v in timings.items() if n in r1_set), 3)
     print(
         json.dumps(
             {
@@ -91,6 +104,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "stress": stress,
+                "subtotal_r1_queries": subtotal_r1,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
