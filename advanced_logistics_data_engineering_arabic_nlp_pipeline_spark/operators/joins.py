@@ -137,3 +137,55 @@ def tier2_theta_join(
         .filter(F.col("__rn") == 1)
         .drop("__rn", variant_col)
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval (range) join: pair every point row with every interval row
+    sharing the ``on`` keys where ``start_ts <= point_ts < end_ts``
+    (half-open). The second time-join operator Spark lacks natively
+    (SURVEY.md §2 I gap; the sibling of :func:`asof_join`).
+
+    Naive Spark planning of a BETWEEN predicate is a broadcast-nested-loop
+    (O(|points|·|intervals|) per key). Instead both sides are bucketed into
+    fixed ``bin_seconds`` time bins — intervals explode to one row per
+    covered bin, points map to exactly one bin — turning the theta join into
+    an EQUI-join on (keys, bin) that hash-shuffles and AQE-skew-splits like
+    any other. The exact predicate then filters within the bin collisions.
+
+    No dedup pass is needed: a point's bin is unique and an interval covers
+    each bin at most once, so a (point, interval) match is produced exactly
+    once. Bin truncation is monotonic, so a matching point's bin always lies
+    in the interval's covered-bin range.
+
+    Row amplification = interval_len/bin_seconds + 1 per interval row; pick
+    ``bin_seconds`` near the typical interval length (amplification ≈ 2).
+    At 100 TB the shuffle is keyed by (keys, bin): time-locality keeps bins
+    balanced, and a hot key still splits across its bins.
+    """
+    p = points.withColumn(
+        "__bin", F.floor(F.col(point_ts).cast("double") / bin_seconds).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_ts).cast("double") / bin_seconds).cast("long"),
+                F.floor(F.col(end_ts).cast("double") / bin_seconds).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, on + ["__bin"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts))
+        )
+        .drop("__bin")
+    )

@@ -121,6 +121,66 @@ def assign_centroids(
     )
 
 
+def train_kmeans_centroids(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    n_iters: int = 5,
+) -> DataFrame:
+    """(centroid_id, cv: array<double>) k-means centroids via Lloyd
+    iterations expressed entirely as DataFrame ops — the IVF training pass.
+
+    Per round: one broadcast nearest-centroid assignment (no shuffle of the
+    vectors), then the mean-update as posexplode → (cell, dim) partial-agg →
+    array rebuild; both shuffles move k×dim aggregates, not vectors. The
+    centroid table itself never leaves the cluster (no driver collect);
+    ``localCheckpoint`` truncates each round's lineage exactly like
+    :func:`...operators.dedup.connected_components`.
+
+    Determinism: seeded from the k smallest-id vectors; every mean is
+    rounded to 6 decimals per round so float partial-agg order can't drift
+    assignments between runs. Cells that lose all members keep their
+    previous centroid (coalesce), so exactly k centroids always survive.
+    Fixed ``n_iters`` (k-means converges fast on clustered data; IVF needs
+    a good partition, not the optimum)."""
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        )
+        .localCheckpoint()
+    )
+    data = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("v"))
+    for _ in range(n_iters):
+        assigned = assign_centroids(
+            data,
+            cents.select("centroid_id", F.col("cv").alias("v")),
+            vec_col="v",
+            id_col="__vid",
+        )
+        new = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cv"),
+            )
+        )
+        cents = (
+            cents.select("centroid_id", F.col("cv").alias("__old"))
+            .join(new, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("cv", "__old").alias("cv"))
+            .localCheckpoint()
+        )
+    return cents
+
+
 def topk_ivf(
     queries: DataFrame,
     candidates: DataFrame,
@@ -129,15 +189,18 @@ def topk_ivf(
     k: int = 5,
     n_centroids: int = 16,
     n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: partition candidates into centroid cells (centroids =
-    first ``n_centroids`` candidate vectors — deterministic), probe the
+    """IVF-style ANN: partition candidates into centroid cells, probe the
     query's ``n_probe`` nearest cells, exact re-rank inside them.
+
+    ``centroids``: a (centroid_id, <vec_col>) table, e.g. from
+    :func:`train_kmeans_centroids`. Default: the first ``n_centroids``
+    candidate vectors (deterministic un-trained seeding).
 
     Scale shape: the cell assignment is one broadcast pass; search joins on
     the 8-byte cell id with per-cell fan-out ≈ N/n_centroids × n_probe —
-    the O(Q×N) product never materializes. A real deployment would learn
-    centroids with k-means; cell-local search is identical."""
+    the O(Q×N) product never materializes."""
     # Seed centroids from the n_centroids smallest-id candidates, using the
     # vector's own id as the centroid id — no global window (a
     # Window.orderBy() with no partition funnels the frame through one
@@ -146,6 +209,8 @@ def topk_ivf(
         candidates.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+        if centroids is None
+        else centroids.select("centroid_id", F.col(vec_col))
     )
     cand_cells = assign_centroids(
         candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),

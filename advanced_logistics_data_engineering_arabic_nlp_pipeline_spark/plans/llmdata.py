@@ -90,6 +90,135 @@ ORDER BY doc_a, doc_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: Jaccard pairs → connected components →
+    keep/drop ledger (id, cluster_id, cluster_size, is_keeper).
+
+    The step every pair-producing dedup needs next: 'A≈B, B≈C' collapses to
+    one keeper per component, not per pair. Iterative min-label propagation
+    (operators/dedup.connected_components); the DuckDB oracle mirrors it
+    with a recursive CTE, so the fixpoint itself is oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    return (
+        dedup.cluster_summary(comp)
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            "is_keeper",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+),
+lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size, l.doc_id = l.cluster_id AS is_keeper
+FROM lab l JOIN sizes s USING (cluster_id)
+ORDER BY l.doc_id
+"""
+
+
+def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation — the pipeline this engine exists for, as ONE
+    declarative plan: quality gate (Gopher-style cheap filters) → exact-dup
+    keeper (min doc_id per text) → near-dup cluster keeper (Jaccard pairs →
+    connected components, drop non-representatives). Returns the surviving
+    corpus ledger.
+
+    Composition notes: dup structures are computed over the FULL corpus
+    (curation must not resurrect a duplicate just because its twin failed
+    quality); the exact-keeper semi-join and the non-keeper anti-join are
+    both keyed by doc_id, so AQE plans them as broadcast when the dup sets
+    are small — at 100 TB they stay sparse (dup ledgers, not corpora)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    non_keepers = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return (
+        docs.withColumn("quality", ta.quality_score(t))
+        .filter(F.col("quality") >= 0.5)
+        .join(exact_keep, "doc_id", "semi")
+        .join(non_keepers, "doc_id", "anti")
+        .select("doc_id", "lang", "source", "n_chars", "quality")
+        .orderBy("doc_id")
+    )
+
+
+CURATED_CORPUS_SQL = f"""
+WITH RECURSIVE pairs AS (
+{DEDUP_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, r.lbl FROM edges e JOIN reach r ON r.id = e.b
+),
+lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+tok2 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+qm AS (
+  SELECT doc_id, toks,
+         ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mtl,
+         ROUND({{EN_HITS}} * 1.0 / greatest(len(toks), 1), 6) AS sw
+  FROM tok2
+),
+q AS (
+  SELECT doc_id,
+         ROUND(CAST(
+           (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN mtl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality
+  FROM qm
+),
+exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+nonkeep AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
+FROM documents d
+JOIN q USING (doc_id)
+WHERE q.quality >= 0.5
+  AND d.doc_id IN (SELECT doc_id FROM exact_keep)
+  AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
+ORDER BY d.doc_id
+"""
+
+
 def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level near-dup pairs via winnowing fingerprints (Schleimer
     et al. 2003): pairs sharing ≥WINNOW_MIN_COMMON selected k-gram minima.
@@ -185,6 +314,25 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-trained centroids (operators/similarity.
+    train_kmeans_centroids): the real-deployment IVF build — trained cells
+    track the data distribution, so the same n_probe buys higher recall
+    than arbitrary seed cells (asserted by the recall pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_kmeans_centroids(
+        emb, "embedding", "vec_id", k=16, n_iters=4
+    )
+    return similarity.topk_ivf(
+        emb.filter(F.col("vec_id") < 5),
+        emb,
+        "embedding",
+        "vec_id",
+        k=5,
+        centroids=cents.select("centroid_id", F.col("cv").alias("embedding")),
+    )
+
+
 # ── M3 text analysis ────────────────────────────────────────────────────────
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -205,6 +353,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_hits(words: list[str]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+# CURATED_CORPUS_SQL is authored above the dedup queries it composes, but
+# its stopword-hit expression needs _sql_hits — patch the placeholder here.
+CURATED_CORPUS_SQL = CURATED_CORPUS_SQL.replace("{EN_HITS}", _sql_hits(ta.EN_STOP))
 
 
 TEXT_QUALITY_SQL = f"""
@@ -624,6 +777,43 @@ ORDER BY 1
 """
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, as (label, pos, c_mean,
+    n_vecs) rows — the building block for class prototypes, cluster
+    summaries and IVF seeding. posexplode → (label, dim) partial aggregate:
+    the shuffle carries k×dim decimal partials, never vectors; identical at
+    any SF. Means go through the decimal-cast dsum so the fold order is
+    irrelevant (1000-executor reproducibility AND oracle hash parity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                dsum(F.col("x").cast("double"), 10) / F.count("*"), 6
+            ).alias("c_mean"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, pos,
+       ROUND(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS c_mean,
+       COUNT(*) AS n_vecs
+FROM e
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
 def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal join: documents ⋈ embeddings (doc_id = vec_id) → per-lang
     corpus stats with an embedding-norm aggregate. The multimodal-table
@@ -739,12 +929,15 @@ def price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
+    "dedup_clusters": dedup_clusters,
+    "curated_corpus": curated_corpus,
     "dedup_winnow": dedup_winnow,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "similarity_topk": similarity_topk,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_ivf": similarity_topk_ivf,
+    "similarity_topk_ivf_kmeans": similarity_topk_ivf_kmeans,
     "text_quality": text_quality,
     "lang_source_stats": lang_source_stats,
     "top_terms": top_terms,
@@ -764,11 +957,14 @@ QUERIES = {
     "doc_validation": doc_validation,
     "doc_length_histogram": doc_length_histogram,
     "docs_with_embeddings": docs_with_embeddings,
+    "embedding_label_centroids": embedding_label_centroids,
 }
 
 ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "curated_corpus": CURATED_CORPUS_SQL,
     "dedup_winnow": DEDUP_WINNOW_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "text_quality": TEXT_QUALITY_SQL,
@@ -787,4 +983,5 @@ ORACLES = {
     "doc_validation": DOC_VALIDATION_SQL,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
     "docs_with_embeddings": DOCS_WITH_EMBEDDINGS_SQL,
+    "embedding_label_centroids": EMBEDDING_LABEL_CENTROIDS_SQL,
 }

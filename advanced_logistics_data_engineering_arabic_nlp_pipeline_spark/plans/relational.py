@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.coercion import dsum
 from ..functions.scalars import extract_plate, us_date_string
-from ..operators.joins import asof_join
+from ..operators.joins import asof_join, range_join
 from ..sources.tables import load_table
 
 
@@ -468,6 +468,74 @@ ORDER BY e.event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Range (interval) join: per purchase, how many click/view events the same
+# user produced in the preceding 2 hours — the attribution-window query.
+# The BETWEEN theta-join is executed as a binned equi-join
+# (operators/joins.range_join), never a nested loop; DuckDB mirrors the
+# predicate directly.
+# --------------------------------------------------------------------------
+def events_attribution_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.col("ts") - F.expr("INTERVAL 2 HOURS")).alias("w_start"),
+    )
+    points = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", "event_type"
+    )
+    matched = range_join(
+        points,
+        purchases,
+        on=["user_id"],
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="p_ts",
+        bin_seconds=7200,
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_views"),
+    )
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+EVENTS_ATTRIBUTION_RANGE_SQL = """
+WITH purchases AS (
+    SELECT event_id AS purchase_id, user_id, ts
+    FROM events WHERE event_type = 'purchase'
+),
+prior AS (
+    SELECT p.purchase_id,
+           SUM(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+           SUM(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS n_views
+    FROM purchases p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts - INTERVAL 2 HOUR
+     AND e.ts < p.ts
+     AND e.event_type IN ('click', 'view')
+    GROUP BY p.purchase_id
+)
+SELECT p.purchase_id, p.user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_views, 0) AS n_views
+FROM purchases p LEFT JOIN prior USING (purchase_id)
+ORDER BY p.purchase_id
+"""
+
+
 QUERIES = {
     "customers_without_orders": customers_without_orders,
     "active_suppliers": active_suppliers,
@@ -482,6 +550,7 @@ QUERIES = {
     "orders_us_dates": orders_us_dates,
     "lineitem_unpivot": lineitem_unpivot,
     "events_asof_rates": events_asof_rates,
+    "events_attribution_range": events_attribution_range,
 }
 
 ORACLES = {
@@ -498,4 +567,5 @@ ORACLES = {
     "orders_us_dates": ORDERS_US_DATES_SQL,
     "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
     "events_asof_rates": EVENTS_ASOF_RATES_SQL,
+    "events_attribution_range": EVENTS_ATTRIBUTION_RANGE_SQL,
 }

@@ -31,17 +31,22 @@ HEADLINE = [
     "location_stats",
     "revenue_rollup",
     "revenue_cube",
-    # as-of (point-in-time) join
+    # as-of (point-in-time) join + range (interval) join
     "events_asof_rates",
+    "events_attribution_range",
     # LLM-data ops
     "dedup_jaccard",
+    "dedup_clusters",
+    "curated_corpus",
     "dedup_winnow",
     "dedup_minhash",
     "dedup_simhash",
     "similarity_topk",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    "similarity_topk_ivf_kmeans",
     "dedup_embedding_lsh",
+    "embedding_label_centroids",
     "text_quality",
     "multimodal_features",
     # event-time windows

@@ -120,3 +120,45 @@ def test_asof_join_is_single_shuffle(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Window" in plan
+
+
+def test_range_join_matches_naive_theta(spark):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(k, float(t)) for k in (1, 2) for t in range(0, 100, 7)],
+        "k int, pt double",
+    ).select("k", F.timestamp_seconds("pt").alias("pt"))
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (1, 9.5, 30.0), (2, 50.0, 51.0), (2, 0.0, 100.0), (3, 0.0, 100.0)],
+        "k int, s double, e double",
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("s"),
+        F.timestamp_seconds("e").alias("e"),
+    )
+    # bin width much smaller AND larger than intervals: same answer either way
+    naive = points.join(
+        intervals,
+        (points.k == intervals.k) & (points.pt >= intervals.s) & (points.pt < intervals.e),
+    ).count()
+    for bin_seconds in (3, 60, 7200):
+        got = range_join(points, intervals, ["k"], "pt", "s", "e", bin_seconds).count()
+        assert got == naive, f"bin_seconds={bin_seconds}: {got} != {naive}"
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.joins import range_join
+
+    points = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.timestamp_seconds(F.col("id")).alias("pt")
+    )
+    intervals = spark.range(20).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 10).alias("s"),
+        F.timestamp_seconds(F.col("id") * 10 + 30).alias("e"),
+    )
+    out = range_join(points, intervals, ["k"], "pt", "s", "e", 30)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

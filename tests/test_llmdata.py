@@ -208,3 +208,91 @@ def test_winnow_guarantee_and_selectivity(spark):
     )
     pairs = dedup.winnow_pairs(dup, "text", "doc_id", min_common=2).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_connected_components_transitive_closure(spark):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    # chain 1-2-3-4 (diameter 3), separate pair 10-11, pair 20-21 linked to 22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    summary = {
+        r["id"]: (r["cluster_size"], r["is_keeper"])
+        for r in dedup.cluster_summary(dedup.connected_components(pairs)).collect()
+    }
+    assert summary[1] == (4, True) and summary[4] == (4, False)
+    assert summary[10] == (2, True) and summary[22] == (3, False)
+
+
+def test_connected_components_raises_beyond_max_iters(spark):
+    import pytest
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    # path graph of diameter 5 cannot converge in 2 rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iters=2)
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in llmdata.dedup_clusters(spark, sf_dir).collect()
+    }
+    pairs = _pairs(llmdata.dedup_jaccard(spark, sf_dir))
+    assert pairs, "fixture should contain near-duplicate pairs"
+    for a, b in pairs:
+        assert clusters[a] == clusters[b], f"pair ({a},{b}) split across clusters"
+    # every cluster label is itself a member (min-id representative)
+    for doc, cl in clusters.items():
+        assert cl in clusters and clusters[cl] == cl
+
+
+def test_similarity_ivf_kmeans_recall_at_least_seeded(spark, sf_dir):
+    brute = llmdata.similarity_topk(spark, sf_dir).collect()
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute}
+
+    def recall(rows):
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return len(got & want) / len(want)
+
+    seeded = recall(llmdata.similarity_topk_ivf(spark, sf_dir).collect())
+    trained = recall(llmdata.similarity_topk_ivf_kmeans(spark, sf_dir).collect())
+    # trained cells must not be worse than arbitrary seed cells, and must
+    # clear the same floor
+    assert trained >= 0.5, f"k-means IVF recall too low: {trained}"
+    assert trained >= seeded - 0.04, f"trained {trained} << seeded {seeded}"
+
+
+def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.train_kmeans_centroids(emb, k=8, n_iters=2).collect()
+    b = similarity.train_kmeans_centroids(emb, k=8, n_iters=2).collect()
+    assert len(a) == 8
+    assert all(len(r["cv"]) == 64 for r in a)
+    assert sorted((r["centroid_id"], tuple(r["cv"])) for r in a) == sorted(
+        (r["centroid_id"], tuple(r["cv"])) for r in b
+    )
+
+
+def test_curated_corpus_invariants(spark, sf_dir):
+    docs = {r["doc_id"] for r in llmdata.curated_corpus(spark, sf_dir).collect()}
+    assert docs, "curation should keep most of the fixture corpus"
+    clusters = llmdata.dedup_clusters(spark, sf_dir).collect()
+    # no non-keeper survives curation; keepers may (subject to quality)
+    for r in clusters:
+        if not r["is_keeper"]:
+            assert r["doc_id"] not in docs, f"non-keeper {r['doc_id']} survived"
