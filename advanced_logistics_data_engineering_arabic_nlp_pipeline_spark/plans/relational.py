@@ -529,8 +529,8 @@ prior AS (
     GROUP BY p.purchase_id
 )
 SELECT p.purchase_id, p.user_id,
-       COALESCE(n_clicks, 0) AS n_clicks,
-       COALESCE(n_views, 0) AS n_views
+       CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(COALESCE(n_views, 0) AS BIGINT) AS n_views
 FROM purchases p LEFT JOIN prior USING (purchase_id)
 ORDER BY p.purchase_id
 """
