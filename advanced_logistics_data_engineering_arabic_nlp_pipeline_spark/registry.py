@@ -16,12 +16,23 @@ _PLAN_MODULES = [relational, trips, llmdata, windows, showcase]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    """Merged registry, ordered oracle-backed first, rows-only last.
+
+    The driver's correctness run covers a fixed-size prefix of this dict (50
+    entries in round 2), so every query with a DuckDB oracle must register
+    before the ``no_oracle`` rows-only entries or it silently loses its
+    driver check.  Ordering here (instead of by module shuffling) keeps the
+    guarantee stable as queries are added; tests/test_registry.py pins it.
+    """
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _PLAN_MODULES:
-        overlap = set(out) & set(mod.QUERIES)
+        overlap = set(merged) & set(mod.QUERIES)
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
-        out.update(mod.QUERIES)
+        merged.update(mod.QUERIES)
+    oracles = all_oracles()
+    out = {n: f for n, f in merged.items() if n in oracles}
+    out.update({n: f for n, f in merged.items() if n not in oracles})
     return out
 
 
