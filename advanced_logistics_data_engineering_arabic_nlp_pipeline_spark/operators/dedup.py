@@ -303,13 +303,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
         F.col(id_col).alias("id"),
         F.explode(shingles_expr(F.col(text_col), k)).alias("s"),
     ).select("id", F.pmod(F.xxhash64("s"), F.lit(MINHASH_PRIME)).alias("h"))
-    mins = exploded.groupBy("id").agg(
-        *[
-            F.min(F.pmod(a * F.col("h") + b, F.lit(MINHASH_PRIME))).alias(f"m{i}")
-            for i, (a, b) in enumerate(MINHASH_COEFFS)
-        ]
+    # The whole 64-min signature is ONE F.expr SQL string, not Columns built
+    # operator-by-operator: py4j charges ~0.5 ms per round-trip, and the
+    # Python-composed tree cost ~8 trips per aggregate (~1.8 s of driver-side
+    # construction per cold run at sf0.1 — the driver benches cold). The SQL
+    # parser builds the identical expression JVM-side in microseconds;
+    # Catalyst extracts the 64 aggregates exactly as before.
+    sig = F.expr(
+        "array("
+        + ",".join(
+            f"min(pmod({a}L * h + {b}L, {MINHASH_PRIME}L))" for a, b in MINHASH_COEFFS
+        )
+        + ") AS sig"
     )
-    return mins.select("id", F.array(*[f"m{i}" for i in range(N_HASHES)]).alias("sig"))
+    return exploded.groupBy("id").agg(sig)
 
 
 def minhash_lsh_pairs(
@@ -396,31 +403,24 @@ def simhash_values(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("t")
     ).select("id", F.xxhash64("t").alias("h"))
-    sums = tok.groupBy("id").agg(
-        F.count("*").alias("n"),
-        *[
-            F.sum(
-                F.call_function("shiftright", F.col("h"), F.lit(i)).bitwiseAND(F.lit(1))
-            ).alias(f"b{i}")
-            for i in range(64)
-        ],
-    )
+    # ONE F.expr SQL string for the whole packed SimHash — see
+    # minhash_signatures for why (py4j round-trip cost of Python-composed
+    # 64-aggregate trees). Catalyst's aggregate extraction dedups the 64
+    # repeated count(*) references and plans the same 65 aggregates as the
+    # column-per-bit formulation did.
+    #
     # Flat 64-term sum, not a 64-deep shiftleft/or chain: the nested chain
     # generates a 64-level expression tree whose janino compile dominates
     # first execution; the flat sum of disjoint powers of two is equivalent
-    # (each term contributes an isolated bit; bit 63 is the two's-complement
-    # sign bit, so its term is −2⁶³) and compiles shallow.
-    packed = sum(
-        (
-            F.when(
-                F.col(f"b{i}") * 2 > F.col("n"),
-                F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("bigint"),
-            ).otherwise(F.lit(0).cast("bigint"))
-            for i in range(64)
-        ),
-        start=F.lit(0).cast("bigint"),
+    # (each term contributes an isolated bit; shiftleft(1L, 63) is the
+    # two's-complement sign bit −2⁶³, constant-folded at optimize time)
+    # and compiles shallow.
+    packed = " + ".join(
+        f"(CASE WHEN sum(shiftright(h, {i}) & 1) * 2 > count(*) "
+        f"THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(64)
     )
-    return sums.select("id", packed.alias("sim"))
+    return tok.groupBy("id").agg(F.expr(packed + " AS sim"))
 
 
 def simhash_pairs(
@@ -498,8 +498,15 @@ def connected_components(
     this is the Spark-idiomatic equivalent of the union-find pass every
     production dedup (e.g. the C4/RefinedWeb recipes) runs after LSH.
     """
-    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Materialize the edge list ONCE. Every round joins `edges`; without
+    # this checkpoint each round's job re-executes the whole upstream
+    # pair-producing pipeline (LSH/shingle joins — the expensive part) from
+    # scratch, because separate actions don't share physical stages.
+    # Measured at sf0.1: dedup_clusters 12.6 s → ~5 s with edges pinned.
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
@@ -507,18 +514,22 @@ def connected_components(
     for _ in range(max_iters):
         neighbor_lbls = edges.join(
             labels.select(F.col("id").alias("b"), "lbl"), "b"
-        ).select(F.col("a").alias("id"), "lbl")
+        ).select(F.col("a").alias("id"), "lbl", F.lit(False).alias("is_self"))
+        # Carry the node's previous label through the same aggregation that
+        # computes the new one (each id appears exactly once in the `labels`
+        # branch), so convergence is read off the checkpointed result with a
+        # cheap scan — no per-round join + limit(1).count() job.
         new_labels = (
-            labels.union(neighbor_lbls).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            labels.withColumn("is_self", F.lit(True))
+            .union(neighbor_lbls)
+            .groupBy("id")
+            .agg(
+                F.min("lbl").alias("lbl"),
+                F.min(F.when(F.col("is_self"), F.col("lbl"))).alias("old_lbl"),
+            )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
+        labels = new_labels.select("id", "lbl")
         if changed == 0:
             return labels.select("id", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(
