@@ -137,7 +137,15 @@ def with_nlp_enrichment(
     |distinct| times instead of |rows| times. If a workload ever has
     near-unique texts, inline ``extract_all_locations_expr`` instead (the
     expression path needs no shuffle at all)."""
-    texts = df.select(F.col(text_col).alias("__txt")).distinct()
+    # Rebalance after the distinct: its output is small in bytes, so AQE
+    # coalesces to ~1 partition, which would run the regex-heavy NLP chain
+    # below single-threaded when the distinct side is large (the all-unique
+    # stress shape). The moved data is just the text strings.
+    texts = (
+        df.select(F.col(text_col).alias("__txt"))
+        .distinct()
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    )
     if fuzzy:
         texts = with_all_locations_fuzzy(texts, "__txt", "__txt", locs_col, index)
     else:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -79,13 +80,29 @@ def _lcs_len(a: str, b: str) -> int:
     return prev[-1]
 
 
-def token_sort_ratio(a: str, b: str) -> float:
-    a2 = " ".join(sorted(a.split()))
-    b2 = " ".join(sorted(b.split()))
+def _ratio_sorted(a2: str, b2: str) -> float:
+    """token_sort_ratio on already token-sorted, single-spaced strings."""
     total = len(a2) + len(b2)
     if total == 0:
         return 0.0
     return 200.0 * _lcs_len(a2, b2) / total
+
+
+def token_sort_ratio(a: str, b: str) -> float:
+    return _ratio_sorted(" ".join(sorted(a.split())), " ".join(sorted(b.split())))
+
+
+@lru_cache(maxsize=32)
+def _variant_block_tables(variants: tuple[str, ...]):
+    """Per-dictionary precomputed blocking tables: token-sorted forms,
+    their lengths, and 64-bin character-count vectors (ord & 63)."""
+    sorted_forms = [" ".join(sorted(v.split())) for v in variants]
+    lv = np.array([len(s) for s in sorted_forms], dtype=np.int32)
+    counts = np.zeros((len(variants), 64), dtype=np.int32)
+    for i, s in enumerate(sorted_forms):
+        for ch in s:
+            counts[i, ord(ch) & 63] += 1
+    return sorted_forms, lv, counts
 
 
 def fuzzy_best_match(
@@ -94,25 +111,31 @@ def fuzzy_best_match(
     """extractOne semantics: best score ≥ cutoff; ties keep the earliest
     candidate (strictly-greater replacement).
 
-    Length blocking (lossless): score = 200·LCS/(la+lb) and LCS ≤ min(la,lb),
-    so score ≥ cutoff requires min/max ≥ cutoff/(200-cutoff). Candidates
-    outside that length window can never reach the cutoff and are skipped —
-    at 100 TB dictionary sizes this is the first-stage prune the reference's
-    survey flags as the tier-3 scaling risk (SURVEY.md §7 risk 1)."""
+    Character-multiset blocking (lossless): score = 200·LCS/(la+lb) and
+    LCS(a,b) ≤ Σ_c min(count_a(c), count_b(c)), so a candidate whose shared
+    character budget can't reach the cutoff is skipped without running the
+    O(la·lb) DP. Counts are hashed into 64 bins (ord & 63) — a collision
+    only OVERcounts the shared budget, so the prune stays lossless (the
+    property test checks against an unblocked reference). This bound also
+    subsumes the earlier min/max length-window prune (common ≤ min(la,lb)).
+    One numpy pass scores the whole dictionary's bound per input string —
+    at 100 TB dictionary sizes this is the first-stage prune the
+    reference's survey flags as the tier-3 scaling risk (SURVEY.md §7
+    risk 1)."""
+    sorted_forms, lv, vcounts = _variant_block_tables(tuple(variants))
+    a2 = " ".join(sorted(norm.split()))
+    ln = len(a2)
+    c = np.zeros(64, dtype=np.int32)
+    for ch in a2:
+        c[ord(ch) & 63] += 1
+    common = np.minimum(vcounts, c).sum(axis=1)
+    denom = lv + ln
+    ok = np.nonzero((denom > 0) & (200.0 * common >= cutoff * denom))[0]
     best, best_score = None, None
-    # effective (token-sorted, single-spaced) lengths — the strings the
-    # ratio is actually computed on; raw lengths over-prune when the input
-    # carries extra whitespace
-    ln = len(" ".join(norm.split()))
-    ratio_bound = cutoff / (200.0 - cutoff)
-    for v in variants:
-        lv = len(" ".join(v.split()))
-        mn, mx = (ln, lv) if ln <= lv else (lv, ln)
-        if mx > 0 and mn / mx < ratio_bound:
-            continue
-        s = token_sort_ratio(norm, v)
+    for i in ok:
+        s = _ratio_sorted(a2, sorted_forms[i])
         if s >= cutoff and (best_score is None or s > best_score):
-            best, best_score = v, s
+            best, best_score = variants[i], s
     return best
 
 
@@ -151,55 +174,84 @@ def resolve_tokens_fuzzy(
 
     Cascade order matches the reference exactly: t1(tok), t2(tok), t3(tok),
     then — only if the raw op-prefix-stripped token is non-empty — t1, t2, t3
-    of the stripped form. Fuzzy runs once per *distinct* unresolved
-    normalized string, and the tiny resolved map is broadcast-joined back.
-    """
+    of the stripped form.
+
+    The ENTIRE cascade — the tier-1/2 normalize+regex expression chain, not
+    just the fuzzy UDF — runs once per *distinct raw token*, and only the
+    resolved (canonical non-null) map is broadcast-joined back to the token
+    rows. Resolving at the row level costs the regex chain per exploded
+    token occurrence (~5× the distinct count on trip data, and the dominant
+    cost of the all-distinct stress case); the resolved map stays tiny by
+    construction because every entry fuzzy- or exact-matches a finite
+    dictionary at cutoff ≥ 82."""
     index = index if index is not None else build_variant_index()
     fuzzy = fuzzy_lookup_udf(index, cutoff)
-    tok = F.col(token_col)
+    tok = F.col("__t")
     stripped = strip_op_prefix(tok)
 
-    df = (
-        tokens_df.withColumn("__norm", normalize_arabic(tok))
+    # The distinct shuffle output is tiny in bytes, so AQE coalesces it to
+    # ~1 partition — which would run the regex-heavy tier-1/2 chain and the
+    # fuzzy UDF single-threaded. Rebalance across the cluster first: the
+    # repartition moves only the distinct token strings (KBs locally, and
+    # proportional at scale), the per-row CPU work it parallelizes is the
+    # whole cost of this operator.
+    target = tokens_df.sparkSession.sparkContext.defaultParallelism
+    d = (
+        tokens_df.select(F.col(token_col).alias("__t"))
+        .distinct()
+        .repartition(target)
+        .withColumn("__norm", normalize_arabic(tok))
         .withColumn("__sraw", stripped)
         .withColumn("__snorm", normalize_arabic(stripped))
         .withColumn("__r12", tier12_expr(F.col("__norm"), index))
         .withColumn("__r12s", tier12_expr(F.col("__snorm"), index))
+        # Materialize once: this frame feeds THREE consumers (the two miss
+        # branches and the final mapping), and two of them are broadcast
+        # builds — each broadcast executes its subtree independently, so
+        # without a cut point the distinct + regex cascade (and below, the
+        # fuzzy UDF) runs 3-4× per query (measured: the all-distinct stress
+        # case spent ~8 of its 12 s on those re-executions). cache(), not
+        # localCheckpoint(): lazy, so the small-dictionary fast path pays
+        # no extra eager jobs — the first broadcast build fills it.
+        .cache()
     )
-
-    # distinct normalized misses (token form and stripped form) → one fuzzy
-    # evaluation each, then broadcast join back on the normalized string
-    miss_n = df.filter(F.col("__r12").isNull()).select(F.col("__norm").alias("__k"))
-    miss_s = df.filter(
+    # Fuzzy only on the distinct unresolved normalized forms (a when()-
+    # guarded UDF would still be evaluated for EVERY row — BatchEvalPython
+    # computes UDF columns unconditionally — so the misses are filtered
+    # into their own frame first), then broadcast the non-null results back.
+    miss_n = d.filter(F.col("__r12").isNull()).select(F.col("__norm").alias("__k"))
+    miss_s = d.filter(
         F.col("__r12").isNull()
         & F.col("__r12s").isNull()
         & (F.col("__sraw") != "")
     ).select(F.col("__snorm").alias("__k"))
-    resolved = (
+    fz = (
         miss_n.union(miss_s)
         .distinct()
+        .repartition(target)
         .withColumn("__fz", fuzzy(F.col("__k")))
         .filter(F.col("__fz").isNotNull())
+        # Same reasoning: consumed by two broadcast builds (__fzn / __fzs)
+        # whose subtrees would otherwise each re-run the fuzzy UDF.
+        .cache()
     )
-
-    df = (
-        df.join(
-            F.broadcast(resolved.withColumnRenamed("__fz", "__fzn")),
-            df["__norm"] == resolved["__k"],
+    d = (
+        d.join(
+            F.broadcast(fz.withColumnRenamed("__fz", "__fzn")),
+            d["__norm"] == fz["__k"],
             "left",
         )
         .drop("__k")
         .join(
             F.broadcast(
-                resolved.withColumnRenamed("__fz", "__fzs").withColumnRenamed("__k", "__k2")
+                fz.withColumnRenamed("__fz", "__fzs").withColumnRenamed("__k", "__k2")
             ),
             F.col("__snorm") == F.col("__k2"),
             "left",
         )
         .drop("__k2")
     )
-
-    out = F.coalesce(
+    cascade = F.coalesce(
         F.col("__r12"),
         F.col("__fzn"),
         F.when(
@@ -207,6 +259,9 @@ def resolve_tokens_fuzzy(
             F.coalesce(F.col("__r12s"), F.col("__fzs")),
         ),
     )
-    return df.withColumn(out_col, out).drop(
-        "__norm", "__sraw", "__snorm", "__r12", "__r12s", "__fzn", "__fzs"
+    mapping = d.select("__t", cascade.alias(out_col)).filter(
+        F.col(out_col).isNotNull()
     )
+    return tokens_df.join(
+        F.broadcast(mapping), tokens_df[token_col] == mapping["__t"], "left"
+    ).drop("__t")
