@@ -90,6 +90,23 @@ WINNOW_K = 16        # char k-gram size
 WINNOW_W = 8         # winnowing window (matches ≥ w+k-1 = 23 chars detected)
 WINNOW_MIN_COMMON = 10
 
+# ASCII whitespace class, NOT r"\s+": Python's \s (and bare str.strip) match
+# Unicode whitespace (NBSP, U+2028, …), DuckDB-RE2's \s is ASCII-only but
+# its bare trim() strips Unicode Zs, and the Java-regex shingling paths are
+# ASCII-\s — three subtly different classes. Both winnow engines therefore
+# normalize with ONE explicitly-spelled rule: lowercase, squeeze ASCII
+# whitespace runs to a single space, then strip plain spaces. Non-ASCII
+# whitespace is content in both engines.
+_ASCII_WS = " \t\n\r\f\v"
+_ascii_ws_re = re.compile(f"[{_ASCII_WS}]+")
+
+
+def winnow_normalize(text: str) -> str:
+    """The exact pre-fingerprint normalization (lower → ASCII-ws squeeze →
+    strip spaces) — module-level so engine-parity tests can target it;
+    mirrored verbatim in DEDUP_WINNOW_SQL."""
+    return _ascii_ws_re.sub(" ", str(text).lower()).strip(" ")
+
 
 def winnow_fingerprint_rows(
     df: DataFrame,
@@ -119,8 +136,6 @@ def winnow_fingerprint_rows(
 
     import pandas as pd
 
-    ws_re = re.compile(r"\s+")
-
     def winnow(grams: list[str]) -> set[str]:
         if len(grams) <= w:
             return {min(grams)}
@@ -143,7 +158,7 @@ def winnow_fingerprint_rows(
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                norm = ws_re.sub(" ", str(text).strip().lower())
+                norm = winnow_normalize(text)
                 n = len(norm) - (k - 1)
                 if n < 1:
                     grams = [hashlib.md5(norm.encode("utf-8")).hexdigest()]

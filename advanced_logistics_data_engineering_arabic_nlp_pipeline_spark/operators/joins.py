@@ -64,13 +64,17 @@ def asof_join(
     the oracle mirror).
 
     Implementation is the union–window formulation, not a range join: tag
-    both sides, union on (key, ts), and carry each payload forward with
-    ``last(col, ignorenulls=True)`` over a (key)-partitioned, (ts, side)-
-    ordered running window; keep only left rows. ONE shuffle on the key,
-    sort within partitions, zero row amplification — a theta/range join
-    would fan out |left|×|right-per-key| rows before picking the max.
-    Skewed keys behave like any keyed window (salt upstream if one key
-    dominates).
+    both sides, union on (key, ts), and carry the payload forward as ONE
+    packed struct with ``last(struct, ignorenulls=True)`` over a
+    (key)-partitioned, (ts, side)-ordered running window; keep only left
+    rows and unpack. Filling the struct (not each column independently)
+    guarantees every payload column comes from the SAME matched right row —
+    a per-column fill would silently backfill a NULL payload field from an
+    older right row, diverging from ASOF semantics (the matched row's NULL
+    must win). ONE shuffle on the key, sort within partitions, zero row
+    amplification — a theta/range join would fan out
+    |left|×|right-per-key| rows before picking the max. Skewed keys behave
+    like any keyed window (salt upstream if one key dominates).
 
     Ties: a right row at exactly ``left_ts`` is visible (sorts before the
     left row), matching ASOF's ``>=``. Callers must pre-reduce duplicate
@@ -96,12 +100,18 @@ def asof_join(
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # right rows pack their payload into a non-null struct; left rows
+    # contribute NULL (a bare struct of NULL fields is itself non-null, so
+    # the when() guard is what makes ignorenulls skip left rows)
+    packed = F.when(F.col("__side") == 0, F.struct(*payload_cols))
     filled = l.unionByName(r).select(
         "__side",
         *lcols,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload_cols],
+        F.last(packed, ignorenulls=True).over(w).alias("__p"),
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    return filled.filter(F.col("__side") == 1).select(
+        *lcols, *[F.col(f"__p.{c}").alias(c) for c in payload_cols]
+    )
 
 
 def tier2_theta_join(

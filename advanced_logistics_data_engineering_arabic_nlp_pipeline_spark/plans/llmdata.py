@@ -223,14 +223,20 @@ def dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level near-dup pairs via winnowing fingerprints (Schleimer
     et al. 2003): pairs sharing ≥WINNOW_MIN_COMMON selected k-gram minima.
     Fully oracle-checked — the md5/lexicographic-min formulation is engine-
-    portable (operators/dedup.winnow_fingerprints_expr)."""
+    portable (operators/dedup.winnow_fingerprint_rows / winnow_pairs)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_pairs(docs, "text", "doc_id")
 
 
 DEDUP_WINNOW_SQL = f"""
 WITH n AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+  -- explicit ASCII whitespace class + trim of plain spaces only: RE2's \\s
+  -- is ASCII but DuckDB's bare trim() strips Unicode Zs (NBSP etc.), while
+  -- Python's \\s/strip are fully Unicode-aware — so both engines normalize
+  -- with this ONE explicitly-spelled rule (squeeze ASCII ws, strip spaces);
+  -- see operators/dedup.winnow_normalize and its parity test
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS t
   FROM documents
 ),
 g AS (

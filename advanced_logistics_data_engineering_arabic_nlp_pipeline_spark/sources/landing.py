@@ -196,11 +196,20 @@ def parse_json_payload(payload: DataFrame, schema: StructType | str) -> DataFram
     DataFrame of JSON strings (Kafka ``value``, socket lines, raw text
     files) into the same typed columns ``stream_landing`` produces. Every
     transformation downstream of this point is source-agnostic — the Kafka
-    and file paths differ ONLY in the reader."""
+    and file paths differ ONLY in the reader.
+
+    Kafka tombstones (NULL value) parse to a NULL struct and malformed
+    payloads parse (PERMISSIVE mode) to a struct of all-NULL fields —
+    flattened, both become all-NULL rows that would flow silently into
+    downstream aggregates. Such rows are DROPPED here, detected uniformly
+    as ``to_json(parsed)`` being NULL or ``'{{}}'`` (no recognized field
+    survived — which also covers a literal empty object). Callers needing
+    a dead-letter stream should split on that predicate before this seam."""
     struct = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
     col = payload.columns[0]
-    return payload.select(
-        F.from_json(F.col(col).cast("string"), struct).alias("r")
+    parsed = payload.select(F.from_json(F.col(col).cast("string"), struct).alias("r"))
+    return parsed.filter(
+        F.to_json(F.col("r")).isNotNull() & (F.to_json(F.col("r")) != "{}")
     ).select("r.*")
 
 

@@ -89,9 +89,12 @@ def run_upsert_latest(
     merged buckets to a scratch directory, then atomically swap each bucket
     directory into place (``os.replace`` per partition). Untouched buckets
     are never read or rewritten, so per-batch cost is O(touched fraction of
-    sink), not O(sink) — and because the merge is written to scratch BEFORE
-    any swap, a crash mid-merge leaves the sink intact (no
-    read-then-overwrite of live files, no cache-materialization hack).
+    sink), not O(sink). Crash safety: the merge is written to scratch
+    BEFORE any swap, so a crash up to the first rename leaves the sink
+    untouched; a crash BETWEEN a bucket's two renames leaves that bucket
+    parked at ``__bucket=N.old``, which the next merge detects and renames
+    back before reading (each bucket swap is two renames, so per-bucket
+    recovery — not global atomicity — is the guarantee).
 
     Missing-sink handling is an explicit existence check, not a bare
     ``except``: any real read failure (corrupt footer, permissions,
@@ -118,6 +121,20 @@ def run_upsert_latest(
         )
         if not touched:
             return
+
+        # Crash recovery: a previous run may have died between a bucket's
+        # two swap renames, leaving it parked at '__bucket=N.old' with no
+        # live dir — restore it before reading. A .old alongside a live
+        # dir is post-swap debris from a crash before cleanup — drop it.
+        if os.path.isdir(sink_dir):
+            for name in os.listdir(sink_dir):
+                if name.startswith("__bucket=") and name.endswith(".old"):
+                    orphan = os.path.join(sink_dir, name)
+                    live = os.path.join(sink_dir, name[: -len(".old")])
+                    if os.path.isdir(live):
+                        shutil.rmtree(orphan, ignore_errors=True)
+                    else:
+                        os.replace(orphan, live)
 
         sink_exists = os.path.isdir(sink_dir) and any(
             name.startswith("__bucket=") for name in os.listdir(sink_dir)

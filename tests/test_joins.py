@@ -104,6 +104,27 @@ def test_asof_join_matches_naive_range_join(spark):
     assert got == {r["lid"]: r["payload"] for r in naive.collect()}
 
 
+def test_asof_join_null_payload_not_backfilled(spark):
+    """A NULL payload field on the MATCHED right row must survive as NULL —
+    a per-column fill would silently take that column from an older right
+    row, mixing columns across rows (DuckDB ASOF returns the matched row
+    wholesale). The packed-struct fill guarantees row atomicity."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1, 300)], ["lid", "k", "t"])
+    right = spark.createDataFrame(
+        [(1, 100, "old_a", "old_b"), (1, 200, None, "new_b")],
+        ["k", "rt", "pa", "pb"],
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="rt", payload_cols=["pa", "pb"]
+    ).collect()
+    assert len(out) == 1
+    # matched row is rt=200: pa must be its NULL, not "old_a" from rt=100
+    assert out[0]["pa"] is None
+    assert out[0]["pb"] == "new_b"
+
+
 def test_asof_join_is_single_shuffle(spark):
     """Plan shape: the as-of join must be union → one Exchange on the key →
     window, never a join node (no row amplification)."""

@@ -296,3 +296,30 @@ def test_curated_corpus_invariants(spark, sf_dir):
     for r in clusters:
         if not r["is_keeper"]:
             assert r["doc_id"] not in docs, f"non-keeper {r['doc_id']} survived"
+
+def test_winnow_normalize_matches_duckdb_whitespace_class():
+    """The Python-side normalization must treat exactly the characters the
+    DuckDB oracle's RE2 '\\s+'/trim treats as whitespace: Unicode spaces
+    (NBSP, U+2028, thin space) are CONTENT in both engines. A bare Python
+    \\s+/str.strip is Unicode-aware and would fingerprint such documents
+    differently across engines."""
+    import duckdb
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.dedup import winnow_normalize
+
+    con = duckdb.connect()
+    probes = [
+        "plain  text\twith\nnormal ws  ",
+        "non\u00a0breaking space",
+        "line\u2028separator and\u2009thin space",
+        "\u00a0leading unicode ws kept ",
+        " mixed \u00a0 both kinds\t\u2028 here ",
+        "\tascii-edge runs\n",
+    ]
+    for p in probes:
+        duck = con.execute(
+            "SELECT trim(regexp_replace(lower($1), '[ \t\n\r\f\v]+', ' ', 'g'), ' ')",
+            [p],
+        ).fetchone()[0]
+        assert winnow_normalize(p) == duck, repr(p)
+    con.close()

@@ -88,6 +88,22 @@ def test_landing_retry_then_success(tmp_path):
     assert landing.land_pages(flaky, out, max_attempts=5) == 1
 
 
+def test_parse_json_payload_drops_malformed_and_tombstones(spark):
+    """Malformed JSON and Kafka tombstones (NULL value) must be dropped,
+    not flattened into all-NULL rows that pollute downstream aggregates."""
+    rows = [
+        ('{"event_id": 1, "ts": "2024-05-01 10:00:00", "user_id": 7, '
+         '"event_type": "click", "value": 1.5}',),
+        ('{"event_id": 2}',),  # partial but valid — kept
+        ("not json at all",),  # malformed → all-NULL fields → dropped
+        (None,),  # tombstone → NULL struct → dropped
+        ("{}",),  # no recognized field → dropped
+    ]
+    payload = spark.createDataFrame(rows, "value string")
+    got = landing.parse_json_payload(payload, EVENT_SCHEMA).collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
 def test_kafka_shaped_payload_shares_pipeline(spark, sf_dir, tmp_path):
     """The Kafka seam: a stream of raw JSON *strings* (exactly the shape of
     Kafka's ``value`` column) run through parse_json_payload produces the
@@ -389,3 +405,42 @@ def test_upsert_read_failure_is_not_first_batch(spark, tmp_path):
         if fn.endswith(".parquet")
     ]
     assert len(remaining) == len(bucket_dirs)  # files still present, not replaced by a 1-row sink
+
+def test_upsert_recovers_bucket_parked_mid_swap(spark, tmp_path):
+    """Crash window: dying between a bucket's two swap renames leaves it
+    only at '__bucket=N.old'. The next merge must restore it before
+    reading, so the bucket's historical rows survive into the merge."""
+    land_dir = str(tmp_path / "cr_land")
+    sink = str(tmp_path / "cr_sink")
+    os.makedirs(land_dir)
+
+    def ev(i, user, ts, val):
+        return {"event_id": i, "ts": ts, "user_id": user, "event_type": "click", "value": val}
+
+    def run(ckpt):
+        stream = landing.stream_landing(spark, land_dir, EVENT_SCHEMA)
+        q = pipeline.run_upsert_latest(
+            stream, ["user_id"], "ts", sink, str(tmp_path / ckpt), n_buckets=4
+        )
+        q.awaitTermination(120)
+
+    with open(os.path.join(land_dir, "page_000000.json"), "w") as f:
+        for r in [ev(i, i, "2024-05-01 10:00:00", 1.0) for i in range(8)]:
+            f.write(json.dumps(r) + "\n")
+    run("cr_ck1")
+    assert spark.read.parquet(sink).count() == 8
+
+    # simulate the crash: park one populated bucket at .old (first rename
+    # done, second never happened)
+    parked = sorted(d for d in os.listdir(sink) if d.startswith("__bucket="))[0]
+    os.replace(os.path.join(sink, parked), os.path.join(sink, parked + ".old"))
+
+    # a new batch for one unrelated user triggers a merge; recovery must
+    # first restore the parked bucket
+    with open(os.path.join(land_dir, "page_000001.json"), "w") as f:
+        f.write(json.dumps(ev(100, 0, "2024-05-02 12:00:00", 9.0)) + "\n")
+    run("cr_ck2")
+
+    got = spark.read.parquet(sink)
+    assert got.count() == 8  # no user lost with the parked bucket
+    assert not any(d.endswith(".old") for d in os.listdir(sink))
