@@ -87,6 +87,31 @@ def main() -> None:
 
     timings = {n: run(n) for n in HEADLINE if n in queries}
     stress = {n: run(n) for n in STRESS if n in queries}
+
+    # Coverage accounting for the capped Jaccard dedup: how many distinct
+    # shingles the df cap drops this run. The cap is a documented recall
+    # bound, and a bound that is never measured reads as "covered
+    # everything" — so every bench run records it.
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.dedup import (
+        shingle_df_stats,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.llmdata import (
+        JACCARD_MAX_SHINGLE_DF,
+    )
+
+    srow = shingle_df_stats(
+        tables.load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    ).collect()[0]
+    diagnostics = {
+        "jaccard_shingle_df_cap": JACCARD_MAX_SHINGLE_DF,
+        "jaccard_n_shingles": srow["n_shingles"],
+        "jaccard_n_dropped": srow["n_dropped"],
+        "jaccard_max_df": srow["max_df"],
+    }
+
     total = round(sum(timings.values()), 3)
     # Round-over-round continuity: the headline list grows as operators land,
     # so the grand total is not comparable across rounds. This subtotal is
@@ -110,6 +135,7 @@ def main() -> None:
                 "queries": timings,
                 "stress": stress,
                 "subtotal_r1_queries": subtotal_r1,
+                "diagnostics": diagnostics,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
