@@ -323,3 +323,41 @@ def test_winnow_normalize_matches_duckdb_whitespace_class():
         ).fetchone()[0]
         assert winnow_normalize(p) == duck, repr(p)
     con.close()
+
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """The prefix-filtered candidate join must reproduce the full self-join
+    formulation EXACTLY (pairs and jaccard values) — prefix filtering is
+    only a candidate prune; verification computes exact Jaccard from full
+    shingle sets. Checked on the fixture corpus and an adversarial random
+    corpus with heavy shared vocabulary and boundary-length docs."""
+    import random
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def rows(df):
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in df.collect()
+        )
+
+    for thr in (0.4, 0.6, 0.8):
+        full = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=thr, prefix_filter=False)
+        pref = dedup.jaccard_pairs(docs, "text", "doc_id", threshold=thr, prefix_filter=True)
+        assert rows(full) == rows(pref), f"threshold {thr}"
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    synth = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(120)
+    ]
+    # plant exact and near duplicates
+    synth += [(1000, synth[0][1]), (1001, synth[1][1] + " extraword more here")]
+    sdf = spark.createDataFrame(synth, "doc_id long, text string")
+    full = dedup.jaccard_pairs(sdf, "text", "doc_id", threshold=0.5, prefix_filter=False)
+    pref = dedup.jaccard_pairs(sdf, "text", "doc_id", threshold=0.5, prefix_filter=True)
+    assert rows(full) == rows(pref)
+    assert rows(full), "sanity: planted duplicates must produce pairs"
