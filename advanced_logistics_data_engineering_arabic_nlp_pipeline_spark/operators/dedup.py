@@ -231,7 +231,7 @@ def jaccard_pairs(
     threshold: float = 0.6,
     k: int = 3,
     max_shingle_df: int | None = None,
-    prefix_filter: bool = True,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard, candidate-generated
     through a shingle equi-join (never a cross join).
@@ -239,7 +239,7 @@ def jaccard_pairs(
     ``max_shingle_df``: drop shingles appearing in more than this many docs
     (stop-shingle cap) — at 100 TB this bounds join fan-out; None keeps all.
 
-    ``prefix_filter`` (default): candidates come from a PREFIX equi-join —
+    ``prefix_filter`` (opt-in): candidates come from a PREFIX equi-join —
     the prefix-filtering principle of the set-similarity-join literature
     (Chaudhuri/Ganti/Kaushik SSJoin, ICDE 2006; Xiao et al. PPJoin, WWW
     2008; Vernica/Carey/Li's MapReduce formulation, SIGMOD 2010): order
@@ -250,9 +250,15 @@ def jaccard_pairs(
     computes the EXACT Jaccard from the full shingle sets, so the output
     is identical to the full self-join formulation (property-tested) —
     but the candidate fan-out collapses from every-shared-vocabulary pair
-    to rare-shingle collisions (measured at sf0.1: 1.13 M candidate pairs
-    → 8 k, wall-time 5.8 s → 3.4 s; the gap widens with corpus size since
-    vocabulary overlap, not duplication, drives the full join's fan-out).
+    to rare-shingle collisions. Opt-in, not the default: the prefix path
+    costs a df aggregate, a per-doc ranking window and a collect_set
+    verify, which only pays off when vocabulary overlap drives the plain
+    shingle join's fan-out (hot shingles shared by a large doc fraction).
+    On the driver corpus the plain join is already cheap (max shingle df
+    ≈ 25/5000 docs; measured at sf0.1: plain 5.0 s vs prefix 18.6 s), so
+    the prefix machinery is pure overhead there — enable it for corpora
+    where `shingle_df_stats` shows heavy-df shingles the stop-shingle cap
+    can't drop without recall loss.
     """
     sh = shingle_rows(df, text_col, id_col, k)
     if max_shingle_df is not None:

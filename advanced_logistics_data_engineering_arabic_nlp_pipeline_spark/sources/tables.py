@@ -36,13 +36,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # JVM default zone (date parts must match the oracle's naive timestamps)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read it as nanos-since-epoch and convert to a
-        # microsecond TimestampType column (runtime-settable conf, so any
-        # caller-provided SparkSession works).
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader rejects — read as nanos-since-epoch under the
+        # legacy conf and convert) and as TIMESTAMP(MICROS, NTZ). Branch on
+        # the type actually read so either fixture vintage yields the same
+        # session-UTC TimestampType column.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -83,7 +83,14 @@ def main() -> None:
         # A bare count() lets Spark prune projections (an NLP pipeline would
         # "finish" without running the NLP), understating the real work.
         df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        elapsed = round(time.perf_counter() - t0, 3)
+        # Several operators cache() intermediate cut points (distinct-token
+        # cascades, shingle frames). Within a query that is load-bearing;
+        # across 30 back-to-back queries the orphaned entries accumulate in
+        # the block manager and degrade later queries. Each query stands
+        # alone, so drop leftovers outside the timed window.
+        spark.catalog.clearCache()
+        return elapsed
 
     timings = {n: run(n) for n in HEADLINE if n in queries}
     stress = {n: run(n) for n in STRESS if n in queries}
