@@ -47,5 +47,18 @@ def get_spark(
         # is cached. Cheap in memory (generated classes are small), pure win
         # for a long-running cluster app.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
+        # Dozens of distinct query shapes × whole-stage codegen emit enough
+        # janino classes to fill the JVM's default 240 MB code cache; when it
+        # fills, the JIT disables itself and hot aggregate/join loops drop to
+        # interpreted bytecode (measured here as a ~9x single-task slowdown
+        # late in a 30-query session). Only effective when this process
+        # launches the JVM (driver-local mode); harmless otherwise.
+        .config(
+            "spark.driver.extraJavaOptions",
+            (
+                "-XX:ReservedCodeCacheSize=512m "
+                + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
+            ).strip(),
+        )
         .getOrCreate()
     )

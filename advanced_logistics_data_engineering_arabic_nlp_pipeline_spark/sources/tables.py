@@ -30,6 +30,41 @@ TABLES = (
 # sub-linearly or not at all in TPC-H-style schemas).
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+# Below this row count a single-task scan is fine; above it, an
+# under-parallelized scan serializes every downstream pipelined operator.
+# The threshold is deliberately low: per-row work varies by orders of
+# magnitude (documents feed shingling / 64-hash aggregates, embeddings
+# feed pairwise-cosine pipelines), so even a few thousand rows on one
+# task can dominate a query's wall-time.
+_MIN_ROWS_FOR_SCAN_REBALANCE = 2_000
+
+
+def _scan_splits(sf_dir: str, name: str) -> tuple[int, int]:
+    """(row_groups, rows) from the parquet footer — the maximum scan
+    parallelism Spark can extract from the file without a shuffle."""
+    try:
+        import pyarrow.parquet as pq
+
+        f = pq.ParquetFile(os.path.join(sf_dir, f"{name}.parquet"))
+        return f.num_row_groups, f.metadata.num_rows
+    except Exception:
+        return (1 << 30, 0)  # unknown: assume splittable, skip rebalance
+
+
+def _rebalanced(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Repartition a fact table whose file layout cannot feed the session's
+    parallelism (few row groups, e.g. the single-row-group test fixtures —
+    Spark splits parquet by byte ranges, but every range maps into the one
+    row group, so the whole scan→join→partial-agg pipeline runs as ONE
+    task). The shuffle moves only the pruned columns and is skipped
+    entirely when the footer shows enough row groups — at production scale
+    (many files × many row groups) this is a no-op by construction."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    groups, rows = _scan_splits(sf_dir, name)
+    if groups >= max(cores // 2, 1) or rows < _MIN_ROWS_FOR_SCAN_REBALANCE:
+        return df
+    return df.repartition(cores)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # deterministic timestamp semantics regardless of the caller session's
@@ -45,11 +80,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        if ts_type == "timestamp_ntz":
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return _rebalanced(df, sf_dir, name)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name in BROADCAST_DIMS:
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return _rebalanced(df, sf_dir, name)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
