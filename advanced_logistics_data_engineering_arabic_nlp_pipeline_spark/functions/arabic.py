@@ -111,10 +111,37 @@ _WORD_FINAL_HA_SPARK = f"ه(?=[^{WORDCH}]|$)"   # lookahead ok in Java/Python
 
 # ── 1. Spark Column expressions ──────────────────────────────────────────────
 
+# Column expression trees are immutable, so an already-built chain can be
+# reused verbatim wherever the same input expression appears again — and the
+# D1 chain below is ~10 chained regexp/HOF constructor calls, each a py4j
+# round-trip (~0.6 s per build, measured). The memo is keyed on the printed
+# input expression plus the live gateway (a new JVM invalidates old refs).
+_NORM_MEMO: dict[tuple[int, str], Column] = {}
+
+
+def _gateway_id() -> int:
+    from pyspark import SparkContext
+
+    return id(SparkContext._gateway)
+
+
 def normalize_arabic(c: Column) -> Column:
     """D1 ``_normalize`` (cleaner_v6.py:156-171): lower+trim, alef fold,
     tatweel strip, ى→ي, word-final ه→ة, diacritics strip, lam-alef→لا,
     embedded-EN-stopword drop, ≥3 char-run squeeze to 2, whitespace collapse."""
+    try:
+        key = (_gateway_id(), str(c))
+    except Exception:
+        key = None
+    if key is not None and key in _NORM_MEMO:
+        return _NORM_MEMO[key]
+    out = _normalize_arabic_build(c)
+    if key is not None:
+        _NORM_MEMO[key] = out
+    return out
+
+
+def _normalize_arabic_build(c: Column) -> Column:
     c = F.lower(F.trim(c.cast("string")))
     c = F.regexp_replace(c, ALEF_VARIANTS, "ا")
     c = F.regexp_replace(c, TATWEEL, "")

@@ -87,16 +87,34 @@ def _default_index() -> dict[str, str]:
     return build_variant_index()
 
 
+_MAP_EXPR_MEMO: dict[tuple[int, tuple[tuple[str, str], ...]], Column] = {}
+
+
 def variant_map_expr(index: dict[str, str] | None = None) -> Column:
     """The reverse index as a literal MAP expression — the Spark analogue of
     the broadcast O(1) lookup (README.md:48 claim). For a dictionary too big
-    to inline, use :func:`dim_table` + broadcast join instead."""
+    to inline, use :func:`dim_table` + broadcast join instead.
+
+    Memoized per (gateway, dictionary contents): the literal is 2×|variants|
+    py4j `lit` calls and the cascade instantiates it several times per
+    query (norm + stripped-norm, tier-1 + tier-2)."""
     index = index if index is not None else _default_index()
+    from ..functions.arabic import _gateway_id
+
+    try:
+        key = (_gateway_id(), tuple(index.items()))
+    except Exception:
+        key = None
+    if key is not None and key in _MAP_EXPR_MEMO:
+        return _MAP_EXPR_MEMO[key]
     pairs: list[Column] = []
     for nv, canonical in index.items():
         pairs.append(F.lit(nv))
         pairs.append(F.lit(canonical))
-    return F.create_map(*pairs)
+    out = F.create_map(*pairs)
+    if key is not None:
+        _MAP_EXPR_MEMO[key] = out
+    return out
 
 
 def dim_table(spark: SparkSession, index: dict[str, str] | None = None) -> DataFrame:
