@@ -26,8 +26,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
+    # Shuffle/spill scratch: prefer tmpfs when present — the default /tmp
+    # sits on a virtual disk whose latency varies with host neighbors, and
+    # local-mode shuffle volumes here are MBs. On a real cluster point this
+    # at fast local SSDs instead (deployment config, not engine semantics).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.local.dir", local_dir or "/tmp")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
