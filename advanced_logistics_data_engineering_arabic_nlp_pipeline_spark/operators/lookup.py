@@ -210,15 +210,30 @@ def resolve_tokens_fuzzy(
         # builds — each broadcast executes its subtree independently, so
         # without a cut point the distinct + regex cascade (and below, the
         # fuzzy UDF) runs 3-4× per query (measured: the all-distinct stress
-        # case spent ~8 of its 12 s on those re-executions). cache(), not
-        # localCheckpoint(): lazy, so the small-dictionary fast path pays
-        # no extra eager jobs — the first broadcast build fills it.
+        # case spent ~8 of its 12 s on those re-executions). The cache is
+        # filled EAGERLY below (after fz is defined): Spark submits
+        # broadcast-exchange builds asynchronously, and concurrent subtree
+        # executions do NOT share an unfilled lazy cache — event-log
+        # profiling showed three simultaneous 1.9 s builds of this exact
+        # subtree racing past the lazy cut point.
         .cache()
     )
+    # Fill the first cut point NOW: Spark submits broadcast-exchange builds
+    # asynchronously, and concurrent subtree executions do NOT share an
+    # unfilled lazy cache (event-log profiling showed three simultaneous
+    # 1.9 s builds of the same subtree racing past a lazy cut point). The
+    # count is one sub-second job — and its value sizes the fuzzy stage's
+    # parallelism below.
+    n_distinct = d.count()
     # Fuzzy only on the distinct unresolved normalized forms (a when()-
     # guarded UDF would still be evaluated for EVERY row — BatchEvalPython
     # computes UDF columns unconditionally — so the misses are filtered
     # into their own frame first), then broadcast the non-null results back.
+    # The Python stage's partition count scales with the (already-paid)
+    # distinct count: a handful of tokens on 32 partitions would spin up 32
+    # Arrow workers to score ~1 string each — worker dispatch, not scoring,
+    # dominates. ≥64 tokens per worker before adding another.
+    fuzzy_parts = max(1, min(target, n_distinct // 64 + 1))
     miss_n = d.filter(F.col("__r12").isNull()).select(F.col("__norm").alias("__k"))
     miss_s = d.filter(
         F.col("__r12").isNull()
@@ -228,13 +243,15 @@ def resolve_tokens_fuzzy(
     fz = (
         miss_n.union(miss_s)
         .distinct()
-        .repartition(target)
+        .repartition(fuzzy_parts)
         .withColumn("__fz", fuzzy(F.col("__k")))
         .filter(F.col("__fz").isNotNull())
         # Same reasoning: consumed by two broadcast builds (__fzn / __fzs)
         # whose subtrees would otherwise each re-run the fuzzy UDF.
         .cache()
     )
+    # Second cut point, filled before the broadcasts race (reads cached d).
+    fz.count()
     d = (
         d.join(
             F.broadcast(fz.withColumnRenamed("__fz", "__fzn")),
