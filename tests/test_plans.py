@@ -48,3 +48,46 @@ def test_top_customers_avoids_global_sort(spark, sf_dir):
 def test_dictionary_lookup_join_is_broadcast(spark, sf_dir):
     p = _plan(spark, sf_dir, "location_lookup_join")
     assert "BroadcastHashJoin" in p, "dictionary dim must broadcast-join"
+
+
+def test_scan_rebalance_only_when_row_groups_cannot_feed_cores(spark, sf_dir):
+    """Single-row-group fixture files give the whole scan pipeline ONE task;
+    load_table inserts a repartition exactly when (a) the footer shows too
+    few row groups for the session AND (b) the table is non-trivial. The
+    sf0.001 fixtures sit below the row threshold -> no exchange; sf0.01
+    lineitem crosses it -> round-robin exchange present. At production
+    scale (many row groups) the condition is false by construction."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    small = load_table(spark, sf_dir, "documents")  # sf0.001: 50 rows
+    assert "RoundRobinPartitioning" not in small._jdf.queryExecution().toString()
+
+    big = load_table(spark, "/root/testdata/sf0.01", "lineitem")  # 60k rows
+    assert "RoundRobinPartitioning" in big._jdf.queryExecution().toString()
+
+    dim = load_table(spark, "/root/testdata/sf0.01", "customer")  # broadcast dim
+    assert "RoundRobinPartitioning" not in dim._jdf.queryExecution().toString()
+
+
+def test_expression_builder_memos_return_same_tree(spark):
+    """normalize_arabic / variant_map_expr are memoized per (gateway, input
+    expression): repeated builds must return the SAME Column object (py4j
+    construction cost is the point), and different inputs must not collide."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.functions.arabic import normalize_arabic
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.dictionary import (
+        build_variant_index,
+        variant_map_expr,
+    )
+
+    a1 = normalize_arabic(F.col("some_col"))
+    a2 = normalize_arabic(F.col("some_col"))
+    assert a1 is a2
+    b = normalize_arabic(F.col("other_col"))
+    assert b is not a1
+
+    idx = build_variant_index()
+    m1 = variant_map_expr(idx)
+    m2 = variant_map_expr(idx)
+    assert m1 is m2
