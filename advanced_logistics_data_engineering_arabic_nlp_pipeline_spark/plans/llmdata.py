@@ -313,6 +313,23 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.train_pq_codebooks /
+    topk_pq): candidates are scanned as 8 subspace codes instead of 64
+    floats (32x payload compression — at 100 TB the compressed scan is
+    the difference between staying in cache and not), ADC scores run as a
+    pure zip_with/element_at Column expression, and only the x4 shortlist
+    touches full vectors for the exact re-rank. Rows-only (the ADC
+    shortlist has no SQL equivalent); recall vs the brute-force oracle is
+    pytest-gated."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, "embedding", "vec_id")
+    return similarity.topk_pq(
+        emb.filter(F.col("vec_id") < 5), emb, "embedding", "vec_id", k=5,
+        codebooks=books,
+    )
+
+
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.topk_ivf(
@@ -942,6 +959,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "similarity_topk": similarity_topk,
     "similarity_topk_lsh": similarity_topk_lsh,
+    "similarity_topk_pq": similarity_topk_pq,
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_topk_ivf_kmeans": similarity_topk_ivf_kmeans,
     "text_quality": text_quality,

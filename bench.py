@@ -45,6 +45,7 @@ HEADLINE = [
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "similarity_topk_ivf_kmeans",
+    "similarity_topk_pq",
     "dedup_embedding_lsh",
     "embedding_label_centroids",
     "text_quality",

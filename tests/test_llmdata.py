@@ -361,3 +361,39 @@ def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
     pref = dedup.jaccard_pairs(sdf, "text", "doc_id", threshold=0.5, prefix_filter=True)
     assert rows(full) == rows(pref)
     assert rows(full), "sanity: planted duplicates must produce pairs"
+
+
+def test_similarity_pq_recall_and_exact_rerank(spark, sf_dir):
+    """PQ-ADC shortlist + exact re-rank must recover most of the exact
+    top-k set (8x16 codebooks on 64-dim, x4 refine), determinism must
+    hold across runs, and every reported score is the exact cosine (the
+    re-rank computes it on the shortlisted full vectors)."""
+    brute = llmdata.similarity_topk(spark, sf_dir).collect()
+    pq = llmdata.similarity_topk_pq(spark, sf_dir).collect()
+    assert brute and pq
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.6, f"PQ top-k recall too low: {recall}"
+    bs = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute}
+    for r in pq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bs:
+            assert abs(r["score"] - bs[key]) < 1e-9
+    again = llmdata.similarity_topk_pq(spark, sf_dir).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, again))
+
+
+def test_pq_codebook_shapes_and_encode(spark, sf_dir):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=8, k=256)
+    assert len(books) == 8
+    assert all(len(b) <= 256 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)
+    enc = similarity.pq_encode(emb, books).select("pq_codes").limit(5).collect()
+    for r in enc:
+        assert len(r["pq_codes"]) == 8
+        assert all(0 <= c < 256 for c in r["pq_codes"])
