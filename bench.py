@@ -93,24 +93,29 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
-    # Two reps per query, headline = min. The host absorbs random
-    # multi-second stalls that hit 1-2 arbitrary queries per session
-    # (BASELINE.md "Noise"); a single-shot number conflates those stalls
-    # (and first-run janino/JIT compile) with the plan's actual cost. The
-    # cold (first-rep) timings are reported alongside so the one-time
-    # compile cost stays visible; caches are cleared between reps, so rep 2
-    # measures a warm JVM, not reused results.
+    # Two INTERLEAVED passes over the whole list, headline = per-query min.
+    # The host absorbs random multi-second stall windows that hit whatever
+    # queries are running (BASELINE.md "Noise"); a single-shot number
+    # conflates those stalls (and first-run janino/JIT compile) with the
+    # plan's actual cost, and back-to-back reps of one query can BOTH land
+    # inside the same stall window — full passes put the two reps of each
+    # query minutes apart, so a window poisons different queries in each
+    # pass and the min stays clean. Caches are cleared between runs, so
+    # pass 2 measures a warm JVM, not reused results; pass-1 timings are
+    # reported under cold_queries so the one-time compile cost stays
+    # visible.
     REPS = 2
-
-    def run(name: str) -> tuple[float, float]:
-        cold = run_once(name)
-        best = min([cold] + [run_once(name) for _ in range(REPS - 1)])
-        return best, cold
-
-    both = {n: run(n) for n in HEADLINE if n in queries}
-    timings = {n: b[0] for n, b in both.items()}
-    cold_timings = {n: b[1] for n, b in both.items()}
-    stress = {n: run(n)[0] for n in STRESS if n in queries}
+    present = [n for n in HEADLINE if n in queries]
+    cold_timings = {n: run_once(n) for n in present}
+    timings = dict(cold_timings)
+    for _ in range(REPS - 1):
+        for n in present:
+            timings[n] = min(timings[n], run_once(n))
+    stress = {
+        n: min(run_once(n) for _ in range(REPS))
+        for n in STRESS
+        if n in queries
+    }
 
     # Coverage accounting for the capped Jaccard dedup: how many distinct
     # shingles the df cap drops this run. The cap is a documented recall
