@@ -580,3 +580,194 @@ def topk_pq(
         .select("query_id", "neighbor_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ── IVF-PQ (IVFADC) — cells restrict the scan, codes compress it ────────────
+
+def _lloyd_numpy(block: np.ndarray, k: int, n_iters: int) -> np.ndarray:
+    """Deterministic numpy Lloyd on a (n, d) sample: seed = first k rows,
+    6-decimal mean rounding, first-minimum (smallest-code) ties, empty
+    cells keep their previous centroid."""
+    cents = block[: min(k, len(block))].copy()
+    for _ in range(n_iters):
+        d2 = ((block[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        idx = np.argmin(d2, axis=1)
+        new = []
+        for j in range(len(cents)):
+            members = block[idx == j]
+            new.append(
+                np.round(members.mean(axis=0), 6) if len(members) else cents[j]
+            )
+        cents = np.vstack(new)
+    return cents
+
+
+def train_ivfpq(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 16,
+    m: int = 8,
+    pq_k: int = 256,
+    n_iters: int = 5,
+    sample_rows: int = 16384,
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """IVFADC training (Jégou et al. TPAMI 2011 §IV): coarse centroids over
+    unit vectors, then ONE SHARED product-quantization codebook set over
+    the RESIDUALS ``unit(v) − coarse_centroid(v)`` — residual energy is a
+    fraction of vector energy, so the same code budget quantizes far more
+    precisely than raw-vector PQ. One bounded TakeOrdered sample job; all
+    Lloyd rounds in numpy on the driver (the production shape — FAISS
+    trains exactly this way on a memory-resident sample)."""
+    base = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    ).orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id")).limit(
+        sample_rows
+    )
+    rows = sorted(base.collect(), key=lambda r: r["__id"])
+    mat = np.array([r["__v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    coarse = _lloyd_numpy(mat, n_cells, n_iters)
+    cn = np.linalg.norm(coarse, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    cell = np.argmax(mat @ (coarse / cn).T, axis=1)
+    resid = mat - coarse[cell]
+    sub = dim // m
+    books = [
+        _lloyd_numpy(resid[:, s * sub : (s + 1) * sub], pq_k, n_iters)
+        for s in range(m)
+    ]
+    return coarse, books
+
+
+def topk_ivfpq(
+    queries: DataFrame,
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 256,
+    refine: int = 4,
+    trained: tuple[np.ndarray, list[np.ndarray]] | None = None,
+) -> DataFrame:
+    """IVFADC search: each candidate is stored as (cell, m residual codes);
+    a query probes its ``n_probe`` nearest cells and ADC-scores ONLY the
+    candidates in those cells — the scan is simultaneously restricted
+    (IVF: n_probe/n_cells of the corpus) and compressed (PQ: m bytes per
+    vector). score(q,v) ≈ q·c_cell + q·r_v: the first term rides the
+    probe join, the second is the codes-vs-LUT sum — a pure
+    zip_with/element_at Column expression, JVM-side. Exact cosine
+    re-ranks the ×``refine`` shortlist only."""
+    if trained is None:
+        trained = train_ivfpq(
+            candidates, vec_col, id_col, n_cells=n_cells, m=m, pq_k=pq_k
+        )
+    coarse, books = trained
+    dim = coarse.shape[1]
+    sub = dim // m
+    cn = np.linalg.norm(coarse, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    coarse_unit = coarse / cn
+
+    cell_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("pq_codes", ArrayType(LongType())),
+        ]
+    )
+
+    @pandas_udf(cell_schema)
+    def _enc(emb: pd.Series) -> pd.DataFrame:
+        vv = np.vstack(emb.to_numpy()).astype(np.float64)
+        nn = np.linalg.norm(vv, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        vv = vv / nn
+        cell = np.argmax(vv @ coarse_unit.T, axis=1)
+        resid = vv - coarse[cell]
+        codes = np.empty((len(vv), m), dtype=np.int64)
+        for s in range(m):
+            block = resid[:, s * sub : (s + 1) * sub]
+            d2 = ((block[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        return pd.DataFrame({"cell": cell, "pq_codes": list(codes)})
+
+    probe_schema = StructType(
+        [
+            StructField("cell", LongType()),
+            StructField("qdotc", DoubleType()),
+            StructField("lut", ArrayType(ArrayType(DoubleType()))),
+        ]
+    )
+
+    @pandas_udf(ArrayType(probe_schema))
+    def _probes(emb: pd.Series) -> pd.Series:
+        vv = np.vstack(emb.to_numpy()).astype(np.float64)
+        nn = np.linalg.norm(vv, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        vv = vv / nn
+        sims = vv @ coarse_unit.T
+        out = []
+        for row, sim in zip(vv, sims):
+            cells = np.argsort(-sim)[:n_probe]
+            lut = [
+                [float(x) for x in books[s] @ row[s * sub : (s + 1) * sub]]
+                for s in range(m)
+            ]
+            out.append(
+                [
+                    {
+                        "cell": int(c),
+                        "qdotc": float(row @ coarse[c]),
+                        "lut": lut,
+                    }
+                    for c in cells
+                ]
+            )
+        return pd.Series(out)
+
+    cenc = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        _enc(F.col(vec_col)).alias("__e"),
+    ).select("neighbor_id", "cv", "__e.cell", "__e.pq_codes")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_probes(F.col(vec_col))).alias("__p"),
+    ).select("query_id", "qv", "__p.cell", "__p.qdotc", "__p.lut")
+    adc = F.col("qdotc") + F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.col("lut"),
+            lambda code, lut: F.element_at(lut, (code + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    shortlist = (
+        q.join(cenc, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__adc", adc)
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("__adc"), F.col("neighbor_id"))
+    refined = (
+        shortlist.withColumn("__arank", F.row_number().over(ws))
+        .filter(F.col("__arank") <= k * refine)
+        .withColumn("score", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("neighbor_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -330,6 +330,21 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (operators/similarity.train_ivfpq / topk_ivfpq): the
+    billion-scale composition — coarse cells RESTRICT the scan to
+    n_probe/n_cells of the corpus, shared residual-PQ codebooks COMPRESS
+    what remains to m bytes per vector, ADC runs as a pure Column
+    expression, exact cosine re-ranks the shortlist. Rows-only; recall
+    pytest vs brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trained = similarity.train_ivfpq(emb, "embedding", "vec_id")
+    return similarity.topk_ivfpq(
+        emb.filter(F.col("vec_id") < 5), emb, "embedding", "vec_id", k=5,
+        trained=trained,
+    )
+
+
 def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.topk_ivf(
@@ -960,6 +975,7 @@ QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_pq": similarity_topk_pq,
+    "similarity_topk_ivfpq": similarity_topk_ivfpq,
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_topk_ivf_kmeans": similarity_topk_ivf_kmeans,
     "text_quality": text_quality,

@@ -46,6 +46,7 @@ HEADLINE = [
     "similarity_topk_ivf",
     "similarity_topk_ivf_kmeans",
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "dedup_embedding_lsh",
     "embedding_label_centroids",
     "text_quality",

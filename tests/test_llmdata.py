@@ -397,3 +397,23 @@ def test_pq_codebook_shapes_and_encode(spark, sf_dir):
     for r in enc:
         assert len(r["pq_codes"]) == 8
         assert all(0 <= c < 256 for c in r["pq_codes"])
+
+
+def test_similarity_ivfpq_recall_and_exact_rerank(spark, sf_dir):
+    """IVFADC: probing 4/16 cells over residual-PQ codes must still
+    recover most exact neighbors, deterministically, with exact cosine
+    scores on everything reported (re-rank touches full vectors)."""
+    brute = llmdata.similarity_topk(spark, sf_dir).collect()
+    ivfpq = llmdata.similarity_topk_ivfpq(spark, sf_dir).collect()
+    assert brute and ivfpq
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivfpq}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, f"IVFPQ recall too low: {recall}"
+    bs = {(r["query_id"], r["neighbor_id"]): r["score"] for r in brute}
+    for r in ivfpq:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bs:
+            assert abs(r["score"] - bs[key]) < 1e-9
+    again = llmdata.similarity_topk_ivfpq(spark, sf_dir).collect()
+    assert sorted(map(tuple, ivfpq)) == sorted(map(tuple, again))
