@@ -42,6 +42,27 @@ def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_dedup_exact(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """M1 exact dedup on an unbounded stream — the ingest-side twin of
+    operators/dedup.dedup_exact for at-least-once sources (a re-delivered
+    page lands the same event_id twice; training-data ingest must keep
+    one). ``dropDuplicatesWithinWatermark`` keeps one row per key among
+    duplicates arriving within the watermark delay of each other and —
+    unlike bare ``dropDuplicates`` on a stream, whose key state grows
+    without bound — EVICTS state older than the watermark, so memory is
+    O(keys per watermark window), not O(keys ever seen). At-least-once
+    sources re-deliver within bounded lateness, which is exactly the
+    window the watermark models."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -444,3 +444,50 @@ def test_upsert_recovers_bucket_parked_mid_swap(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 8  # no user lost with the parked bucket
     assert not any(d.endswith(".old") for d in os.listdir(sink))
+
+
+def test_stream_dedup_exact_at_least_once_redelivery(spark, sf_dir, tmp_path):
+    """An at-least-once source re-delivers pages; stream_dedup_exact must
+    keep exactly one row per event_id across micro-batches (state bounded
+    by the watermark), match the batch distinct, and stay duplicate-free
+    after a checkpoint-resume run that re-delivers old keys again."""
+    out = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    fetch, n_rows = _write_event_pages(spark, sf_dir, out, n_pages=4)
+
+    # land every page TWICE (duplicate delivery), interleaved
+    def dup_fetch(page: int) -> list[dict]:
+        return fetch(page // 2)
+
+    landing.land_pages(dup_fetch, out)
+    stream = landing.stream_landing(spark, out, EVENT_SCHEMA)
+    deduped = pipeline.stream_dedup_exact(stream, ("event_id",), "ts", "2 hours")
+    q = deduped.writeStream.format("parquet").option("path", sink).option(
+        "checkpointLocation", ckpt
+    ).outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got = spark.read.parquet(sink)
+    assert got.count() == n_rows, "one row per distinct event_id"
+    assert got.select("event_id").distinct().count() == n_rows
+
+    # resume: re-deliver one old page plus nothing new → no duplicate rows
+    import os as _os
+    import shutil as _shutil
+
+    extra = sorted(p for p in _os.listdir(out) if p.endswith(".json"))[0]
+    _shutil.copy(
+        _os.path.join(out, extra), _os.path.join(out, "page_redelivered.json")
+    )
+    q2 = pipeline.stream_dedup_exact(
+        landing.stream_landing(spark, out, EVENT_SCHEMA), ("event_id",), "ts", "2 hours"
+    ).writeStream.format("parquet").option("path", sink).option(
+        "checkpointLocation", ckpt
+    ).outputMode("append").trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    got2 = spark.read.parquet(sink)
+    # NOTE: within-watermark dedup guarantees no duplicates for
+    # re-deliveries inside the watermark delay; the fixture's ts span is
+    # wider, so assert exact-once on the per-key level we configured.
+    assert got2.select("event_id").distinct().count() == n_rows
+    assert got2.count() == n_rows, "late re-deliveries must not append rows"
