@@ -678,27 +678,34 @@ def topk_ivfpq(
     cn[cn == 0] = 1.0
     coarse_unit = coarse / cn
 
-    cell_schema = StructType(
-        [
-            StructField("cell", LongType()),
-            StructField("pq_codes", ArrayType(LongType())),
-        ]
-    )
-
-    @pandas_udf(cell_schema)
-    def _enc(emb: pd.Series) -> pd.DataFrame:
-        vv = np.vstack(emb.to_numpy()).astype(np.float64)
-        nn = np.linalg.norm(vv, axis=1, keepdims=True)
-        nn[nn == 0] = 1.0
-        vv = vv / nn
-        cell = np.argmax(vv @ coarse_unit.T, axis=1)
-        resid = vv - coarse[cell]
-        codes = np.empty((len(vv), m), dtype=np.int64)
-        for s in range(m):
-            block = resid[:, s * sub : (s + 1) * sub]
-            d2 = ((block[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = np.argmin(d2, axis=1)
-        return pd.DataFrame({"cell": cell, "pq_codes": list(codes)})
+    # ONE mapInPandas pass emits (id, vector, cell, codes): a struct-
+    # returning pandas_udf whose fields are extracted in a projection gets
+    # its ArrowEvalPython node DUPLICATED per extracted field (the encode
+    # ran twice in the physical plan); mapInPandas materializes the encoded
+    # table in a single Python pass — also the natural "index add" shape.
+    def _enc_rows(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vv = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            nn = np.linalg.norm(vv, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            vv = vv / nn
+            cell = np.argmax(vv @ coarse_unit.T, axis=1)
+            resid = vv - coarse[cell]
+            codes = np.empty((len(vv), m), dtype=np.int64)
+            for s in range(m):
+                block = resid[:, s * sub : (s + 1) * sub]
+                d2 = ((block[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["__id"].to_numpy(),
+                    "cv": pdf["__v"],
+                    "cell": cell,
+                    "pq_codes": list(codes),
+                }
+            )
 
     probe_schema = StructType(
         [
@@ -734,11 +741,13 @@ def topk_ivfpq(
             )
         return pd.Series(out)
 
+    vec_spark_type = candidates.schema[vec_col].dataType.simpleString()
     cenc = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        _enc(F.col(vec_col)).alias("__e"),
-    ).select("neighbor_id", "cv", "__e.cell", "__e.pq_codes")
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(
+        _enc_rows,
+        f"neighbor_id long, cv {vec_spark_type}, cell long, pq_codes array<long>",
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -753,8 +762,11 @@ def topk_ivfpq(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # Broadcast the PROBE side: queries × n_probe is the small relation by
+    # construction; the encoded corpus streams. (Without the hint the local
+    # planner broadcast the corpus side — backwards at scale.)
     shortlist = (
-        q.join(cenc, "cell")
+        cenc.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("__adc", adc)
     )
