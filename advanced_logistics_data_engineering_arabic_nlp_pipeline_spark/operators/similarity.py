@@ -89,8 +89,10 @@ def topk_bruteforce(
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
+    # candidates stream, the (small) query side broadcasts — the planner's
+    # default put the corpus on the build side, which inverts at scale
     scored = (
-        q.crossJoin(c)
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
     )
@@ -271,8 +273,9 @@ def topk_ivf(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "qv", "centroid_id")
     )
+    # candidate cells stream; the queries × n_probe relation broadcasts
     scored = (
-        q_cells.join(cand_cells, "centroid_id")
+        cand_cells.join(F.broadcast(q_cells), "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", F.round(cosine_expr(F.col("qv"), F.col("cv")), 6))
     )
@@ -326,8 +329,9 @@ def topk_lsh(
             for j in range(DUP_ROWS_PER_BAND)
         ]
     q = q0.select("query_id", "qv", F.explode(F.array(*probes)).alias("bucket"))
+    # candidate buckets stream; the exploded query probes broadcast
     cand = (
-        q.join(c, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -562,8 +566,9 @@ def topk_pq(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # compressed corpus streams; queries (with their LUTs) broadcast
     shortlist = (
-        q.crossJoin(cenc)
+        cenc.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("__adc", adc)
     )
