@@ -852,6 +852,38 @@ ORDER BY label, pos
 """
 
 
+def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data export, composed end-to-end as ONE plan:
+    text curation (quality gate + exact/near-dup text dedup =
+    curated_corpus) → cross-modal join to embeddings (doc_id = vec_id) →
+    embedding-level near-dup anti-join (banded LSH candidates + BLAS
+    verify, operators/similarity.embedding_near_dup_lsh; of each surviving
+    near-dup pair the smaller id is kept) → PQ-encode the survivors for
+    ANN indexing (8 codes replace 64 floats in the exported index). This
+    is the shape a 100 TB pre-training pipeline actually ships: every
+    stage is a declarative join/filter over ledgers computed once, and the
+    only Python is Arrow-batched encode/verify. Rows-only: the LSH
+    candidate stage and PQ codes have no SQL mirror; pytests pin the
+    invariants (subset-of-curated, no surviving near-dup pair, code
+    shape)."""
+    curated = curated_corpus(spark, sf_dir).select("doc_id", "lang", "quality")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4)
+    # of each near-dup pair keep the smaller id: drop every id_b
+    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = emb.join(drop, "vec_id", "anti")
+    books = similarity.train_pq_codebooks(kept, "embedding", "vec_id")
+    return (
+        similarity.pq_encode(
+            curated.join(kept, curated.doc_id == kept.vec_id).drop("vec_id"),
+            books,
+            "embedding",
+        )
+        .select("doc_id", "lang", "quality", "pq_codes")
+        .orderBy("doc_id")
+    )
+
+
 def docs_with_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal join: documents ⋈ embeddings (doc_id = vec_id) → per-lang
     corpus stats with an embedding-norm aggregate. The multimodal-table
@@ -976,6 +1008,7 @@ QUERIES = {
     "similarity_topk_lsh": similarity_topk_lsh,
     "similarity_topk_pq": similarity_topk_pq,
     "similarity_topk_ivfpq": similarity_topk_ivfpq,
+    "training_export": training_export,
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_topk_ivf_kmeans": similarity_topk_ivf_kmeans,
     "text_quality": text_quality,

@@ -417,3 +417,26 @@ def test_similarity_ivfpq_recall_and_exact_rerank(spark, sf_dir):
             assert abs(r["score"] - bs[key]) < 1e-9
     again = llmdata.similarity_topk_ivfpq(spark, sf_dir).collect()
     assert sorted(map(tuple, ivfpq)) == sorted(map(tuple, again))
+
+
+def test_training_export_invariants(spark, sf_dir):
+    """The end-to-end export must be a subset of the curated corpus, keep
+    no embedding-level near-dup pair (both ends) except the kept smaller
+    id, carry 8 valid PQ codes per row, and be deterministic."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    out = llmdata.training_export(spark, sf_dir).collect()
+    assert out, "export must not be empty"
+    curated_ids = {r["doc_id"] for r in llmdata.curated_corpus(spark, sf_dir).collect()}
+    out_ids = {r["doc_id"] for r in out}
+    assert out_ids <= curated_ids
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4).collect()
+    dropped = {r["id_b"] for r in pairs}
+    assert not (out_ids & dropped), "near-dup larger ids must be dropped"
+    for r in out:
+        assert len(r["pq_codes"]) == 8
+        assert all(0 <= c < 256 for c in r["pq_codes"])
+    again = llmdata.training_export(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
