@@ -153,32 +153,45 @@ def train_kmeans_centroids(
     k: int = 16,
     n_iters: int = 5,
     sample_per_centroid: int | None = 256,
+    mode: str = "auto",
+    max_driver_rows: int = 1_000_000,
 ) -> DataFrame:
     """(centroid_id, cv: array<double>) k-means centroids via Lloyd
     iterations — the IVF training pass.
 
-    Training runs on a bounded deterministic SAMPLE (``k ×
-    sample_per_centroid`` vectors, the FAISS guidance of tens-to-hundreds
-    of points per centroid): one distributed top-N job picks the sample by
-    smallest ``xxhash64(id)`` (TakeOrdered — per-partition top-N + merge,
-    never a full sort), the Lloyd rounds then run in numpy on the driver.
-    This is how production IVF trainers work at scale — the corpus is
-    billions of vectors, the training sample fits in memory, and only the
-    cell ASSIGNMENT pass is distributed — and it replaces the previous
-    one-job-per-round ``mapInPandas`` formulation (n_iters sequential
-    cluster jobs; ~1.5 s fixed cost per job locally) with a single bounded
-    job regardless of n_iters. Pass ``sample_per_centroid=None`` to train
-    on the full corpus (exact previous semantics) when the caller needs
-    means over every row.
+    Two formulations behind ``mode``:
 
-    Determinism: the sample is ordered by (hash, id); seeding takes the k
-    smallest-id vectors of the sample (identical to the old full-corpus
-    seeding whenever the sample covers the corpus, e.g. the fixtures);
-    means are rounded to 6 decimals per round; argmax tie-breaks on the
-    smallest centroid id; cells that lose all members keep their previous
-    centroid, so exactly k centroids always survive. Fixed ``n_iters``
-    (k-means converges fast on clustered data; IVF needs a good
+    - ``"driver"``: one distributed top-N job picks a bounded deterministic
+      SAMPLE (``k × sample_per_centroid`` vectors, the FAISS guidance of
+      tens-to-hundreds of points per centroid) by smallest
+      ``xxhash64(id)`` (TakeOrdered — per-partition top-N + merge, never a
+      full sort); the Lloyd rounds then run in numpy on the driver. This is
+      how production IVF trainers work at scale — the corpus is billions of
+      vectors, the training sample fits in memory, and only the cell
+      ASSIGNMENT pass is distributed. One bounded job regardless of
+      n_iters. Guarded: collecting more than ``max_driver_rows`` raises
+      (the driver is not a place to materialize a corpus).
+    - ``"distributed"``: vectors never leave the cluster. Each Lloyd round
+      is one ``mapInPandas`` job emitting per-partition partial sums — a
+      (k × n_partitions)-row exchange of (cell, Σv, count) triples (~KBs) —
+      reduced on the driver into new means. Use when the training set must
+      exceed driver memory (``sample_per_centroid=None`` over a big corpus)
+      or when the caller needs means over EVERY row.
+    - ``"auto"`` (default): ``"distributed"`` when
+      ``sample_per_centroid is None``, else ``"driver"``.
+
+    Determinism (both modes produce identical centroids on the same
+    training set): seeding takes the k smallest-id vectors of the training
+    set; assignment is cosine argmax with ties to the smallest centroid
+    index (= smallest seed id); means are computed over RAW vectors and
+    rounded to 6 decimals per round; cells that lose all members keep their
+    previous centroid, so exactly k centroids always survive. Fixed
+    ``n_iters`` (k-means converges fast on clustered data; IVF needs a good
     partition, not the optimum)."""
+    if mode not in ("auto", "driver", "distributed"):
+        raise ValueError(f"mode must be auto|driver|distributed, got {mode!r}")
+    if mode == "auto":
+        mode = "distributed" if sample_per_centroid is None else "driver"
     id_type = vectors.schema[id_col].dataType
     cent_schema = StructType(
         [
@@ -194,6 +207,19 @@ def train_kmeans_centroids(
         base = base.orderBy(
             F.xxhash64(F.col("__id").cast("string")), F.col("__id")
         ).limit(k * sample_per_centroid)
+
+    if mode == "distributed":
+        cent_rows = _lloyd_distributed(base, k, n_iters)
+        return vectors.sparkSession.createDataFrame(cent_rows, cent_schema)
+
+    if sample_per_centroid is None:
+        n = base.count()
+        if n > max_driver_rows:
+            raise ValueError(
+                f"mode='driver' with sample_per_centroid=None would collect"
+                f" {n} rows to the driver (cap {max_driver_rows});"
+                f" use mode='distributed' or a bounded sample_per_centroid"
+            )
     rows = sorted(base.collect(), key=lambda r: r["__id"])
     ids = [r["__id"] for r in rows]
     m = np.array([r["__v"] for r in rows], dtype=np.float64)
@@ -223,6 +249,68 @@ def train_kmeans_centroids(
                 new_rows.append((cid, cv))
         cent_rows = new_rows
     return vectors.sparkSession.createDataFrame(cent_rows, cent_schema)
+
+
+def _lloyd_distributed(base: DataFrame, k: int, n_iters: int) -> list[tuple]:
+    """Lloyd rounds as n_iters sequential mapInPandas jobs over a pinned
+    training frame; only (cell, partial Σv, count) triples — k rows per
+    partition, ~KBs total — ever cross to the driver. ``base`` must have
+    columns (__id, __v: array<double>)."""
+    base = base.persist()
+    try:
+        # seed: k smallest-id vectors (TakeOrdered, never a full sort)
+        seed_rows = base.orderBy("__id").limit(k).collect()
+        if not seed_rows:
+            return []
+        ids = [r["__id"] for r in seed_rows]
+        cent = np.array([r["__v"] for r in seed_rows], dtype=np.float64)
+        kk = len(ids)
+
+        for _ in range(n_iters):
+            cn = np.linalg.norm(cent, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            cent_unit = cent / cn
+
+            def _partials(batches, _cu=cent_unit, _k=kk):
+                sums = None
+                counts = np.zeros(_k, dtype=np.int64)
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    m = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+                    if sums is None:
+                        sums = np.zeros((_k, m.shape[1]), dtype=np.float64)
+                    mn = np.linalg.norm(m, axis=1, keepdims=True)
+                    mn[mn == 0] = 1.0
+                    idx = np.argmax((m / mn) @ _cu.T, axis=1)
+                    np.add.at(sums, idx, m)  # means over RAW vectors
+                    counts += np.bincount(idx, minlength=_k)
+                if sums is not None:
+                    yield pd.DataFrame(
+                        {
+                            "cell": np.arange(_k, dtype=np.int64),
+                            "psum": list(sums),
+                            "pcount": counts,
+                        }
+                    )
+
+            partials = base.mapInPandas(
+                _partials, "cell long, psum array<double>, pcount long"
+            ).collect()
+            tot = np.zeros_like(cent)
+            cnt = np.zeros(kk, dtype=np.int64)
+            # reduce in deterministic (cell, partition-arrival) independent
+            # order: sort partials by cell so the float sum order is stable
+            for r in sorted(partials, key=lambda r: r["cell"]):
+                tot[r["cell"]] += np.asarray(r["psum"], dtype=np.float64)
+                cnt[r["cell"]] += r["pcount"]
+            new = cent.copy()
+            nz = cnt > 0
+            new[nz] = np.round(tot[nz] / cnt[nz, None], 6)
+            cent = new
+        return [(ids[i], [float(x) for x in cent[i]]) for i in range(kk)]
+    finally:
+        base.unpersist()
 
 
 def topk_ivf(
@@ -747,11 +835,15 @@ def topk_ivfpq(
         return pd.Series(out)
 
     vec_spark_type = candidates.schema[vec_col].dataType.simpleString()
+    # The id type rides through from the candidate schema (like the vec type
+    # does) — hardcoding `long` broke / silently coerced string doc ids.
+    id_spark_type = candidates.schema[id_col].dataType.simpleString()
     cenc = candidates.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).mapInPandas(
         _enc_rows,
-        f"neighbor_id long, cv {vec_spark_type}, cell long, pq_codes array<long>",
+        f"neighbor_id {id_spark_type}, cv {vec_spark_type}, cell long,"
+        " pq_codes array<long>",
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

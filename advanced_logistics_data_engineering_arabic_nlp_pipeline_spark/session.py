@@ -28,11 +28,24 @@ def get_spark(
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(cpus)))
     # Shuffle/spill scratch: prefer tmpfs when present — the default /tmp
     # sits on a virtual disk whose latency varies with host neighbors, and
-    # local-mode shuffle volumes here are MBs. On a real cluster point this
-    # at fast local SSDs instead (deployment config, not engine semantics).
+    # local-mode shuffle volumes here are MBs. tmpfs is RAM-backed and is
+    # commonly tiny in containers (64 MB default), so only prefer it when it
+    # reports enough free space for local-mode shuffle volume; otherwise
+    # shuffle spill fails with no-space errors or pressures host memory. On
+    # a real cluster point this at fast local SSDs instead (deployment
+    # config, not engine semantics).
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
+        try:
+            st = os.statvfs("/dev/shm")
+            free_bytes = st.f_bavail * st.f_frsize
+        except OSError:
+            free_bytes = 0
+        # 4 GiB floor: comfortably above the largest shuffle this engine
+        # produces in local mode at sf1 (sub-GB), far below the 128 GiB
+        # bench host's tmpfs (half of RAM by default).
+        if free_bytes >= 4 * 1024**3:
+            local_dir = "/dev/shm/spark-local"
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.local.dir", local_dir or "/tmp")

@@ -95,14 +95,17 @@ def variant_map_expr(index: dict[str, str] | None = None) -> Column:
     the broadcast O(1) lookup (README.md:48 claim). For a dictionary too big
     to inline, use :func:`dim_table` + broadcast join instead.
 
-    Memoized per (gateway, dictionary contents): the literal is 2×|variants|
-    py4j `lit` calls and the cascade instantiates it several times per
-    query (norm + stripped-norm, tier-1 + tier-2)."""
+    Memoized per (gateway generation, dictionary contents): the literal is
+    2×|variants| py4j `lit` calls and the cascade instantiates it several
+    times per query (norm + stripped-norm, tier-1 + tier-2). Registered in
+    arabic._GEN_KEYED_MEMOS so a JVM restart evicts stale entries."""
     index = index if index is not None else _default_index()
-    from ..functions.arabic import _gateway_id
+    from ..functions.arabic import _GEN_KEYED_MEMOS, _gateway_generation
 
+    if not any(m is _MAP_EXPR_MEMO for m in _GEN_KEYED_MEMOS):
+        _GEN_KEYED_MEMOS.append(_MAP_EXPR_MEMO)
     try:
-        key = (_gateway_id(), tuple(index.items()))
+        key = (_gateway_generation(), tuple(index.items()))
     except Exception:
         key = None
     if key is not None and key in _MAP_EXPR_MEMO:

@@ -5,6 +5,7 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -112,11 +113,14 @@ def main() -> None:
     for _ in range(REPS - 1):
         for n in present:
             timings[n] = min(timings[n], run_once(n))
-    stress = {
-        n: min(run_once(n) for _ in range(REPS))
-        for n in STRESS
-        if n in queries
-    }
+    # Stress reps are interleaved the same way as the headline set (full
+    # pass over STRESS per rep, min across passes) — back-to-back reps of
+    # one query can both land inside the same host stall window.
+    stress_present = [n for n in STRESS if n in queries]
+    stress = {n: run_once(n) for n in stress_present}
+    for _ in range(REPS - 1):
+        for n in stress_present:
+            stress[n] = min(stress[n], run_once(n))
 
     # Coverage accounting for the capped Jaccard dedup: how many distinct
     # shingles the df cap drops this run. The cap is a documented recall
@@ -156,22 +160,44 @@ def main() -> None:
         "events_sessions",
     }
     subtotal_r1 = round(sum(v for n, v in timings.items() if n in r1_set), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold_timings,
-                "reps": REPS,
-                "stress": stress,
-                "subtotal_r1_queries": subtotal_r1,
-                "diagnostics": diagnostics,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+
+    # Fixture vintage: hash of the testdata manifest (name+size of every
+    # parquet file), so a mid-round fixture regeneration (BASELINE.md
+    # "Fixture vintages") is detectable from the bench JSON alone.
+    manifest = sorted(
+        (f, os.path.getsize(os.path.join(sf_dir, f)))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
     )
+    vintage = hashlib.md5(json.dumps(manifest).encode()).hexdigest()[:12]
+
+    # The stdout line must stay SHORT: the driver captures a bounded tail of
+    # it, and round 3's line (with cold_queries inlined) overflowed that
+    # window, leaving BENCH_r03.json with parsed:null. Headline object only
+    # on stdout; cold-pass timings and diagnostics go to a sidecar file.
+    headline_obj = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "subtotal_r1_queries": subtotal_r1,
+        "stress": stress,
+        "reps": REPS,
+        "vintage": vintage,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    sidecar = {
+        "cold_queries": cold_timings,
+        "diagnostics": diagnostics,
+        "vintage": vintage,
+        "manifest": manifest,
+    }
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DIAG.json"
+    )
+    with open(sidecar_path, "w") as f:
+        json.dump(sidecar, f, indent=1)
+    print(json.dumps(headline_obj, separators=(",", ":")))
     spark.stop()
 
 

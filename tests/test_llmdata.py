@@ -288,6 +288,71 @@ def test_kmeans_centroids_shape_and_determinism(spark, sf_dir):
     )
 
 
+def test_kmeans_distributed_matches_driver_lloyd(spark, sf_dir):
+    """mode='distributed' (per-round mapInPandas partial sums, vectors never
+    leave the cluster) must produce exactly the driver-Lloyd centroids on
+    the same training set — same seeds, same assignment tie-breaks, same
+    6-decimal rounding."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drv = similarity.train_kmeans_centroids(
+        emb, k=8, n_iters=3, mode="driver"
+    ).collect()
+    dist = similarity.train_kmeans_centroids(
+        emb, k=8, n_iters=3, mode="distributed"
+    ).collect()
+    assert sorted((r["centroid_id"], tuple(r["cv"])) for r in drv) == sorted(
+        (r["centroid_id"], tuple(r["cv"])) for r in dist
+    )
+
+
+def test_kmeans_driver_full_corpus_collect_is_capped(spark, sf_dir):
+    """sample_per_centroid=None with mode='driver' must refuse to collect a
+    corpus larger than max_driver_rows instead of silently OOMing the
+    driver at scale."""
+    import pytest as _pytest
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError, match="mode='distributed'"):
+        similarity.train_kmeans_centroids(
+            emb,
+            k=4,
+            n_iters=1,
+            sample_per_centroid=None,
+            mode="driver",
+            max_driver_rows=10,
+        )
+    # auto mode routes the None path to the distributed formulation
+    out = similarity.train_kmeans_centroids(
+        emb, k=4, n_iters=1, sample_per_centroid=None, max_driver_rows=10
+    ).collect()
+    assert len(out) == 4
+
+
+def test_ivfpq_string_ids(spark, sf_dir):
+    """topk_ivfpq must carry a non-long id type through the encode schema
+    (the output id type follows candidates.schema[id_col], like the vector
+    type does)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id").cast("string"))
+    )
+    probes = emb.orderBy("vec_id").limit(5)
+    out = similarity.topk_ivfpq(probes, emb, k=3, n_cells=4, n_probe=2)
+    rows = out.collect()
+    assert rows, "string-id ivfpq returned no rows"
+    assert dict(out.dtypes)["neighbor_id"] == "string"
+    assert all(r["neighbor_id"].startswith("doc-") for r in rows)
+
+
 def test_curated_corpus_invariants(spark, sf_dir):
     docs = {r["doc_id"] for r in llmdata.curated_corpus(spark, sf_dir).collect()}
     assert docs, "curation should keep most of the fixture corpus"
