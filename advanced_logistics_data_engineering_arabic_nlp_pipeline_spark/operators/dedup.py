@@ -563,11 +563,38 @@ def simhash_pairs(
     )
 
 
+def _make_checkpointer(spark, checkpoint: str, checkpoint_dir: str | None):
+    """Lineage-truncation strategy for iterative graph rounds.
+
+    ``"local"``: ``localCheckpoint`` — blocks live on executors. Fast
+    (no DFS write) and the right single-node/testing tradeoff, but an
+    executor loss mid-iteration kills the job on a real cluster.
+    ``"reliable"``: ``checkpoint`` to ``checkpoint_dir`` (or the
+    context's already-configured dir) — survives executor loss; this is
+    the cluster-grade setting for long dedup runs at scale."""
+    if checkpoint == "local":
+        return lambda df: df.localCheckpoint()
+    if checkpoint == "reliable":
+        sc = spark.sparkContext
+        if checkpoint_dir is not None:
+            sc.setCheckpointDir(checkpoint_dir)
+        elif sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' needs checkpoint_dir= or a prior "
+                "spark.sparkContext.setCheckpointDir(...)"
+            )
+        return lambda df: df.checkpoint()
+    raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iters: int = 25,
+    checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
+    deep_graph_fallback: bool = True,
 ) -> DataFrame:
     """(id, cluster_id) connected components over an undirected pair list —
     cluster_id is the minimum node id reachable in the component.
@@ -579,34 +606,38 @@ def connected_components(
     Iterative min-label propagation expressed as DataFrame ops: each round
     every node takes the min label over itself and its neighbors. Rounds
     needed = graph diameter (near-dup clusters are shallow — duplicates of a
-    common source — so this converges in a handful of rounds; components of
-    diameter > ``max_iters`` raise rather than silently mislabel).
+    common source — so this converges in a handful of rounds). If the graph
+    is deeper than ``max_iters``, the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014 — O(log²) rounds independent of diameter) takes over
+    via :func:`connected_components_star`; set
+    ``deep_graph_fallback=False`` to raise instead (e.g. when a deep graph
+    indicates corrupt candidate pairs rather than a legitimate long chain).
 
     Scale shape: per round, one equi-join keyed by node id and one groupBy —
     both shuffles are keyed by id, so a cluster co-partitions them end to
-    end; no step is ever pairwise-quadratic. ``localCheckpoint`` truncates
-    the growing lineage each round (on a real cluster use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` for
-    fault-tolerant truncation; localCheckpoint keeps blocks on executors,
-    which is the right single-node/testing tradeoff).
+    end; no step is ever pairwise-quadratic. Lineage is truncated per round
+    via the ``checkpoint`` strategy (see :func:`_make_checkpointer`;
+    ``"reliable"`` + ``checkpoint_dir`` is the cluster-grade setting).
 
     The reference engine has no graph step (its dedup is per-row pandas);
     this is the Spark-idiomatic equivalent of the union-find pass every
     production dedup (e.g. the C4/RefinedWeb recipes) runs after LSH.
     """
+    ckpt = _make_checkpointer(pairs.sparkSession, checkpoint, checkpoint_dir)
     # Materialize the edge list ONCE. Every round joins `edges`; without
     # this checkpoint each round's job re-executes the whole upstream
     # pair-producing pipeline (LSH/shingle joins — the expensive part) from
     # scratch, because separate actions don't share physical stages.
     # Measured at sf0.1: dedup_clusters 12.6 s → ~5 s with edges pinned.
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint()
+    edges = ckpt(
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
     )
-    labels = (
+    labels = ckpt(
         edges.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).localCheckpoint()
+    )
     for _ in range(max_iters):
         neighbor_lbls = edges.join(
             labels.select(F.col("id").alias("b"), "lbl"), "b"
@@ -615,7 +646,7 @@ def connected_components(
         # computes the new one (each id appears exactly once in the `labels`
         # branch), so convergence is read off the checkpointed result with a
         # cheap scan — no per-round join + limit(1).count() job.
-        new_labels = (
+        new_labels = ckpt(
             labels.withColumn("is_self", F.lit(True))
             .union(neighbor_lbls)
             .groupBy("id")
@@ -623,14 +654,109 @@ def connected_components(
                 F.min("lbl").alias("lbl"),
                 F.min(F.when(F.col("is_self"), F.col("lbl"))).alias("old_lbl"),
             )
-        ).localCheckpoint()
+        )
         changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).limit(1).count()
         labels = new_labels.select("id", "lbl")
         if changed == 0:
             return labels.select("id", F.col("lbl").alias("cluster_id"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        "(component diameter exceeds max_iters)"
+    if not deep_graph_fallback:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters; pass "
+            "deep_graph_fallback=True for the large-star/small-star path)"
+        )
+    return connected_components_star(
+        pairs, src, dst, checkpoint=checkpoint, checkpoint_dir=checkpoint_dir
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 64,
+    checkpoint: str = "local",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, cluster_id) via alternating large-star / small-star rounds
+    (Kiveris et al., SoCC 2014) — converges in O(log²) rounds regardless of
+    graph DIAMETER, unlike min-label propagation (O(diameter) rounds), at
+    the cost of an extra keyed join per round. Use for long-chain graphs;
+    :func:`connected_components` falls back here automatically.
+
+    Both star operations are expressed as aggregation + keyed join — never
+    a per-node ``collect_set`` (a giant star's neighbor list must not have
+    to fit in one task's memory):
+
+    - large-star: each node u computes m = min(N(u) ∪ {u}) and re-points
+      every STRICTLY LARGER neighbor at m.
+    - small-star: edges oriented child=max/parent=min; each child u
+      re-points all its (≤ u) parents and itself at m = min(parents).
+
+    Fixed point = the edge set stops changing (checked exactly with
+    count + exceptAll, never a hash heuristic); the final edges form a
+    star forest rooted at each component's minimum id."""
+    ckpt = _make_checkpointer(pairs.sparkSession, checkpoint, checkpoint_dir)
+    nodes = ckpt(
+        pairs.select(F.col(src).alias("id"))
+        .union(pairs.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    edges = ckpt(
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    n_edges = edges.count()
+    for _ in range(max_rounds):
+        # large-star over the symmetric view: min per node via agg (no
+        # neighbor-list materialization), join back, keep (bigger, m).
+        sym = edges.union(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least("__mb", "a").alias("m"))
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star on child=a (max end): m = min over parents ∪ {a};
+        # re-point every parent ≠ m and the child itself at m.
+        smins = (
+            large.groupBy("a")
+            .agg(F.min("b").alias("__mb"))
+            .select("a", F.least("__mb", "a").alias("m"))
+        )
+        small = (
+            large.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(smins.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .distinct()
+        )
+        new_edges = ckpt(small)
+        new_count = new_edges.count()
+        if new_count == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+            edges = new_edges
+            break
+        edges, n_edges = new_edges, new_count
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # star forest: every non-root points at its component min
+    parents = edges.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+    return (
+        nodes.join(parents, "id", "left")
+        .select("id", F.coalesce("cluster_id", "id").alias("cluster_id"))
     )
 
 

@@ -31,7 +31,6 @@ from ..functions.arabic import (
     title_first_two_words,
     tokenize_trip,
 )
-from .lookup import resolve_token_expr, resolve_tokens_fuzzy
 
 _DIGITS_ONLY = "^[0-9٠-٩]+$"
 
@@ -184,6 +183,7 @@ def with_all_locations_fuzzy(
     id_col: str,
     out_col: str = "all_locations_list",
     index: dict[str, str] | None = None,
+    cutoff: float | None = None,
 ) -> DataFrame:
     """F2 with tier-3 fuzzy: the full scan runs once per *distinct* text —
     the reference's lru_cache insight (cleaner_v6.py:37, 180) lifted to the
@@ -193,7 +193,28 @@ def with_all_locations_fuzzy(
 
     ``id_col`` is kept for API stability; resolution keys on the text
     itself. At 100 TB the distinct-text side is the small side and AQE
-    broadcast-converts the join-back."""
+    broadcast-converts the join-back.
+
+    Adaptive application (mirrors operators.lookup.resolve_tokens_fuzzy):
+    once the distinct-token cascade has produced the (token → canonical)
+    mapping, a mapping under ``MAPPING_LITERAL_MAX`` entries is inlined as
+    a literal map and the whole scan becomes ONE zero-shuffle expression
+    over ``df`` — identical in shape to the tier-1/2
+    :func:`extract_all_locations_expr`, with fuzzy hits included in the
+    map. (``df`` is the distinct-text frame when called from
+    with_nlp_enrichment, so the per-row tokenize regex runs once per
+    distinct text.) A larger mapping falls back to the explode →
+    broadcast-join → ordered re-aggregation plan."""
+    from .lookup import (
+        FUZZY_SCORE_CUTOFF,
+        MAPPING_LITERAL_MAX,
+        _distinct_token_mapping,
+        canonical_map_literal,
+    )
+    from ..sources.dictionary import build_variant_index
+
+    index = index if index is not None else build_variant_index()
+    cutoff = cutoff if cutoff is not None else FUZZY_SCORE_CUTOFF
     texts = df.select(F.col(text_col).alias("__ftxt")).distinct()
     raw = F.trim(F.col("__ftxt").cast("string"))
     tokens = F.when(
@@ -201,7 +222,34 @@ def with_all_locations_fuzzy(
     ).otherwise(tokenize_trip(scrub_round_trip(raw)))
 
     exploded = texts.select(F.col("__ftxt"), F.posexplode_outer(tokens).alias("__pos", "__tok"))
-    resolved = resolve_tokens_fuzzy(exploded, "__tok", "__canon", index)
+    mapping = _distinct_token_mapping(exploded, "__tok", index, cutoff)
+    probe = mapping.limit(MAPPING_LITERAL_MAX + 1).collect()
+    if len(probe) <= MAPPING_LITERAL_MAX:
+        m = canonical_map_literal(probe)
+        draw = F.trim(F.col(text_col).cast("string"))
+        if m is None:
+            hits = F.array().cast("array<string>")
+        else:
+            dtoks = tokenize_trip(scrub_round_trip(draw))
+            hits = F.array_distinct(
+                F.filter(
+                    F.transform(dtoks, lambda t: F.element_at(m, t)),
+                    lambda x: x.isNotNull(),
+                )
+            )
+        return df.withColumn(
+            out_col,
+            F.when(
+                F.col(text_col).isNull() | (draw == ""),
+                F.array().cast("array<string>"),
+            ).otherwise(hits),
+        )
+
+    resolved = exploded.join(
+        F.broadcast(mapping.withColumnRenamed("__canonical", "__canon")),
+        exploded["__tok"] == mapping["__t"],
+        "left",
+    ).drop("__t")
     rebuilt = (
         resolved.groupBy("__ftxt")
         .agg(

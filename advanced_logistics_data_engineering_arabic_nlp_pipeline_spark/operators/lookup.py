@@ -163,43 +163,62 @@ def fuzzy_lookup_udf(index: dict[str, str] | None = None, cutoff: float = FUZZY_
 
 # ── E4: distinct-resolve-join over a tokens DataFrame ───────────────────────
 
-def resolve_tokens_fuzzy(
+# Resolved-mapping size below which the (token → canonical) map is collected
+# and inlined as a literal map expression instead of broadcast-joined back.
+# A literal map rides the serialized plan to executors exactly like a
+# broadcast variable but skips two broadcast-exchange builds, two join
+# nodes and the downstream re-aggregation shuffle — for the dominant
+# workload shape (human-entered location strings: tens-to-hundreds of
+# distinct resolvable tokens) the whole fuzzy cascade collapses into a
+# zero-shuffle Column expression. The threshold is deliberately SMALL:
+# Spark evaluates element_at on a map literal as a LINEAR scan
+# (ArrayBasedMapData has no hash index), so per-row lookup cost is
+# O(entries) — measured: a 59k-entry literal turned the all-unique stress
+# case into minutes of string compares, where the broadcast hash join's
+# O(1) probe took seconds. 512 entries × a few string equals is well under
+# the cost of the tier-2 regex the row already paid; above that the
+# broadcast-join path takes over (same asymptotics as any small-dim join).
+MAPPING_LITERAL_MAX = 512
+
+
+def _distinct_token_mapping(
     tokens_df: DataFrame,
-    token_col: str = "token",
-    out_col: str = "canonical",
-    index: dict[str, str] | None = None,
-    cutoff: float = FUZZY_SCORE_CUTOFF,
+    token_col: str,
+    index: dict[str, str],
+    cutoff: float,
 ) -> DataFrame:
-    """Full 3-tier resolution of a token column, fuzzy included.
+    """(token → canonical) mapping for every *distinct* raw token of
+    ``tokens_df``, full 3-tier cascade included; only resolved (non-null
+    canonical) rows are kept. The cascade — the tier-1/2 normalize+regex
+    expression chain, not just the fuzzy UDF — runs once per distinct raw
+    token; the mapping stays small by construction because every entry
+    fuzzy- or exact-matches a finite dictionary at cutoff ≥ 82.
 
     Cascade order matches the reference exactly: t1(tok), t2(tok), t3(tok),
-    then — only if the raw op-prefix-stripped token is non-empty — t1, t2, t3
-    of the stripped form.
-
-    The ENTIRE cascade — the tier-1/2 normalize+regex expression chain, not
-    just the fuzzy UDF — runs once per *distinct raw token*, and only the
-    resolved (canonical non-null) map is broadcast-joined back to the token
-    rows. Resolving at the row level costs the regex chain per exploded
-    token occurrence (~5× the distinct count on trip data, and the dominant
-    cost of the all-distinct stress case); the resolved map stays tiny by
-    construction because every entry fuzzy- or exact-matches a finite
-    dictionary at cutoff ≥ 82."""
-    index = index if index is not None else build_variant_index()
+    then — only if the raw op-prefix-stripped token is non-empty — t1, t2,
+    t3 of the stripped form (cleaner_v6.py:180-208, 236-243)."""
     fuzzy = fuzzy_lookup_udf(index, cutoff)
     tok = F.col("__t")
     stripped = strip_op_prefix(tok)
 
-    # The distinct shuffle output is tiny in bytes, so AQE coalesces it to
-    # ~1 partition — which would run the regex-heavy tier-1/2 chain and the
-    # fuzzy UDF single-threaded. Rebalance across the cluster first: the
-    # repartition moves only the distinct token strings (KBs locally, and
-    # proportional at scale), the per-row CPU work it parallelizes is the
-    # whole cost of this operator.
+    # Distinct first, sized second: the distinct shuffle output is tiny in
+    # bytes, so AQE coalesces it to ~1 partition — which would run the
+    # regex-heavy tier-1/2 chain and the fuzzy UDF single-threaded when the
+    # distinct set is large (AQE sizes by bytes; this stage is CPU-bound
+    # per row). But blind repartition(defaultParallelism) is just as wrong
+    # at the other end: a handful of tokens spread over 32 partitions pays
+    # 32-task dispatch on every downstream stage for ~1 row of work each
+    # (measured as the dominant cost of trips_master_fuzzy — 32 distinct
+    # texts at sf0.1). Count the distinct set (one tiny job on the cached
+    # frame), then give each task ≥64 tokens.
     target = tokens_df.sparkSession.sparkContext.defaultParallelism
+    distinct_toks = (
+        tokens_df.select(F.col(token_col).alias("__t")).distinct().cache()
+    )
+    n_distinct = distinct_toks.count()
+    cascade_parts = max(1, min(target, n_distinct // 64 + 1))
     d = (
-        tokens_df.select(F.col(token_col).alias("__t"))
-        .distinct()
-        .repartition(target)
+        distinct_toks.repartition(cascade_parts)
         .withColumn("__norm", normalize_arabic(tok))
         .withColumn("__sraw", stripped)
         .withColumn("__snorm", normalize_arabic(stripped))
@@ -221,19 +240,17 @@ def resolve_tokens_fuzzy(
     # Fill the first cut point NOW: Spark submits broadcast-exchange builds
     # asynchronously, and concurrent subtree executions do NOT share an
     # unfilled lazy cache (event-log profiling showed three simultaneous
-    # 1.9 s builds of the same subtree racing past a lazy cut point). The
-    # count is one sub-second job — and its value sizes the fuzzy stage's
-    # parallelism below.
-    n_distinct = d.count()
+    # 1.9 s builds of the same subtree racing past a lazy cut point).
+    d.count()
     # Fuzzy only on the distinct unresolved normalized forms (a when()-
     # guarded UDF would still be evaluated for EVERY row — BatchEvalPython
     # computes UDF columns unconditionally — so the misses are filtered
-    # into their own frame first), then broadcast the non-null results back.
-    # The Python stage's partition count scales with the (already-paid)
-    # distinct count: a handful of tokens on 32 partitions would spin up 32
-    # Arrow workers to score ~1 string each — worker dispatch, not scoring,
-    # dominates. ≥64 tokens per worker before adding another.
-    fuzzy_parts = max(1, min(target, n_distinct // 64 + 1))
+    # into their own frame first). The Python stage's partition count
+    # scales with the (already-paid) distinct count: a handful of tokens on
+    # 32 partitions would spin up 32 Arrow workers to score ~1 string each —
+    # worker dispatch, not scoring, dominates. ≥64 tokens per worker before
+    # adding another.
+    fuzzy_parts = cascade_parts
     miss_n = d.filter(F.col("__r12").isNull()).select(F.col("__norm").alias("__k"))
     miss_s = d.filter(
         F.col("__r12").isNull()
@@ -276,9 +293,50 @@ def resolve_tokens_fuzzy(
             F.coalesce(F.col("__r12s"), F.col("__fzs")),
         ),
     )
-    mapping = d.select("__t", cascade.alias(out_col)).filter(
-        F.col(out_col).isNotNull()
+    return d.select("__t", cascade.alias("__canonical")).filter(
+        F.col("__canonical").isNotNull()
     )
+
+
+def canonical_map_literal(mapping_rows: list) -> Column | None:
+    """A collected (token → canonical) mapping as one literal MAP column —
+    two py4j array literals total, never per-entry ``lit`` calls. None for
+    an empty mapping (``map_from_arrays`` can't infer empty-array types)."""
+    if not mapping_rows:
+        return None
+    keys = [r["__t"] for r in mapping_rows]
+    vals = [r["__canonical"] for r in mapping_rows]
+    return F.map_from_arrays(F.lit(keys), F.lit(vals))
+
+
+def resolve_tokens_fuzzy(
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    out_col: str = "canonical",
+    index: dict[str, str] | None = None,
+    cutoff: float = FUZZY_SCORE_CUTOFF,
+) -> DataFrame:
+    """Full 3-tier resolution of a token column, fuzzy included (see
+    :func:`_distinct_token_mapping` for the cascade contract).
+
+    The resolved mapping is applied back to the token rows adaptively:
+    below ``MAPPING_LITERAL_MAX`` entries it is inlined as a literal map
+    expression (zero joins, zero exchanges — the common human-entered-text
+    shape); above, it is broadcast-joined (the general small-dim shape).
+    Both paths are row-for-row identical: an unresolved or null token gets
+    a null ``out_col``."""
+    index = index if index is not None else build_variant_index()
+    mapping = _distinct_token_mapping(tokens_df, token_col, index, cutoff)
+    probe = mapping.limit(MAPPING_LITERAL_MAX + 1).collect()
+    if len(probe) <= MAPPING_LITERAL_MAX:
+        m = canonical_map_literal(probe)
+        resolved = (
+            F.element_at(m, F.col(token_col))
+            if m is not None
+            else F.lit(None).cast("string")
+        )
+        return tokens_df.withColumn(out_col, resolved)
+    mapping = mapping.withColumnRenamed("__canonical", out_col)
     return tokens_df.join(
         F.broadcast(mapping), tokens_df[token_col] == mapping["__t"], "left"
     ).drop("__t")

@@ -80,9 +80,26 @@ def topk_bruteforce(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    max_exact_rows: int | None = 200_000,
 ) -> DataFrame:
     """Exact cosine top-k per query vector. Deterministic tie-break on
-    (score desc, neighbor id)."""
+    (score desc, neighbor id).
+
+    This is the EXACT baseline / oracle twin — it scores every (query,
+    candidate) pair and must never be the production ANN path (that's
+    :func:`topk_lsh` / :func:`topk_ivf` / :func:`topk_ivfpq`). The scale
+    fence is machine-enforced, not comment-enforced: more candidate rows
+    than ``max_exact_rows`` raises (pass None to disable for a deliberate
+    exact sweep)."""
+    if max_exact_rows is not None:
+        n = candidates.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"topk_bruteforce is the exact O(Q×N) twin: {n} candidate"
+                f" rows > max_exact_rows={max_exact_rows}. Use topk_lsh /"
+                f" topk_ivf / topk_ivfpq for the scale path, or pass"
+                f" max_exact_rows=None for a deliberate exact sweep."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

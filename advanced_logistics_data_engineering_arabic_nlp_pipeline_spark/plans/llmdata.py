@@ -702,12 +702,26 @@ ORDER BY event_type
 
 # ── M1 embedding-cosine near-dup ────────────────────────────────────────────
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_exact_rows: int | None = 200_000
+) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ 0.4 — the EXACT small-
     scale twin. This is the oracle/recall reference for
     :func:`dedup_embedding_lsh`; its cross join is intentional at sf≤0.1 and
-    must never be the production path (that's the LSH query below)."""
+    must never be the production path (that's the LSH query below). The
+    fence is machine-enforced: more rows than ``max_exact_rows`` raises
+    with a pointer to the LSH path (None disables for a deliberate exact
+    sweep)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    if max_exact_rows is not None:
+        n = emb.count()
+        if n > max_exact_rows:
+            raise ValueError(
+                f"dedup_embedding_cosine is the exact O(N²) oracle twin:"
+                f" {n} rows > max_exact_rows={max_exact_rows}. Use"
+                f" dedup_embedding_lsh for the scale path, or pass"
+                f" max_exact_rows=None for a deliberate exact sweep."
+            )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     return (

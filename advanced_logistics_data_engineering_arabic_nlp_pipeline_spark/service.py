@@ -11,6 +11,7 @@ actually working (landing source + enrichment instead of the broken import).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,7 +25,7 @@ from .operators.extract import (
     with_all_locations_fuzzy,
 )
 from .sources import landing
-from .sources.dictionary import build_variant_index
+from .sources.dictionary import build_variant_index, load_locations_json
 
 
 def clean_texts_df(
@@ -32,6 +33,7 @@ def clean_texts_df(
     text_col: str = "text",
     fuzzy: bool = True,
     index: dict[str, str] | None = None,
+    cutoff: float | None = None,
 ) -> DataFrame:
     """F5 shared codepath (api.py:210-225 = Main.py:406-425): adds
     all_locations, main_location, trip_type for a text column."""
@@ -39,13 +41,32 @@ def clean_texts_df(
     t = F.col(text_col)
     if fuzzy:
         df = df.withColumn("__rid", F.monotonically_increasing_id())
-        df = with_all_locations_fuzzy(df, text_col, "__rid", "all_locations", index)
+        df = with_all_locations_fuzzy(
+            df, text_col, "__rid", "all_locations", index, cutoff=cutoff
+        )
         df = df.drop("__rid")
     else:
         df = df.withColumn("all_locations", extract_all_locations_expr(t, index))
     return df.withColumn(
         "main_location", end_location_clean_expr(t, F.col("all_locations"))
     ).withColumn("trip_type", categorize_trip_type_expr(t, F.col("all_locations")))
+
+
+def config_from_env(env: dict[str, str] | None = None) -> dict:
+    """The reference's documented ops knobs, read the same way it reads
+    them at startup (api.py:106-134): ``FUZZY_ENABLED`` (``"true"``/
+    ``"false"``, case-insensitive), ``FUZZY_CUTOFF`` (int score 0-100),
+    ``LOCATIONS_PATH`` (path to a ``{canonical: [variants]}`` JSON; unset →
+    the built-in dictionary)."""
+    env = env if env is not None else dict(os.environ)
+    locations_path = env.get("LOCATIONS_PATH")
+    return {
+        "fuzzy_enabled": env.get("FUZZY_ENABLED", "true").lower() == "true",
+        "fuzzy_cutoff": int(env.get("FUZZY_CUTOFF", "82")),
+        "locations": (
+            load_locations_json(locations_path) if locations_path else None
+        ),
+    }
 
 
 class CleaningService:
@@ -57,22 +78,40 @@ class CleaningService:
         spark: SparkSession,
         locations: dict[str, list[str]] | None = None,
         fuzzy_enabled: bool = True,
+        fuzzy_cutoff: float = 82,
     ) -> None:
         self.spark = spark
         self.fuzzy_enabled = fuzzy_enabled
+        self.fuzzy_cutoff = fuzzy_cutoff
         self.index = build_variant_index(locations) if locations else build_variant_index()
         self._last_stats: dict = {"status": "idle", "records": 0}
+
+    @classmethod
+    def from_env(
+        cls, spark: SparkSession, env: dict[str, str] | None = None
+    ) -> "CleaningService":
+        """Construct from the reference's env-var config surface
+        (:func:`config_from_env`)."""
+        cfg = config_from_env(env)
+        return cls(
+            spark,
+            locations=cfg["locations"],
+            fuzzy_enabled=cfg["fuzzy_enabled"],
+            fuzzy_cutoff=cfg["fuzzy_cutoff"],
+        )
 
     def health(self) -> dict:
         return {"status": "ok", "version": __version__, "fuzzy": self.fuzzy_enabled}
 
-    def clean_one(self, text: str | None) -> dict:
+    def clean_one(self, text: str | None, fuzzy: bool | None = None) -> dict:
         t0 = time.perf_counter()
-        row = self.clean_batch([text])["results"][0]
+        row = self.clean_batch([text], fuzzy=fuzzy)["results"][0]
         row["processing_ms"] = round((time.perf_counter() - t0) * 1000, 3)
         return row
 
-    def clean_batch(self, texts: list[str | None]) -> dict:
+    def clean_batch(
+        self, texts: list[str | None], fuzzy: bool | None = None
+    ) -> dict:
         """One DataFrame pass for the whole batch — the vectorization the
         reference's /clean/batch claims but doesn't do (api.py:301-304).
         Per-item ``processing_ms`` mirrors the reference's response shape
@@ -80,10 +119,13 @@ class CleaningService:
         per-item figure is the amortized share of the pass, not a per-row
         wall clock (which doesn't exist in a set-oriented engine)."""
         t0 = time.perf_counter()
+        use_fuzzy = self.fuzzy_enabled if fuzzy is None else fuzzy
         df = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "idx int, text string"
         )
-        out = clean_texts_df(df, "text", self.fuzzy_enabled, self.index).orderBy("idx")
+        out = clean_texts_df(
+            df, "text", use_fuzzy, self.index, cutoff=self.fuzzy_cutoff
+        ).orderBy("idx")
         collected = out.collect()
         total_ms = round((time.perf_counter() - t0) * 1000, 3)
         per_item_ms = round(total_ms / max(len(collected), 1), 3)
@@ -107,13 +149,19 @@ class CleaningService:
         df = landing.read_landing(
             self.spark, landing_dir, "serialId bigint, confirm_status boolean, end_location string"
         ).filter(F.col("confirm_status").eqNullSafe(True))
-        enriched = clean_texts_df(df, "end_location", self.fuzzy_enabled, self.index)
+        enriched = clean_texts_df(
+            df, "end_location", self.fuzzy_enabled, self.index,
+            cutoff=self.fuzzy_cutoff,
+        )
         records = enriched.count()
+        from datetime import datetime, timezone
+
         self._last_stats = {
             "status": "completed",
             "records": records,
             "landed": landed,
             "duration_ms": round((time.perf_counter() - t0) * 1000, 3),
+            "finished_at": datetime.now(timezone.utc).isoformat(),
         }
         return dict(self._last_stats)
 

@@ -42,6 +42,45 @@ def windowed_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def session_counts(
+    stream: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows with an inactivity ``gap`` — the
+    TRUE-streaming twin of plans.windows.events_sessions (which runs
+    ``session_window`` in batch). Streaming semantics the batch twin can't
+    express:
+
+    - session MERGE state: events arriving out of order within the
+      watermark merge adjacent windows into one session incrementally;
+    - finalization: in append mode a session is emitted exactly once, when
+      the watermark passes its end (start of last event + gap) — no
+      finalized session is ever re-emitted or mutated;
+    - late-data DROP: an event older than the watermark is discarded
+      instead of resurrecting or extending a finalized session (the
+      engine-side completion of the reference's re-fetch cycle, which had
+      no late-data story at all — Main.py:521-528 re-reads the world).
+
+    Output shape matches the batch twin (session_start/session_end
+    formatted strings) so parity can be asserted row-for-row."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum(F.col("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_dedup_exact(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

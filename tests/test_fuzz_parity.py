@@ -89,3 +89,37 @@ def test_tokenize_fuzz_spark_vs_duckdb(spark):
         (t, s, d) for t, s, d in zip(corpus, spark_out, duck_out) if s != d
     ]
     assert not mismatches, f"{len(mismatches)} mismatches; first: {mismatches[0]!r}"
+
+
+def test_resolve_literal_and_join_paths_agree(spark, monkeypatch):
+    """resolve_tokens_fuzzy has two application paths — a literal-map
+    expression under MAPPING_LITERAL_MAX resolved entries, a broadcast join
+    above — that must be row-for-row identical. Force each path on the same
+    token set (dictionary variants + misses + null) and compare."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import lookup
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.dictionary import (
+        build_variant_index,
+    )
+
+    variants = list(build_variant_index().keys())
+    toks = (
+        variants[:20]
+        + ["xyz-no-match", "قريب من " + variants[0], "", "12345"]
+        + [None]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "i int, token string"
+    )
+
+    def run():
+        return sorted(
+            (r["i"], r["canonical"])
+            for r in lookup.resolve_tokens_fuzzy(df, "token").collect()
+        )
+
+    monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 10_000)
+    lit_rows = run()
+    monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 0)
+    join_rows = run()
+    assert lit_rows == join_rows
+    assert any(c is not None for _, c in lit_rows), "no token resolved"

@@ -241,7 +241,66 @@ def test_connected_components_raises_beyond_max_iters(spark):
         [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iters=2)
+        dedup.connected_components(chain, max_iters=2, deep_graph_fallback=False)
+
+
+def test_connected_components_deep_chain_star_fallback(spark):
+    """A diameter-60 path exceeds max_iters label-propagation rounds; the
+    large-star/small-star fallback must label it correctly instead of
+    raising (the pre-round-4 behavior)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)] + [(100, 101)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(chain, max_iters=5).collect()
+    }
+    assert all(comp[i] == 0 for i in range(61))
+    assert comp[100] == 100 and comp[101] == 100
+
+
+def test_connected_components_star_matches_label_prop(spark):
+    """On shallow graphs the star algorithm must agree exactly with
+    min-label propagation (same cluster_id = component min contract),
+    including isolated self-loop nodes and string ids."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "x"), ("m", "n"), ("n", "k")],
+        "doc_a string, doc_b string",
+    )
+    lab = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    star = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert lab == star == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "m": "k", "n": "k", "k": "k"
+    }
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint='reliable' writes recoverable checkpoints to a directory
+    (the cluster-grade strategy) and produces identical labels."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            pairs, checkpoint="reliable", checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    import os
+    assert os.listdir(str(tmp_path / "ckpt")), "no checkpoint data written"
 
 
 def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
@@ -505,3 +564,28 @@ def test_training_export_invariants(spark, sf_dir):
         assert all(0 <= c < 256 for c in r["pq_codes"])
     again = llmdata.training_export(spark, sf_dir).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_exact_twin_cross_joins_are_fenced(spark, sf_dir):
+    """The two intentional cross-join exact twins must refuse to run above
+    max_exact_rows — the scale-unsafe path is machine-enforced, not
+    comment-enforced — and still run (oracle-green elsewhere) at fixture
+    scale."""
+    import pytest as _pytest
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.limit(3)
+    with _pytest.raises(ValueError, match="topk_lsh"):
+        similarity.topk_bruteforce(probes, emb, k=3, max_exact_rows=5)
+    with _pytest.raises(ValueError, match="dedup_embedding_lsh"):
+        llmdata.dedup_embedding_cosine(spark, sf_dir, max_exact_rows=5)
+    # at fixture scale both twins still run
+    assert similarity.topk_bruteforce(probes, emb, k=3).count() > 0
+    assert llmdata.dedup_embedding_cosine(spark, sf_dir).columns == [
+        "id_a",
+        "id_b",
+        "cosine",
+    ]

@@ -58,3 +58,81 @@ def test_run_cycle_and_stats(spark, tmp_path):
     assert out["records"] == 2  # confirm_status gate dropped serialId 2
     assert out["landed"] == 3
     assert svc.stats()["status"] == "completed"
+
+
+def test_config_from_env_and_from_env_service(spark, tmp_path):
+    """The reference's documented ops knobs (api.py:106-134): FUZZY_ENABLED,
+    FUZZY_CUTOFF, LOCATIONS_PATH drive service construction."""
+    import json
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.service import config_from_env
+
+    loc_path = tmp_path / "locations.json"
+    loc_path.write_text(
+        json.dumps({"TestPlace": ["مكان الاختبار"]}), encoding="utf-8"
+    )
+    env = {
+        "FUZZY_ENABLED": "False",
+        "FUZZY_CUTOFF": "90",
+        "LOCATIONS_PATH": str(loc_path),
+    }
+    cfg = config_from_env(env)
+    assert cfg["fuzzy_enabled"] is False
+    assert cfg["fuzzy_cutoff"] == 90
+    assert cfg["locations"] == {"TestPlace": ["مكان الاختبار"]}
+
+    svc = CleaningService.from_env(spark, env)
+    assert svc.fuzzy_enabled is False and svc.fuzzy_cutoff == 90
+    out = svc.clean_one("مكان الاختبار")
+    assert out["main_location"] == "TestPlace"
+
+    # defaults: unset env → built-in dictionary, fuzzy on at cutoff 82
+    svc2 = CleaningService.from_env(spark, {})
+    assert svc2.fuzzy_enabled is True and svc2.fuzzy_cutoff == 82
+
+
+def test_api_endpoint_functions_reference_shapes(spark, tmp_path):
+    """The framework-free endpoint functions must return the reference's
+    pydantic response field sets exactly (api.py:162-198)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark import api
+
+    svc = CleaningService(spark)
+
+    h = api.health_endpoint(svc)
+    assert set(h) == {"status", "cleaner", "version", "time"}
+    assert h["status"] == "ok" and h["cleaner"] == "ready"
+    assert set(api.health_endpoint(None)) == {"status", "cleaner", "version", "time"}
+    assert api.health_endpoint(None)["status"] == "degraded"
+
+    one = api.clean_endpoint(svc, "رحلة الاهرام والمتحف المصرى")
+    assert set(one) == {
+        "original", "main_location", "all_locations", "trip_type", "processing_ms",
+    }
+
+    batch = api.clean_batch_endpoint(svc, ["الاهرام", "المطار"], fuzzy=False)
+    assert set(batch) == {"results", "total", "processing_ms"}
+    assert batch["total"] == 2
+
+    def fetch(page: int):
+        return (
+            [{"serialId": 1, "confirm_status": True, "end_location": "الاهرام"}]
+            if page == 0
+            else []
+        )
+
+    cyc = api.run_cycle_endpoint(svc, fetch, str(tmp_path / "cycle"))
+    assert set(cyc) == {
+        "status", "records", "started_at", "finished_at", "duration_s",
+    }
+    assert cyc["status"] == "completed" and cyc["records"] == 1
+
+    st = api.stats_endpoint(svc)
+    assert set(st) == {"last_run_at", "records_saved", "status"}
+    assert st["records_saved"] == 1 and st["last_run_at"] is not None
+
+    # fastapi absent in this container: create_app must raise cleanly
+    if not api.HAS_FASTAPI:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="fastapi"):
+            api.create_app(svc)

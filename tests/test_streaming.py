@@ -491,3 +491,100 @@ def test_stream_dedup_exact_at_least_once_redelivery(spark, sf_dir, tmp_path):
     # wider, so assert exact-once on the per-key level we configured.
     assert got2.select("event_id").distinct().count() == n_rows
     assert got2.count() == n_rows, "late re-deliveries must not append rows"
+
+
+def test_stream_session_windows_match_batch(spark, sf_dir, tmp_path):
+    """True-streaming session windows (session_window + watermark) must
+    reproduce the batch twin's sessions exactly when nothing is late
+    (complete mode, watermark wider than the fixture's time range)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.windows import events_sessions
+
+    out = str(tmp_path / "sess_land")
+    fetch, _ = _write_event_pages(spark, sf_dir, out, n_pages=3)
+    landing.land_pages(fetch, out)
+
+    stream = landing.stream_landing(spark, out, EVENT_SCHEMA)
+    q = pipeline.run_to_memory(
+        pipeline.session_counts(stream, watermark="365 days"), "sessions_test"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in events_sessions(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_stream_session_windows_drop_late_and_finalize_once(spark, tmp_path):
+    """Append-mode session windows: a session is emitted exactly once when
+    the watermark passes its end, and a late event behind the watermark is
+    DROPPED — it neither resurrects the finalized session nor starts a
+    phantom one."""
+    import json as _json
+
+    land = str(tmp_path / "sess_late_land")
+    ckpt = str(tmp_path / "sess_late_ckpt")
+    sink = str(tmp_path / "sess_late_sink")
+    os.makedirs(land)
+
+    def write_page(n, rows):
+        with open(os.path.join(land, f"page_{n:06d}.json"), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def run():
+        stream = landing.stream_landing(spark, land, EVENT_SCHEMA)
+        agg = pipeline.session_counts(stream, gap="10 minutes", watermark="1 hour")
+
+        def dump(batch, batch_id):
+            if batch.count() > 0:
+                batch.write.mode("append").parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(dump)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def ev(i, ts):
+        return {"event_id": i, "ts": ts, "user_id": 1, "event_type": "click", "value": 1.0}
+
+    # batch 1: two events 5 min apart → one session [10:00, 10:15); an
+    # event at 13:00 pushes the watermark to 12:00 which finalizes it
+    write_page(0, [ev(1, "2024-03-01 10:00:00"), ev(2, "2024-03-01 10:05:00"),
+                   ev(3, "2024-03-01 13:00:00")])
+    run()
+    first = [
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    assert first == [("2024-03-01 10:00:00", "2024-03-01 10:15:00", 2)]
+
+    # batch 2: a LATE event at 10:30 (behind the 12:00 watermark → dropped;
+    # on time it would have started a NEW session [10:30, 10:40)) plus an
+    # on-time event at 15:00 → watermark 14:00 finalizes the 13:00 session
+    write_page(1, [ev(4, "2024-03-01 10:30:00"), ev(5, "2024-03-01 15:00:00")])
+    run()
+    cumulative = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert cumulative == [
+        ("2024-03-01 10:00:00", "2024-03-01 10:15:00", 2),  # exactly once
+        ("2024-03-01 13:00:00", "2024-03-01 13:10:00", 1),  # on-time, 1 event
+        # and NO [10:30, 10:40) phantom session from the dropped late event
+    ]
