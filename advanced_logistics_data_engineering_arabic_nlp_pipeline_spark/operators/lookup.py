@@ -242,6 +242,9 @@ def _distinct_token_mapping(
     # unfilled lazy cache (event-log profiling showed three simultaneous
     # 1.9 s builds of the same subtree racing past a lazy cut point).
     d.count()
+    # distinct_toks fed only d; once d is materialized its blocks are dead
+    # weight in a long-lived session (the service calls this per request).
+    distinct_toks.unpersist()
     # Fuzzy only on the distinct unresolved normalized forms (a when()-
     # guarded UDF would still be evaluated for EVERY row — BatchEvalPython
     # computes UDF columns unconditionally — so the misses are filtered

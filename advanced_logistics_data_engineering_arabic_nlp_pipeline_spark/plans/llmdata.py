@@ -115,6 +115,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters computed by the alternating large-star/small-star
+    algorithm (operators/dedup.connected_components_star — O(log²) rounds
+    regardless of component diameter) instead of min-label propagation.
+    Rows-only in the driver by design; the star-vs-label EQUALITY is pinned
+    by pytest, and dedup_clusters itself is the hash-checked oracle twin —
+    identical output by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
+    comp = dedup.connected_components_star(pairs, "doc_a", "doc_b")
+    return (
+        dedup.cluster_summary(comp)
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            "is_keeper",
+        )
+        .orderBy("doc_id")
+    )
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS (
 {DEDUP_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")}
@@ -1045,6 +1069,7 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "docs_with_embeddings": docs_with_embeddings,
     "embedding_label_centroids": embedding_label_centroids,
+    "dedup_clusters_star": dedup_clusters_star,
 }
 
 ORACLES = {

@@ -56,3 +56,21 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink — same layout contract as :func:`write_parquet` for
+    deployments standardized on ORC (both are columnar, splittable,
+    predicate-pushdown-capable; the engine is format-agnostic downstream
+    of the DataFrame)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """JSON-lines sink — the interchange format of the reference's landing
+    pages (sources/landing.py reads the same shape back), for handing rows
+    to non-columnar consumers. Never the analytics format at scale."""
+    df.write.mode("overwrite").json(path)

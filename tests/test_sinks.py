@@ -74,3 +74,43 @@ def test_partitioned_parquet(spark, sf_dir, tmp_path):
     )
     n_round = filtered.count()
     assert n_round == df.filter(df.Trip_Type == "Round Trip").count()
+
+
+def test_orc_and_jsonl_round_trip(spark, sf_dir, tmp_path):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.sinks import (
+        write_jsonl,
+        write_orc,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "nation")
+    orc_path = str(tmp_path / "orc")
+    write_orc(src, orc_path)
+    back = spark.read.orc(orc_path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+    assert back.schema == src.schema
+
+    jl_path = str(tmp_path / "jsonl")
+    write_jsonl(src, jl_path)
+    back2 = spark.read.schema(src.schema).json(jl_path)
+    assert sorted(map(tuple, back2.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The scale contract of partition_by: a filter on the partition column
+    must reach the scan as a PartitionFilter (directory pruning — the scan
+    never lists the other partitions' files), not a post-scan filter."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.sinks import write_parquet
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    # deterministic subset (limit() picks arbitrary rows per execution)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    path = str(tmp_path / "part_li")
+    write_parquet(li, path, partition_by=["l_returnflag"])
+
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:200]
+    want = li.filter(F.col("l_returnflag") == "R").count()
+    assert back.count() == want > 0
