@@ -29,6 +29,7 @@ import re
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 MINHASH_PRIME = 2147483647  # 2^31 - 1; keeps a*x + b inside 64-bit range
 N_HASHES = 64
@@ -587,6 +588,29 @@ def _make_checkpointer(spark, checkpoint: str, checkpoint_dir: str | None):
     raise ValueError(f"checkpoint must be 'local' or 'reliable', got {checkpoint!r}")
 
 
+def _union_find_rows(rows, src: str, dst: str) -> list[tuple]:
+    """Driver-side union-find (path compression; max root attaches under
+    min root, so every root IS its component's minimum id). Returns
+    (id, cluster_id) tuples — exactly the min-label contract."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[src], row[dst]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -595,6 +619,7 @@ def connected_components(
     checkpoint: str = "local",
     checkpoint_dir: str | None = None,
     deep_graph_fallback: bool = True,
+    max_driver_edges: int = 100_000,
 ) -> DataFrame:
     """(id, cluster_id) connected components over an undirected pair list —
     cluster_id is the minimum node id reachable in the component.
@@ -623,6 +648,14 @@ def connected_components(
     The reference engine has no graph step (its dedup is per-row pandas);
     this is the Spark-idiomatic equivalent of the union-find pass every
     production dedup (e.g. the C4/RefinedWeb recipes) runs after LSH.
+
+    Adaptive small-graph path: after the edge list is pinned, if it holds
+    at most ``max_driver_edges`` rows (a few MB — the same bounded-collect
+    class as the centroid tables), labels come from one driver-side
+    union-find pass instead of N join+agg rounds with their per-round
+    checkpoint/convergence jobs. The near-dup graph of a healthy corpus is
+    a sparse LEDGER, not a corpus — at 100 TB a billion-edge graph blows
+    the bound and takes the distributed rounds automatically.
     """
     ckpt = _make_checkpointer(pairs.sparkSession, checkpoint, checkpoint_dir)
     # Materialize the edge list ONCE. Every round joins `edges`; without
@@ -635,6 +668,13 @@ def connected_components(
             pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
     )
+    if max_driver_edges and edges.count() <= max_driver_edges:
+        id_type = pairs.schema[src].dataType
+        labels = _union_find_rows(edges.collect(), "a", "b")
+        schema = StructType(
+            [StructField("id", id_type), StructField("cluster_id", id_type)]
+        )
+        return pairs.sparkSession.createDataFrame(labels, schema)
     labels = ckpt(
         edges.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )

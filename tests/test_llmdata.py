@@ -223,6 +223,13 @@ def test_connected_components_transitive_closure(spark):
         for r in dedup.connected_components(pairs).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # the driver union-find fast path (default) and the distributed label
+    # rounds must agree exactly
+    dist = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, max_driver_edges=0).collect()
+    }
+    assert dist == comp
 
     summary = {
         r["id"]: (r["cluster_size"], r["is_keeper"])
@@ -241,7 +248,9 @@ def test_connected_components_raises_beyond_max_iters(spark):
         [(i, i + 1) for i in range(1, 6)], "doc_a long, doc_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, max_iters=2, deep_graph_fallback=False)
+        dedup.connected_components(
+            chain, max_iters=2, deep_graph_fallback=False, max_driver_edges=0
+        )
 
 
 def test_connected_components_deep_chain_star_fallback(spark):
@@ -255,7 +264,9 @@ def test_connected_components_deep_chain_star_fallback(spark):
     )
     comp = {
         r["id"]: r["cluster_id"]
-        for r in dedup.connected_components(chain, max_iters=5).collect()
+        for r in dedup.connected_components(
+            chain, max_iters=5, max_driver_edges=0
+        ).collect()
     }
     assert all(comp[i] == 0 for i in range(61))
     assert comp[100] == 100 and comp[101] == 100
@@ -295,7 +306,10 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     comp = {
         r["id"]: r["cluster_id"]
         for r in dedup.connected_components(
-            pairs, checkpoint="reliable", checkpoint_dir=str(tmp_path / "ckpt")
+            pairs,
+            checkpoint="reliable",
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            max_driver_edges=0,
         ).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
