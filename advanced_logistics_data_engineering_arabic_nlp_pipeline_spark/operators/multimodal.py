@@ -16,8 +16,10 @@ decoded (payload column pruned until needed).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,7 +29,10 @@ MEDIA_SCHEMA = (
 )
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, feat_mean double, feat_dim int"
 
-DECODERS_IMPLEMENTED = False  # no PIL/ffmpeg in this container
+# Real pure-numpy decoders for the self-describing uncompressed formats;
+# compressed formats (JPEG/PNG) and audio/video stay behind an import-try
+# on PIL/ffmpeg, which this container doesn't ship.
+DECODERS_IMPLEMENTED = ("ppm", "bmp")
 
 
 def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -43,11 +48,91 @@ def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _ppm_token(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Next whitespace-delimited PPM header token, skipping '#' comments."""
+    while pos < len(data):
+        c = data[pos : pos + 1]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        else:
+            break
+    start = pos
+    while pos < len(data) and data[pos : pos + 1] not in b" \t\r\n":
+        pos += 1
+    return data[start:pos], pos
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (height, width, 3) uint8 RGB. Pure numpy — PPM is
+    a whitespace-delimited header (magic, width, height, maxval, one
+    whitespace byte) followed by raw interleaved RGB."""
+    magic, pos = _ppm_token(payload, 0)
+    if magic != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {magic!r})")
+    w_b, pos = _ppm_token(payload, pos)
+    h_b, pos = _ppm_token(payload, pos)
+    maxval_b, pos = _ppm_token(payload, pos)
+    w, h, maxval = int(w_b), int(h_b), int(maxval_b)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pos += 1  # exactly one whitespace byte after maxval
+    need = w * h * 3
+    arr = np.frombuffer(payload, np.uint8, need, pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (height, width, 3) uint8 RGB. Pure numpy:
+    14-byte file header + BITMAPINFOHEADER, BGR rows padded to 4 bytes,
+    bottom-up unless height is negative."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24bpp BMP (got {bpp}bpp/c{compression})")
+    hh = abs(h)
+    row = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(payload, np.uint8, row * hh, data_offset).reshape(hh, row)
+    arr = arr[:, : w * 3].reshape(hh, w, 3)
+    if h > 0:
+        arr = arr[::-1]  # bottom-up storage
+    return arr[..., ::-1].copy()  # BGR → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-byte dispatch: PPM(P6) and uncompressed BMP decode in pure
+    numpy; anything else needs PIL, which is import-gated (absent in this
+    container → NotImplementedError with the supported-format list)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    try:  # pragma: no cover - PIL not installed here
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            f"unsupported image format (magic {payload[:4]!r}); built-in "
+            f"decoders: {DECODERS_IMPLEMENTED}; install PIL for JPEG/PNG"
+        ) from None
+
+
 def decode_stub(payload: bytes) -> bytes:
-    """Real decode (JPEG/PNG/audio frames) would go here."""
+    """Kept for API compatibility; see :func:`decode_image` for the real
+    decoders (PPM/BMP built-in, PIL-gated otherwise)."""
     raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use extract_features' deterministic fake instead"
+        "audio/video codecs are not available in this environment; "
+        "image payloads: use decode_image (PPM/BMP built-in)"
     )
 
 
@@ -75,6 +160,73 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
     return media.select("doc_id", "payload", "n_bytes").mapInPandas(
         run, schema=FEATURE_SCHEMA
+    )
+
+
+def attach_ppm_media(df: DataFrame, text_col: str, id_col: str, width: int = 8) -> DataFrame:
+    """Deterministic REAL image payloads: each row's text bytes become the
+    pixel data of a binary PPM (P6) — zero-padded to full rows — so the
+    decode path is exercised on genuine, spec-conformant image bytes with
+    ground truth derivable from the text. Built with Column expressions
+    (concat of header + padded bytes); no Python in the attach step."""
+    txt = F.encode(F.col(text_col), "UTF-8")
+    nb = F.length(txt)  # BYTE length (length() on binary), not char length
+    row_bytes = width * 3
+    h = F.greatest(F.ceil(nb / F.lit(row_bytes)).cast("int"), F.lit(1))
+    pad_len = h * row_bytes - nb
+    padding = F.encode(F.repeat(F.lit("\x00"), pad_len), "UTF-8")
+    header = F.encode(
+        F.concat(F.lit(f"P6\n{width} "), h.cast("string"), F.lit("\n255\n")),
+        "UTF-8",
+    )
+    payload = F.concat(header, txt, padding)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.lit(width).cast("int").alias("width"),
+        h.alias("height"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+PIXEL_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, mean_r double, mean_g double, mean_b double"
+)
+
+
+def extract_pixel_features(media: DataFrame) -> DataFrame:
+    """REAL decode → per-channel pixel statistics, Arrow-batched. Unlike
+    :func:`extract_features` (payload-byte fake for oracle-checkability),
+    this path parses the image container (PPM/BMP via the pure-numpy
+    decoders) and computes features over decoded pixels — the M4 decode
+    step, codec-verified, not plumbing-verified."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["height"].append(img.shape[0])
+                rows["width"].append(img.shape[1])
+                m = img.reshape(-1, 3).mean(axis=0)
+                rows["mean_r"].append(round(float(m[0]), 6))
+                rows["mean_g"].append(round(float(m[1]), 6))
+                rows["mean_b"].append(round(float(m[2]), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "mean_r": pd.Series(rows["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(rows["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(rows["mean_b"], dtype="float64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=PIXEL_FEATURE_SCHEMA
     )
 
 

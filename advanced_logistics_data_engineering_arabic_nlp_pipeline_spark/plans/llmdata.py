@@ -596,6 +596,20 @@ LIMIT 25
 
 # ── M4 multimodal ───────────────────────────────────────────────────────────
 
+def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 decode, codec-verified: text bytes are packed into spec-conformant
+    binary PPM (P6) payloads (operators/multimodal.attach_ppm_media — pure
+    Column expressions), then the pure-numpy decoder parses the image
+    container and computes per-channel pixel means over DECODED pixels
+    (extract_pixel_features). Rows-only in the driver (SQL can't parse
+    PPM); numpy ground-truth parity is pinned by pytest."""
+    from ..operators.multimodal import attach_ppm_media, extract_pixel_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_ppm_media(docs, "text", "doc_id")
+    return extract_pixel_features(media).orderBy("doc_id")
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing end to end: attach payload+metadata, Arrow-
     batched mapInPandas feature extraction. The fake feature (mean payload
@@ -1070,6 +1084,7 @@ QUERIES = {
     "docs_with_embeddings": docs_with_embeddings,
     "embedding_label_centroids": embedding_label_centroids,
     "dedup_clusters_star": dedup_clusters_star,
+    "multimodal_pixel_decode": multimodal_pixel_decode,
 }
 
 ORACLES = {

@@ -603,3 +603,115 @@ def test_exact_twin_cross_joins_are_fenced(spark, sf_dir):
         "id_b",
         "cosine",
     ]
+
+
+def test_connected_components_three_ways_random_graphs(spark):
+    """Property check: driver union-find (default), distributed min-label
+    rounds, and large-star/small-star must produce identical labels on
+    seeded random graphs (mixed component shapes: chains, stars, cliques,
+    isolated nodes)."""
+    import random
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    rnd = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = []
+        # random edges over a sparse id space → varied component shapes
+        for _ in range(70):
+            a, b = rnd.randrange(n), rnd.randrange(n)
+            edges.append((a * 3, b * 3))  # non-contiguous ids
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        uf = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        lab = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(
+                pairs, max_iters=60, max_driver_edges=0
+            ).collect()
+        }
+        star = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components_star(pairs).collect()
+        }
+        assert uf == lab == star, f"trial {trial} disagreement"
+
+
+def test_ppm_bmp_decoders_against_ground_truth():
+    """The pure-numpy image decoders must parse spec-conformant bytes
+    written by an independent encoder in this test (header variants,
+    padding, bottom-up BMP rows) back to the exact pixel array."""
+    import numpy as np
+    import struct
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+
+    # PPM P6 with a comment line in the header
+    ppm = b"P6\n# comment\n7 5\n255\n" + img.tobytes()
+    out = mm.decode_ppm(ppm)
+    assert np.array_equal(out, img)
+    assert np.array_equal(mm.decode_image(ppm), img)
+
+    # 24bpp BMP: BGR, rows padded to 4 bytes, stored bottom-up
+    w, h = 7, 5
+    row = (w * 3 + 3) // 4 * 4
+    px = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        line = bytearray()
+        for x in range(w):
+            r, g, b = img[y, x]
+            line += bytes([b, g, r])
+        line += b"\x00" * (row - len(line))
+        px += line
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 0, 0, 0, 0)
+    bmp = header + info + bytes(px)
+    out = mm.decode_bmp(bmp)
+    assert np.array_equal(out, img)
+    assert np.array_equal(mm.decode_image(bmp), img)
+
+    # unsupported formats raise with the supported list (PIL absent here)
+    import pytest as _pytest
+
+    with _pytest.raises((NotImplementedError, Exception)):
+        mm.decode_image(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_multimodal_pixel_decode_matches_numpy(spark, sf_dir):
+    """End-to-end M4 decode: Column-expression PPM packing -> mapInPandas
+    pure-numpy decode -> channel means must equal a numpy reimplementation
+    from the raw texts (including multi-byte UTF-8 and the zero padding)."""
+    import math
+
+    import numpy as np
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "x"), (3, "رحلة الاهرام"), (4, "a" * 100)],
+        ["doc_id", "text"],
+    )
+    media = mm.attach_ppm_media(docs, "text", "doc_id", width=8)
+    got = {r["doc_id"]: r.asDict() for r in mm.extract_pixel_features(media).collect()}
+
+    for doc_id, text in [(1, "hello world"), (2, "x"), (3, "رحلة الاهرام"), (4, "a" * 100)]:
+        raw = text.encode("utf-8")
+        h = max(1, math.ceil(len(raw) / 24))
+        buf = raw + b"\x00" * (h * 24 - len(raw))
+        img = np.frombuffer(buf, np.uint8).reshape(h, 8, 3)
+        m = img.reshape(-1, 3).mean(axis=0)
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (8, h), (doc_id, r)
+        assert abs(r["mean_r"] - round(float(m[0]), 6)) < 1e-9
+        assert abs(r["mean_g"] - round(float(m[1]), 6)) < 1e-9
+        assert abs(r["mean_b"] - round(float(m[2]), 6)) < 1e-9
+
+    # registry query runs on the fixture corpus
+    out = llmdata.multimodal_pixel_decode(spark, sf_dir)
+    assert out.count() > 0
