@@ -610,6 +610,20 @@ def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pixel_features(media).orderBy("doc_id")
 
 
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 audio decode, codec-verified: text bytes become 8-bit PCM sample
+    data of spec-conformant mono WAVs (operators/multimodal.
+    attach_wav_media — RIFF sizes assembled as Column expressions), then
+    the pure-struct/numpy decoder walks the chunk list and computes
+    waveform statistics over DECODED samples. Rows-only (SQL can't parse
+    RIFF); numpy ground-truth parity pinned by pytest."""
+    from ..operators.multimodal import attach_wav_media, extract_audio_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_wav_media(docs, "text", "doc_id")
+    return extract_audio_features(media).orderBy("doc_id")
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing end to end: attach payload+metadata, Arrow-
     batched mapInPandas feature extraction. The fake feature (mean payload
@@ -1085,6 +1099,7 @@ QUERIES = {
     "embedding_label_centroids": embedding_label_centroids,
     "dedup_clusters_star": dedup_clusters_star,
     "multimodal_pixel_decode": multimodal_pixel_decode,
+    "multimodal_audio_decode": multimodal_audio_decode,
 }
 
 ORACLES = {

@@ -715,3 +715,63 @@ def test_multimodal_pixel_decode_matches_numpy(spark, sf_dir):
     # registry query runs on the fixture corpus
     out = llmdata.multimodal_pixel_decode(spark, sf_dir)
     assert out.count() > 0
+
+
+def test_wav_decoder_against_stdlib_encoder(spark, sf_dir):
+    """decode_wav must parse WAVs written by Python's stdlib `wave` module
+    (an independent encoder): 16-bit stereo and 8-bit mono, exact sample
+    recovery; the end-to-end attach_wav_media -> extract_audio_features
+    path must match a numpy reimplementation from the raw texts."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import multimodal as mm
+
+    # 16-bit stereo via stdlib wave
+    rng = np.random.default_rng(11)
+    frames = rng.integers(-32768, 32768, size=(50, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(frames.tobytes())
+    x, rate = mm.decode_wav(buf.getvalue())
+    assert rate == 16000 and x.shape == (50, 2)
+    assert np.allclose(x, frames.astype(np.float64) / 32768.0)
+
+    # 8-bit mono
+    samples8 = rng.integers(0, 256, size=30, dtype=np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(samples8.tobytes())
+    x, rate = mm.decode_wav(buf.getvalue())
+    assert rate == 8000 and x.shape == (30, 1)
+    assert np.allclose(x[:, 0], (samples8.astype(np.float64) - 128.0) / 128.0)
+
+    # end-to-end over Spark, incl. multi-byte text
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "رحلة الاهرام"), (3, "z" * 99)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in mm.extract_audio_features(
+            mm.attach_wav_media(docs, "text", "doc_id")
+        ).collect()
+    }
+    for doc_id, text in [(1, "hello"), (2, "رحلة الاهرام"), (3, "z" * 99)]:
+        raw = text.encode("utf-8")
+        x = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        r = got[doc_id]
+        assert r["n_frames"] == len(raw)
+        assert r["sample_rate"] == 8000
+        assert abs(r["duration_s"] - round(len(raw) / 8000, 6)) < 1e-9
+        assert abs(r["rms"] - round(float(np.sqrt((x**2).mean())), 6)) < 1e-9
+        assert abs(r["peak"] - round(float(np.abs(x).max()), 6)) < 1e-9
+
+    assert llmdata.multimodal_audio_decode(spark, sf_dir).count() > 0
