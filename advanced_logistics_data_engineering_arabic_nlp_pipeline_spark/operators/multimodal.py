@@ -2,11 +2,15 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schema, Arrow batch shape,
-``mapInPandas`` signature, partition sizing — is real and tested; the actual
-codec work is stubbed (no image/audio libraries in this container) behind
-``decode_stub``: a clearly-marked deterministic fake so every downstream
-operator (feature extraction, filtering, joins back to text) is exercised
-end to end.
+``mapInPandas`` signature, partition sizing — is real and tested, and the
+decode step is CODEC-VERIFIED for the self-describing uncompressed
+formats via pure-numpy decoders (no media libraries needed): PPM P6 +
+24bpp BMP images (:func:`decode_image`), RIFF/WAVE PCM audio
+(:func:`decode_wav`), YUV4MPEG2 video (:func:`decode_y4m`). Compressed
+codecs (JPEG/PNG/H.264/mp3) stay import-gated on PIL/ffmpeg, which this
+container doesn't ship; ``extract_features`` additionally keeps a
+deterministic payload-byte fake so one mapInPandas path stays
+SQL-oracle-checkable end to end.
 
 At 100 TB: binary payloads dominate partition size → ``mapInPandas`` with
 small ``spark.sql.files.maxPartitionBytes`` / explicit repartition before
@@ -30,9 +34,9 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, feat_mean double, feat_dim int"
 
 # Real pure-numpy decoders for the self-describing uncompressed formats;
-# compressed formats (JPEG/PNG) and audio/video stay behind an import-try
+# compressed formats (JPEG/PNG, H.264, mp3...) stay behind an import-try
 # on PIL/ffmpeg, which this container doesn't ship.
-DECODERS_IMPLEMENTED = ("ppm", "bmp")
+DECODERS_IMPLEMENTED = ("ppm", "bmp", "wav-pcm", "y4m")
 
 
 def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -236,13 +240,163 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int, tuple[int, int]]:
+    """YUV4MPEG2 (uncompressed video) → (frames, width, height,
+    (fps_num, fps_den)); ``frames`` is (n_frames, height, width) uint8 of
+    the LUMA plane (Y) — the plane video-quality features run on. Pure
+    numpy: plain-text stream header ``YUV4MPEG2 W.. H.. F..:.. [C..]\\n``,
+    then per frame a ``FRAME[ params]\\n`` marker + raw planes. Supported
+    chroma: C420* (w·h·3/2 bytes/frame, the default), C444 (w·h·3),
+    Cmono (w·h); chroma planes are skipped, not parsed."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = 0
+    fps = (25, 1)
+    chroma = "420"
+    for tok in payload[:nl].split(b" ")[1:]:
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            chroma = val
+    if not w or not h:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    if chroma.startswith("420"):
+        frame_bytes = w * h * 3 // 2
+    elif chroma == "444":
+        frame_bytes = w * h * 3
+    elif chroma == "mono":
+        frame_bytes = w * h
+    else:
+        raise NotImplementedError(f"chroma C{chroma} not supported")
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        data_start = fnl + 1
+        frames.append(
+            np.frombuffer(payload, np.uint8, w * h, data_start).reshape(h, w)
+        )
+        pos = data_start + frame_bytes
+    return (
+        np.stack(frames) if frames else np.empty((0, h, w), np.uint8),
+        w,
+        h,
+        fps,
+    )
+
+
+def attach_y4m_media(
+    df: DataFrame, text_col: str, id_col: str, width: int = 8, height: int = 4
+) -> DataFrame:
+    """Deterministic REAL video payloads: text bytes become the luma planes
+    of consecutive C420 frames of a spec-conformant YUV4MPEG2 stream
+    (chroma planes zeroed), assembled with Column expressions. Each frame
+    consumes width·height luma bytes; the text is zero-padded to whole
+    frames."""
+    txt = F.encode(F.col(text_col), "UTF-8")
+    nb = F.length(txt)
+    luma = width * height
+    n_frames = F.greatest(F.ceil(nb / F.lit(luma)).cast("int"), F.lit(1))
+    pad_len = n_frames * luma - nb
+    padded = F.concat(txt, F.encode(F.repeat(F.lit("\x00"), pad_len), "UTF-8"))
+    header = F.lit(f"YUV4MPEG2 W{width} H{height} F25:1 C420\n".encode())
+    chroma = b"\x00" * (luma // 2)
+    # per-frame: FRAME\n + luma slice + zero chroma — aggregate over a
+    # frame-index sequence keeps this in expression land
+    frame_seq = F.sequence(F.lit(0), n_frames - 1)
+    payload = F.concat(
+        header,
+        F.aggregate(
+            frame_seq,
+            F.lit(b""),
+            lambda acc, i: F.concat(
+                acc,
+                F.lit(b"FRAME\n"),
+                F.substring(padded, i * luma + 1, luma),
+                F.lit(chroma),
+            ),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("video/x-yuv4mpeg").alias("media_type"),
+        F.lit(width).cast("int").alias("width"),
+        F.lit(height).cast("int").alias("height"),
+        n_frames.cast("int").alias("n_frames"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+VIDEO_FEATURE_SCHEMA = (
+    "doc_id bigint, width int, height int, n_frames int, fps double,"
+    " luma_mean double, luma_motion double"
+)
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """REAL Y4M decode → per-clip statistics over decoded luma planes:
+    mean luminance and mean absolute frame-to-frame delta (a motion
+    proxy) — the video analogue of extract_pixel_features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "width", "height", "n_frames", "fps",
+                "luma_mean", "luma_motion",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames, w, h, (fn, fd) = decode_y4m(bytes(payload))
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(len(frames))
+                rows["fps"].append(round(fn / fd, 6))
+                f = frames.astype(np.float64)
+                rows["luma_mean"].append(round(float(f.mean()), 6) if len(f) else 0.0)
+                rows["luma_motion"].append(
+                    round(float(np.abs(np.diff(f, axis=0)).mean()), 6)
+                    if len(f) > 1
+                    else 0.0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "fps": pd.Series(rows["fps"], dtype="float64"),
+                    "luma_mean": pd.Series(rows["luma_mean"], dtype="float64"),
+                    "luma_motion": pd.Series(rows["luma_motion"], dtype="float64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=VIDEO_FEATURE_SCHEMA
+    )
+
+
 def decode_stub(payload: bytes) -> bytes:
-    """Kept for API compatibility; see :func:`decode_image` (PPM/BMP
-    built-in, PIL-gated otherwise) and :func:`decode_wav` (PCM built-in).
-    Video keyframe decode would need ffmpeg, absent in this container."""
+    """Kept for API compatibility; the real decoders are
+    :func:`decode_image` (PPM/BMP built-in, PIL-gated otherwise),
+    :func:`decode_wav` (PCM built-in) and :func:`decode_y4m` (uncompressed
+    video built-in). Compressed video (H.264 etc.) would need ffmpeg,
+    absent in this container."""
     raise NotImplementedError(
-        "video codecs are not available in this environment; images: "
-        "decode_image (PPM/BMP built-in); audio: decode_wav (PCM built-in)"
+        "compressed-codec decode is not available in this environment; "
+        "built-ins: decode_image (PPM/BMP), decode_wav (PCM), decode_y4m "
+        "(YUV4MPEG2)"
     )
 
 

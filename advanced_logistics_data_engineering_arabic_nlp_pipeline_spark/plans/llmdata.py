@@ -624,6 +624,21 @@ def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(media).orderBy("doc_id")
 
 
+def multimodal_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 video decode, codec-verified: text bytes become the luma planes
+    of spec-conformant YUV4MPEG2 streams (operators/multimodal.
+    attach_y4m_media — frame assembly via F.aggregate over a frame-index
+    sequence, pure expressions), then the pure-numpy decoder walks the
+    FRAME markers and computes luminance/motion statistics over DECODED
+    planes. Rows-only (SQL can't parse Y4M); numpy ground-truth parity
+    pinned by pytest."""
+    from ..operators.multimodal import attach_y4m_media, extract_video_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_y4m_media(docs, "text", "doc_id")
+    return extract_video_features(media).orderBy("doc_id")
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload plumbing end to end: attach payload+metadata, Arrow-
     batched mapInPandas feature extraction. The fake feature (mean payload
@@ -1100,6 +1115,7 @@ QUERIES = {
     "dedup_clusters_star": dedup_clusters_star,
     "multimodal_pixel_decode": multimodal_pixel_decode,
     "multimodal_audio_decode": multimodal_audio_decode,
+    "multimodal_video_decode": multimodal_video_decode,
 }
 
 ORACLES = {

@@ -52,6 +52,9 @@ HEADLINE = [
     "embedding_label_centroids",
     "text_quality",
     "multimodal_features",
+    "multimodal_pixel_decode",
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
     # event-time windows
     "events_hourly",
     "events_sliding",

@@ -775,3 +775,57 @@ def test_wav_decoder_against_stdlib_encoder(spark, sf_dir):
         assert abs(r["peak"] - round(float(np.abs(x).max()), 6)) < 1e-9
 
     assert llmdata.multimodal_audio_decode(spark, sf_dir).count() > 0
+
+
+def test_y4m_decoder_and_video_features(spark, sf_dir):
+    """decode_y4m must parse an independently hand-assembled YUV4MPEG2
+    stream (C420 + C444 + mono variants) back to exact luma planes; the
+    end-to-end attach_y4m_media -> extract_video_features path must match
+    a numpy reimplementation (mean luma + mean |frame delta| motion)."""
+    import math
+
+    import numpy as np
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    w, h, n = 4, 2, 3
+    lumas = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+
+    def build(chroma_tag, chroma_bytes):
+        out = bytearray(f"YUV4MPEG2 W{w} H{h} F30:1{chroma_tag}\n".encode())
+        for f in lumas:
+            out += b"FRAME\n" + f.tobytes() + b"\x01" * chroma_bytes
+        return bytes(out)
+
+    for tag, extra in [(" C420", w * h // 2), (" C444", w * h * 2), (" Cmono", 0), ("", w * h // 2)]:
+        frames, ww, hh, fps = mm.decode_y4m(build(tag, extra))
+        assert (ww, hh, fps) == (w, h, (30, 1))
+        assert np.array_equal(frames, lumas), tag
+
+    # end-to-end over Spark (8x4 frames, 32 luma bytes per frame)
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "رحلة الاهرام والمتحف"), (3, "q" * 70)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in mm.extract_video_features(
+            mm.attach_y4m_media(docs, "text", "doc_id")
+        ).collect()
+    }
+    for doc_id, text in [(1, "hello world"), (2, "رحلة الاهرام والمتحف"), (3, "q" * 70)]:
+        raw = text.encode("utf-8")
+        nf = max(1, math.ceil(len(raw) / 32))
+        buf = raw + b"\x00" * (nf * 32 - len(raw))
+        f = np.frombuffer(buf, np.uint8).reshape(nf, 4, 8).astype(np.float64)
+        r = got[doc_id]
+        assert (r["width"], r["height"], r["n_frames"]) == (8, 4, nf)
+        assert r["fps"] == 25.0
+        assert abs(r["luma_mean"] - round(float(f.mean()), 6)) < 1e-9
+        want_motion = (
+            round(float(np.abs(np.diff(f, axis=0)).mean()), 6) if nf > 1 else 0.0
+        )
+        assert abs(r["luma_motion"] - want_motion) < 1e-9
+
+    assert llmdata.multimodal_video_decode(spark, sf_dir).count() > 0
