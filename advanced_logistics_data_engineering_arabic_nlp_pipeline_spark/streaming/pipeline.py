@@ -102,6 +102,49 @@ def stream_dedup_exact(
     )
 
 
+def stream_attribution_join(
+    stream: DataFrame,
+    lookback: str = "2 hours",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the true-streaming twin of
+    the batch range join inside plans.relational.events_attribution_range:
+    each purchase matches the same user's click/view events in the
+    ``lookback`` interval before it.
+
+    State-bound by construction: both sides carry a watermark and the join
+    condition is an event-time interval, so Spark derives how long each
+    side's rows can still match (purchase side: ``lookback`` + watermark;
+    point side: watermark) and EVICTS state past that horizon — the
+    unbounded-state trap of naive stream joins is structurally excluded.
+    Late events behind the watermark are dropped, not matched. Emits
+    matched (purchase_id, user_id, event_type, ts, p_ts) rows in append
+    mode; downstream per-purchase aggregation belongs to the consumer (a
+    non-windowed agg after a stream-stream join would never finalize in
+    append mode)."""
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    points = (
+        stream.filter(F.col("event_type").isin("click", "view"))
+        .select("user_id", "ts", "event_type")
+        .withWatermark("ts", watermark)
+    )
+    return points.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("ts") <= F.col("p_ts"))
+        & (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner",
+    ).select("purchase_id", "user_id", "event_type", "ts", "p_ts")
+
+
 def run_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> StreamingQuery:

@@ -588,3 +588,36 @@ def test_stream_session_windows_drop_late_and_finalize_once(spark, tmp_path):
         ("2024-03-01 13:00:00", "2024-03-01 13:10:00", 1),  # on-time, 1 event
         # and NO [10:30, 10:40) phantom session from the dropped late event
     ]
+
+
+def test_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """The watermarked stream-stream interval join must reproduce the batch
+    range join's per-purchase click/view counts exactly when nothing is
+    late (watermark wider than the fixture's time range)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.relational import (
+        events_attribution_range,
+    )
+
+    out = str(tmp_path / "attr_land")
+    fetch, _ = _write_event_pages(spark, sf_dir, out, n_pages=3)
+    landing.land_pages(fetch, out)
+
+    stream = landing.stream_landing(spark, out, EVENT_SCHEMA)
+    joined = pipeline.stream_attribution_join(stream, watermark="365 days")
+    q = pipeline.run_to_memory(joined, "attr_test", output_mode="append")
+    q.awaitTermination(120)
+
+    got = {}
+    for r in spark.sql(
+        "SELECT purchase_id, event_type, count(*) AS n FROM attr_test"
+        " GROUP BY purchase_id, event_type"
+    ).collect():
+        g = got.setdefault(r["purchase_id"], {"click": 0, "view": 0})
+        g[r["event_type"]] = r["n"]
+
+    want = {
+        r["purchase_id"]: {"click": r["n_clicks"], "view": r["n_views"]}
+        for r in events_attribution_range(spark, sf_dir).collect()
+        if r["n_clicks"] or r["n_views"]  # stream inner join emits matches only
+    }
+    assert got == want
