@@ -303,7 +303,13 @@ def attach_y4m_media(
     of consecutive C420 frames of a spec-conformant YUV4MPEG2 stream
     (chroma planes zeroed), assembled with Column expressions. Each frame
     consumes width·height luma bytes; the text is zero-padded to whole
-    frames."""
+    frames.
+
+    Bound: the per-row F.aggregate concat re-copies the accumulated buffer
+    each frame — O(frames²) bytes per row. Fine for the short fixture
+    payloads this synthesizer targets; real video lands its container
+    bytes directly (this function exists to feed the decoder test path,
+    not to encode video at scale)."""
     txt = F.encode(F.col(text_col), "UTF-8")
     nb = F.length(txt)
     luma = width * height
