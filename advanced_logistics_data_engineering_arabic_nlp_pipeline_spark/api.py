@@ -100,10 +100,16 @@ def stats_endpoint(svc: CleaningService) -> dict:
 
 # ── FastAPI wiring (only when installed) ────────────────────────────────────
 
-def create_app(svc: CleaningService):
+def create_app(svc: CleaningService, fetch_page=None, landing_dir: str | None = None):
     """FastAPI app exposing the endpoints above on the reference's routes.
     Raises ImportError where fastapi isn't installed — the dict-returning
-    endpoint functions above are the framework-free surface."""
+    endpoint functions above are the framework-free surface.
+
+    ``/run-cycle`` is registered only when ``fetch_page`` AND
+    ``landing_dir`` are provided: unlike the reference (whose handler
+    imports a nonexistent module anyway, api.py:334), a cycle needs a page
+    source and a landing directory, which are deployment wiring — not
+    something a bare HTTP request can conjure."""
     if not HAS_FASTAPI:
         raise ImportError(
             "fastapi is not installed; use the *_endpoint functions directly "
@@ -131,5 +137,11 @@ def create_app(svc: CleaningService):
     @app.get("/stats")
     async def stats() -> dict:
         return stats_endpoint(svc)
+
+    if fetch_page is not None and landing_dir is not None:
+
+        @app.post("/run-cycle")
+        async def run_cycle() -> dict:
+            return run_cycle_endpoint(svc, fetch_page, landing_dir)
 
     return app

@@ -705,8 +705,16 @@ def connected_components(
             "(component diameter exceeds max_iters; pass "
             "deep_graph_fallback=True for the large-star/small-star path)"
         )
+    # hand the already-pinned symmetric edge list to the star pass — the
+    # expensive part of a CC run is the upstream pair-producing pipeline,
+    # and the fallback fires exactly on the longest-running inputs
     return connected_components_star(
-        pairs, src, dst, checkpoint=checkpoint, checkpoint_dir=checkpoint_dir
+        pairs,
+        src,
+        dst,
+        checkpoint=checkpoint,
+        checkpoint_dir=checkpoint_dir,
+        _sym_edges=edges,
     )
 
 
@@ -717,6 +725,7 @@ def connected_components_star(
     max_rounds: int = 64,
     checkpoint: str = "local",
     checkpoint_dir: str | None = None,
+    _sym_edges: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cluster_id) via alternating large-star / small-star rounds
     (Kiveris et al., SoCC 2014) — converges in O(log²) rounds regardless of
@@ -735,16 +744,24 @@ def connected_components_star(
 
     Fixed point = the edge set stops changing (checked exactly with
     count + exceptAll, never a hash heuristic); the final edges form a
-    star forest rooted at each component's minimum id."""
+    star forest rooted at each component's minimum id.
+
+    ``_sym_edges``: an already-materialized symmetric (a, b) edge frame
+    (connected_components passes its pinned one on fallback so the
+    upstream pair pipeline is never re-executed)."""
     ckpt = _make_checkpointer(pairs.sparkSession, checkpoint, checkpoint_dir)
+    base = (
+        _sym_edges
+        if _sym_edges is not None
+        else pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    )
     nodes = ckpt(
-        pairs.select(F.col(src).alias("id"))
-        .union(pairs.select(F.col(dst).alias("id")))
+        base.select(F.col("a").alias("id"))
+        .union(base.select(F.col("b").alias("id")))
         .distinct()
     )
     edges = ckpt(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        base.filter(F.col("a") != F.col("b"))
         .select(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )

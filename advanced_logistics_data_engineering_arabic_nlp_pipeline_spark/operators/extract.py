@@ -207,9 +207,8 @@ def with_all_locations_fuzzy(
     broadcast-join → ordered re-aggregation plan."""
     from .lookup import (
         FUZZY_SCORE_CUTOFF,
-        MAPPING_LITERAL_MAX,
         _distinct_token_mapping,
-        canonical_map_literal,
+        mapping_literal_probe,
     )
     from ..sources.dictionary import build_variant_index
 
@@ -222,10 +221,11 @@ def with_all_locations_fuzzy(
     ).otherwise(tokenize_trip(scrub_round_trip(raw)))
 
     exploded = texts.select(F.col("__ftxt"), F.posexplode_outer(tokens).alias("__pos", "__tok"))
-    mapping = _distinct_token_mapping(exploded, "__tok", index, cutoff)
-    probe = mapping.limit(MAPPING_LITERAL_MAX + 1).collect()
-    if len(probe) <= MAPPING_LITERAL_MAX:
-        m = canonical_map_literal(probe)
+    mapping, caches = _distinct_token_mapping(exploded, "__tok", index, cutoff)
+    m, is_literal = mapping_literal_probe(mapping)
+    if is_literal:
+        for c in caches:
+            c.unpersist()
         draw = F.trim(F.col(text_col).cast("string"))
         if m is None:
             hits = F.array().cast("array<string>")

@@ -296,9 +296,26 @@ def _distinct_token_mapping(
             F.coalesce(F.col("__r12s"), F.col("__fzs")),
         ),
     )
-    return d.select("__t", cascade.alias("__canonical")).filter(
+    mapping = d.select("__t", cascade.alias("__canonical")).filter(
         F.col("__canonical").isNotNull()
     )
+    # hand the cut-point frames back so the caller can unpersist them the
+    # moment the mapping no longer references them (the literal path): a
+    # per-request service call must not leak cached blocks forever
+    return mapping, [d, fz]
+
+
+def mapping_literal_probe(mapping: DataFrame) -> tuple[Column | None, bool]:
+    """THE single literal-vs-join decision (both resolve_tokens_fuzzy and
+    extract.with_all_locations_fuzzy go through here, so the threshold and
+    null semantics have one source of truth): collect up to
+    ``MAPPING_LITERAL_MAX + 1`` resolved entries; return
+    ``(map literal or None-if-empty, True)`` when the literal path
+    applies, else ``(None, False)`` for the broadcast-join path."""
+    probe = mapping.limit(MAPPING_LITERAL_MAX + 1).collect()
+    if len(probe) <= MAPPING_LITERAL_MAX:
+        return canonical_map_literal(probe), True
+    return None, False
 
 
 def canonical_map_literal(mapping_rows: list) -> Column | None:
@@ -329,16 +346,22 @@ def resolve_tokens_fuzzy(
     Both paths are row-for-row identical: an unresolved or null token gets
     a null ``out_col``."""
     index = index if index is not None else build_variant_index()
-    mapping = _distinct_token_mapping(tokens_df, token_col, index, cutoff)
-    probe = mapping.limit(MAPPING_LITERAL_MAX + 1).collect()
-    if len(probe) <= MAPPING_LITERAL_MAX:
-        m = canonical_map_literal(probe)
+    mapping, caches = _distinct_token_mapping(tokens_df, token_col, index, cutoff)
+    m, is_literal = mapping_literal_probe(mapping)
+    if is_literal:
+        # the literal carries the whole mapping; the cascade's cached cut
+        # points are dead weight from here on — drop them (service calls
+        # run this per request and must not accumulate blocks)
+        for c in caches:
+            c.unpersist()
         resolved = (
             F.element_at(m, F.col(token_col))
             if m is not None
             else F.lit(None).cast("string")
         )
         return tokens_df.withColumn(out_col, resolved)
+    # join path: the returned plan still reads the cached frames, so they
+    # stay resident until the caller's action completes / cache is cleared
     mapping = mapping.withColumnRenamed("__canonical", out_col)
     return tokens_df.join(
         F.broadcast(mapping), tokens_df[token_col] == mapping["__t"], "left"

@@ -144,6 +144,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # a silently-shortened slice would decode a truncated payload
+            # into wrong-but-plausible features; corrupt media must raise
+            raise ValueError(
+                f"truncated {cid!r} chunk: declared {size}, got {len(body)} bytes"
+            )
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
@@ -283,7 +289,11 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int, int, tuple[int, int]]:
         if payload[pos : pos + 5] != b"FRAME":
             raise ValueError(f"expected FRAME marker at byte {pos}")
         fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header (no newline)")
         data_start = fnl + 1
+        if data_start + frame_bytes > len(payload):
+            raise ValueError("truncated frame data")
         frames.append(
             np.frombuffer(payload, np.uint8, w * h, data_start).reshape(h, w)
         )

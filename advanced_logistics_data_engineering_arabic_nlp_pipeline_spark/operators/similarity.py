@@ -92,13 +92,14 @@ def topk_bruteforce(
     than ``max_exact_rows`` raises (pass None to disable for a deliberate
     exact sweep)."""
     if max_exact_rows is not None:
-        n = candidates.count()
-        if n > max_exact_rows:
+        # limit-bounded guard: a bare count() would execute the caller's
+        # whole candidate plan an extra time just to check the fence
+        if candidates.limit(max_exact_rows + 1).count() > max_exact_rows:
             raise ValueError(
-                f"topk_bruteforce is the exact O(Q×N) twin: {n} candidate"
-                f" rows > max_exact_rows={max_exact_rows}. Use topk_lsh /"
-                f" topk_ivf / topk_ivfpq for the scale path, or pass"
-                f" max_exact_rows=None for a deliberate exact sweep."
+                f"topk_bruteforce is the exact O(Q×N) twin: more than"
+                f" max_exact_rows={max_exact_rows} candidate rows. Use"
+                f" topk_lsh / topk_ivf / topk_ivfpq for the scale path, or"
+                f" pass max_exact_rows=None for a deliberate exact sweep."
             )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -197,14 +198,20 @@ def train_kmeans_centroids(
     - ``"auto"`` (default): ``"distributed"`` when
       ``sample_per_centroid is None``, else ``"driver"``.
 
-    Determinism (both modes produce identical centroids on the same
-    training set): seeding takes the k smallest-id vectors of the training
-    set; assignment is cosine argmax with ties to the smallest centroid
-    index (= smallest seed id); means are computed over RAW vectors and
-    rounded to 6 decimals per round; cells that lose all members keep their
-    previous centroid, so exactly k centroids always survive. Fixed
-    ``n_iters`` (k-means converges fast on clustered data; IVF needs a good
-    partition, not the optimum)."""
+    Determinism: each mode is individually deterministic (seeding takes
+    the k smallest-id vectors of the training set; assignment is cosine
+    argmax with ties to the smallest centroid index = smallest seed id;
+    means are computed over RAW vectors and rounded to 6 decimals per
+    round; cells that lose all members keep their previous centroid, so
+    exactly k centroids always survive). ACROSS modes the centroids agree
+    through the 6-decimal rounding (pinned on the fixtures by pytest), but
+    the float summation orders differ — driver mode pairwise-sums
+    id-ordered rows, distributed mode reduces partition partial sums — so
+    a mean component sitting within ~1 ulp of a x.xxxxx5 boundary could in
+    principle round differently; treat cross-mode equality as
+    fixture-verified, not an algebraic guarantee. Fixed ``n_iters``
+    (k-means converges fast on clustered data; IVF needs a good partition,
+    not the optimum)."""
     if mode not in ("auto", "driver", "distributed"):
         raise ValueError(f"mode must be auto|driver|distributed, got {mode!r}")
     if mode == "auto":

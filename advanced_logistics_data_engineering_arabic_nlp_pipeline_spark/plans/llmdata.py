@@ -90,6 +90,28 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _dedup_clusters_impl(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
+    """Shared body of dedup_clusters / dedup_clusters_star — ONE source of
+    truth for the pair set (threshold, df cap) and the ledger columns, so
+    the two variants can only differ in the connected-components
+    algorithm (the basis of the star twin's identical-output claim)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
+    comp = cc_fn(pairs, "doc_a", "doc_b")
+    return (
+        dedup.cluster_summary(comp)
+        .select(
+            F.col("id").alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            "is_keeper",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: Jaccard pairs → connected components →
     keep/drop ledger (id, cluster_id, cluster_size, is_keeper).
@@ -98,21 +120,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one keeper per component, not per pair. Iterative min-label propagation
     (operators/dedup.connected_components); the DuckDB oracle mirrors it
     with a recursive CTE, so the fixpoint itself is oracle-checked."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
-    )
-    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
-    return (
-        dedup.cluster_summary(comp)
-        .select(
-            F.col("id").alias("doc_id"),
-            "cluster_id",
-            "cluster_size",
-            "is_keeper",
-        )
-        .orderBy("doc_id")
-    )
+    return _dedup_clusters_impl(spark, sf_dir, dedup.connected_components)
 
 
 def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,22 +129,9 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of component diameter) instead of min-label propagation.
     Rows-only in the driver by design; the star-vs-label EQUALITY is pinned
     by pytest, and dedup_clusters itself is the hash-checked oracle twin —
-    identical output by construction."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
-    )
-    comp = dedup.connected_components_star(pairs, "doc_a", "doc_b")
-    return (
-        dedup.cluster_summary(comp)
-        .select(
-            F.col("id").alias("doc_id"),
-            "cluster_id",
-            "cluster_size",
-            "is_keeper",
-        )
-        .orderBy("doc_id")
-    )
+    identical output by construction (both run _dedup_clusters_impl; only
+    the cc function differs)."""
+    return _dedup_clusters_impl(spark, sf_dir, dedup.connected_components_star)
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -781,11 +776,11 @@ def dedup_embedding_cosine(
     sweep)."""
     emb = load_table(spark, sf_dir, "embeddings")
     if max_exact_rows is not None:
-        n = emb.count()
-        if n > max_exact_rows:
+        # limit-bounded guard (see similarity.topk_bruteforce)
+        if emb.limit(max_exact_rows + 1).count() > max_exact_rows:
             raise ValueError(
                 f"dedup_embedding_cosine is the exact O(N²) oracle twin:"
-                f" {n} rows > max_exact_rows={max_exact_rows}. Use"
+                f" more than max_exact_rows={max_exact_rows} rows. Use"
                 f" dedup_embedding_lsh for the scale path, or pass"
                 f" max_exact_rows=None for a deliberate exact sweep."
             )

@@ -136,10 +136,14 @@ def stream_attribution_join(
         .select("user_id", "ts", "event_type")
         .withWatermark("ts", watermark)
     )
+    # Half-open interval [p_ts - lookback, p_ts), matching the batch
+    # range_join contract exactly (operators/joins.py: point_ts < end_ts) —
+    # an inclusive upper bound would match same-timestamp click+purchase
+    # rows the batch twin excludes.
     return points.join(
         purchases,
         (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("ts") <= F.col("p_ts"))
+        & (F.col("ts") < F.col("p_ts"))
         & (F.col("ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
         "inner",
     ).select("purchase_id", "user_id", "event_type", "ts", "p_ts")

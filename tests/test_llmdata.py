@@ -829,3 +829,29 @@ def test_y4m_decoder_and_video_features(spark, sf_dir):
         assert abs(r["luma_motion"] - want_motion) < 1e-9
 
     assert llmdata.multimodal_video_decode(spark, sf_dir).count() > 0
+
+
+def test_decoders_reject_truncated_payloads():
+    """Corrupt media must raise, not decode into wrong-but-plausible
+    features: WAV with a declared-but-truncated data chunk; Y4M with a
+    missing FRAME newline or truncated frame data."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import multimodal as mm
+
+    fmt_body = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = (
+        b"RIFF" + struct.pack("<I", 100) + b"WAVEfmt "
+        + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", 50) + b"\x80" * 20  # declares 50, has 20
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        mm.decode_wav(wav)
+
+    with _pytest.raises(ValueError, match="truncated"):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME")  # no newline
+    with _pytest.raises(ValueError, match="truncated"):
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n\x00\x00")  # short
