@@ -210,10 +210,28 @@ def winnow_pairs(
     )
 
 
-def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact duplicate groups: per distinct text, the kept (min) id and the
+def exact_dedup_groups(
+    df: DataFrame, text_col: str, id_col: str, key: Column | None = None
+) -> DataFrame:
+    """Exact duplicate groups: per distinct key, the kept (min) id and the
     number of copies. ``dropDuplicates`` is the keep-everything variant; this
-    returns the group ledger a pipeline audits."""
+    returns the group ledger a pipeline audits.
+
+    ``key``: optional normalization Column (e.g. a content fingerprint —
+    production exact-dedup hashes NORMALIZED content, not raw bytes). With a
+    key the output is (keep_id, n_copies, dup_key); the raw-text default
+    keeps the original (keep_id, n_copies, text_len) shape. Either way this
+    is one hash groupBy — scale-safe at any corpus size."""
+    if key is not None:
+        return (
+            df.groupBy(key.alias("dup_key"))
+            .agg(
+                F.min(id_col).alias("keep_id"),
+                F.count("*").alias("n_copies"),
+            )
+            .filter(F.col("n_copies") > 1)
+            .select("keep_id", "n_copies", "dup_key")
+        )
     return (
         df.groupBy(text_col)
         .agg(

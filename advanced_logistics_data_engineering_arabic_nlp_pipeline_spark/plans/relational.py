@@ -562,10 +562,18 @@ ORACLES = {
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
     "order_priority_share": ORDER_PRIORITY_SHARE_SQL,
-    "priority_share_sql": ORDER_PRIORITY_SHARE_SQL,
     "customer_plates": CUSTOMER_PLATES_SQL,
     "orders_us_dates": ORDERS_US_DATES_SQL,
     "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
     "events_asof_rates": EVENTS_ASOF_RATES_SQL,
     "events_attribution_range": EVENTS_ATTRIBUTION_RANGE_SQL,
+}
+
+# Oracle-checked by pytest only (tests/test_oracle_parity.py), NOT shipped in
+# the driver's 50-entry correctness window: priority_share_sql runs the SAME
+# SQL string as order_priority_share through spark.sql, so its driver check
+# was a duplicate of an already-green row — demoted to open window headroom
+# (VERDICT r4 "Next round" #2) without losing the local hash check.
+LOCAL_ORACLES = {
+    "priority_share_sql": ORDER_PRIORITY_SHARE_SQL,
 }

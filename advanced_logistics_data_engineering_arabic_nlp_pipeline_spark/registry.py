@@ -41,3 +41,17 @@ def all_oracles() -> dict[str, str]:
     for mod in _PLAN_MODULES:
         out.update(mod.ORACLES)
     return out
+
+
+def local_oracles() -> dict[str, str]:
+    """Oracles checked by pytest only — queries whose driver-window slot was
+    deliberately freed (duplicate/thin oracle twins). Full hash parity still
+    runs locally (tests/test_oracle_parity.py); the driver sees them as
+    rows-only. Disjoint from :func:`all_oracles` by construction."""
+    out: dict[str, str] = {}
+    for mod in _PLAN_MODULES:
+        out.update(getattr(mod, "LOCAL_ORACLES", {}))
+    overlap = set(out) & set(all_oracles())
+    if overlap:
+        raise ValueError(f"queries in both ORACLES and LOCAL_ORACLES: {overlap}")
+    return out

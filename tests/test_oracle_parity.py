@@ -9,7 +9,9 @@ from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark import regist
 from tests.oracle_util import compare, duckdb_conn
 
 QUERIES = registry.all_queries()
-ORACLES = registry.all_oracles()
+# Driver-window oracles plus the pytest-only tier (demoted duplicates keep
+# their full local hash check even though the driver sees them rows-only).
+ORACLES = {**registry.all_oracles(), **registry.local_oracles()}
 
 
 @pytest.fixture(scope="module")
