@@ -25,6 +25,8 @@ where Arrow batching beats interpreted HOF lambdas by orders of magnitude.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -92,15 +94,19 @@ def topk_bruteforce(
     than ``max_exact_rows`` raises (pass None to disable for a deliberate
     exact sweep)."""
     if max_exact_rows is not None:
-        # limit-bounded guard: a bare count() would execute the caller's
-        # whole candidate plan an extra time just to check the fence
-        if candidates.limit(max_exact_rows + 1).count() > max_exact_rows:
-            raise ValueError(
-                f"topk_bruteforce is the exact O(Q×N) twin: more than"
-                f" max_exact_rows={max_exact_rows} candidate rows. Use"
-                f" topk_lsh / topk_ivf / topk_ivfpq for the scale path, or"
-                f" pass max_exact_rows=None for a deliberate exact sweep."
-            )
+        # limit-bounded guards on BOTH sides: a bare count() would execute
+        # the caller's whole plan an extra time just to check the fence,
+        # and fencing only the candidate side left an oversized QUERY frame
+        # free to blow up the product (ADVICE r4)
+        for side, frame in (("candidate", candidates), ("query", queries)):
+            if frame.limit(max_exact_rows + 1).count() > max_exact_rows:
+                raise ValueError(
+                    f"topk_bruteforce is the exact O(Q×N) twin: more than"
+                    f" max_exact_rows={max_exact_rows} {side} rows. Use"
+                    f" topk_lsh / topk_ivf / topk_ivfpq for the scale path,"
+                    f" or pass max_exact_rows=None for a deliberate exact"
+                    f" sweep."
+                )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -337,30 +343,43 @@ def _lloyd_distributed(base: DataFrame, k: int, n_iters: int) -> list[tuple]:
         base.unpersist()
 
 
-def topk_ivf(
-    queries: DataFrame,
+@dataclass
+class IVFIndex:
+    """A built IVF index: the (tiny) centroid table plus the cell-assigned
+    corpus (neighbor_id, cv, centroid_id). Assignment runs once at build;
+    serve probes cells and re-ranks inside them."""
+
+    centroids: DataFrame
+    assigned: DataFrame
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def build_ivf_index(
     candidates: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
     centroids: DataFrame | None = None,
-) -> DataFrame:
-    """IVF-style ANN: partition candidates into centroid cells, probe the
-    query's ``n_probe`` nearest cells, exact re-rank inside them.
+    persist: bool = True,
+    path: str | None = None,
+) -> IVFIndex:
+    """The IVF index-build step: fix the centroid table and assign every
+    candidate to its nearest cell (one Arrow matmul pass,
+    :func:`assign_centroids`).
 
     ``centroids``: a (centroid_id, <vec_col>) table, e.g. from
     :func:`train_kmeans_centroids`. Default: the first ``n_centroids``
-    candidate vectors (deterministic un-trained seeding).
+    candidate vectors (deterministic un-trained seeding) — seeded from the
+    smallest-id candidates with the vector's own id as centroid id, no
+    global window (a Window.orderBy() with no partition funnels the frame
+    through one partition and warns; the id is already unique and
+    deterministic).
 
-    Scale shape: the cell assignment is one broadcast pass; search joins on
-    the 8-byte cell id with per-cell fan-out ≈ N/n_centroids × n_probe —
-    the O(Q×N) product never materializes."""
-    # Seed centroids from the n_centroids smallest-id candidates, using the
-    # vector's own id as the centroid id — no global window (a
-    # Window.orderBy() with no partition funnels the frame through one
-    # partition and warns; the id is already unique and deterministic).
+    ``persist=True`` materializes the assignment eagerly; ``path`` writes
+    both tables as parquet under ``path`` (assigned/ + centroids/) and
+    re-reads — the durable index-table shape."""
     cents = (
         candidates.orderBy(id_col)
         .limit(n_centroids)
@@ -368,12 +387,56 @@ def topk_ivf(
         if centroids is None
         else centroids.select("centroid_id", F.col(vec_col))
     )
-    cand_cells = assign_centroids(
+    assigned = assign_centroids(
         candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")),
         cents.select("centroid_id", F.col(vec_col).alias("cv")),
         vec_col="cv",
         id_col="neighbor_id",
     )
+    if path is not None:
+        spark = candidates.sparkSession
+        assigned.write.mode("overwrite").parquet(f"{path}/assigned")
+        cents.write.mode("overwrite").parquet(f"{path}/centroids")
+        assigned = spark.read.parquet(f"{path}/assigned")
+        cents = spark.read.parquet(f"{path}/centroids")
+    elif persist:
+        assigned = assigned.persist()
+        assigned.count()
+    return IVFIndex(centroids=cents, assigned=assigned)
+
+
+def topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    index: IVFIndex | None = None,
+) -> DataFrame:
+    """IVF-style ANN: partition candidates into centroid cells, probe the
+    query's ``n_probe`` nearest cells, exact re-rank inside them.
+
+    Scale shape: the cell assignment is one broadcast pass at BUILD time;
+    search joins on the 8-byte cell id with per-cell fan-out ≈
+    N/n_centroids × n_probe — the O(Q×N) product never materializes.
+
+    Pass a pre-built ``index`` (:func:`build_ivf_index`) to serve against a
+    materialized assignment; the (queries, candidates) form assigns inline
+    as one self-contained plan."""
+    if index is None:
+        if candidates is None:
+            raise ValueError("topk_ivf needs either candidates or index")
+        index = build_ivf_index(
+            candidates, vec_col, id_col, n_centroids=n_centroids,
+            centroids=centroids, persist=False,
+        )
+    cents = index.centroids.select(
+        "centroid_id", F.col(index.centroids.columns[1]).alias(vec_col)
+    )
+    cand_cells = index.assigned
     # each query probes its n_probe nearest cells
     qc = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     q_scored = qc.crossJoin(
@@ -606,14 +669,72 @@ def pq_encode(
     return vectors.withColumn("pq_codes", _codes(F.col(vec_col)))
 
 
+@dataclass
+class PQIndex:
+    """A built PQ index: driver-held codebooks (m×k×sub doubles, ~16 KB)
+    plus the ENCODED corpus table (neighbor_id, cv, pq_codes). Build once,
+    serve many — at 100 TB nobody re-encodes the corpus per query (the r4
+    sf1 bench showed exactly that accounting error: 7.6× scale ratio that
+    was all index build, VERDICT r4 "Next round" #1)."""
+
+    codebooks: list[list[list[float]]]
+    encoded: DataFrame
+
+    def unpersist(self) -> None:
+        self.encoded.unpersist()
+
+
+def build_pq_index(
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    k: int = 256,
+    n_iters: int = 5,
+    sample_per_centroid: int = 64,
+    codebooks: list[list[list[float]]] | None = None,
+    persist: bool = True,
+    path: str | None = None,
+) -> PQIndex:
+    """The PQ index-build step: train codebooks (one bounded sample job +
+    driver Lloyd) and encode the corpus (one Arrow pass, 8 codes replace 64
+    floats). ``persist=True`` materializes the encoded table eagerly so
+    serve calls never pay the encode; ``path`` writes it as parquet and
+    re-reads (the durable at-scale shape — the index is a TABLE; the
+    codebooks stay driver-held, they are 16 KB and ride serve-call
+    closures). ``persist=False, path=None`` returns a lazy plan — the
+    self-contained single-call shape the registry queries use."""
+    books = (
+        codebooks
+        if codebooks is not None
+        else train_pq_codebooks(
+            candidates, vec_col, id_col, m=m, k=k, n_iters=n_iters,
+            sample_per_centroid=sample_per_centroid,
+        )
+    )
+    enc = pq_encode(candidates, books, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "pq_codes",
+    )
+    if path is not None:
+        enc.write.mode("overwrite").parquet(path)
+        enc = candidates.sparkSession.read.parquet(path)
+    elif persist:
+        enc = enc.persist()
+        enc.count()  # materialize now: build pays the encode, serve doesn't
+    return PQIndex(codebooks=books, encoded=enc)
+
+
 def topk_pq(
     queries: DataFrame,
-    candidates: DataFrame,
+    candidates: DataFrame | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
     codebooks: list[list[list[float]]] | None = None,
     refine: int = 4,
+    index: PQIndex | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric distance computation (ADC) over PQ
     codes, then exact cosine re-rank of a ×``refine`` shortlist.
@@ -625,10 +746,19 @@ def topk_pq(
     codebook entry, built by one Arrow UDF pass over the small query
     side); the per-candidate score is then a pure Column expression —
     ``sum_s lut[s][code_s]`` via ``zip_with`` + ``element_at`` — that runs
-    JVM-side inside whole-stage codegen, never per-row Python."""
-    if codebooks is None:
-        codebooks = train_pq_codebooks(candidates, vec_col, id_col)
-    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    JVM-side inside whole-stage codegen, never per-row Python.
+
+    Pass a pre-built ``index`` (:func:`build_pq_index`) to serve against a
+    materialized encode — the production path (build once, serve many);
+    the (queries, candidates) form trains+encodes inline as one
+    self-contained lazy plan."""
+    if index is None:
+        if candidates is None:
+            raise ValueError("topk_pq needs either candidates or index")
+        index = build_pq_index(
+            candidates, vec_col, id_col, codebooks=codebooks, persist=False
+        )
+    books = [np.asarray(b, dtype=np.float64) for b in index.codebooks]
     m = len(books)
     sub = books[0].shape[1]
 
@@ -648,11 +778,7 @@ def topk_pq(
             )
         return pd.Series(out)
 
-    cenc = pq_encode(candidates, codebooks, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        "pq_codes",
-    )
+    cenc = index.encoded
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -760,27 +886,42 @@ def train_ivfpq(
     return coarse, books
 
 
-def topk_ivfpq(
-    queries: DataFrame,
+@dataclass
+class IVFPQIndex:
+    """A built IVFADC index: driver-held coarse centroids + shared residual
+    codebooks, plus the ENCODED corpus table (neighbor_id, cv, cell,
+    pq_codes). The index-add pass runs once at build; serve only probes."""
+
+    coarse: np.ndarray
+    books: list[np.ndarray]
+    encoded: DataFrame
+
+    def unpersist(self) -> None:
+        self.encoded.unpersist()
+
+
+def build_ivfpq_index(
     candidates: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 4,
     m: int = 8,
     pq_k: int = 256,
-    refine: int = 4,
     trained: tuple[np.ndarray, list[np.ndarray]] | None = None,
-) -> DataFrame:
-    """IVFADC search: each candidate is stored as (cell, m residual codes);
-    a query probes its ``n_probe`` nearest cells and ADC-scores ONLY the
-    candidates in those cells — the scan is simultaneously restricted
-    (IVF: n_probe/n_cells of the corpus) and compressed (PQ: m bytes per
-    vector). score(q,v) ≈ q·c_cell + q·r_v: the first term rides the
-    probe join, the second is the codes-vs-LUT sum — a pure
-    zip_with/element_at Column expression, JVM-side. Exact cosine
-    re-ranks the ×``refine`` shortlist only."""
+    persist: bool = True,
+    path: str | None = None,
+) -> IVFPQIndex:
+    """The IVFADC index-build step: train (bounded sample + driver Lloyd,
+    :func:`train_ivfpq`) and encode the corpus — ONE mapInPandas pass
+    emitting (id, vector, cell, residual codes). A struct-returning
+    pandas_udf whose fields are extracted in a projection gets its
+    ArrowEvalPython node DUPLICATED per extracted field (the encode ran
+    twice in the physical plan); mapInPandas materializes the encoded table
+    in a single Python pass — also the natural "index add" shape.
+    ``persist=True`` materializes eagerly (build pays the encode, serve
+    doesn't); ``path`` writes/rereads parquet (the durable table shape);
+    ``persist=False, path=None`` stays lazy for self-contained one-shot
+    plans."""
     if trained is None:
         trained = train_ivfpq(
             candidates, vec_col, id_col, n_cells=n_cells, m=m, pq_k=pq_k
@@ -792,11 +933,6 @@ def topk_ivfpq(
     cn[cn == 0] = 1.0
     coarse_unit = coarse / cn
 
-    # ONE mapInPandas pass emits (id, vector, cell, codes): a struct-
-    # returning pandas_udf whose fields are extracted in a projection gets
-    # its ArrowEvalPython node DUPLICATED per extracted field (the encode
-    # ran twice in the physical plan); mapInPandas materializes the encoded
-    # table in a single Python pass — also the natural "index add" shape.
     def _enc_rows(batches):
         for pdf in batches:
             if not len(pdf):
@@ -820,6 +956,66 @@ def topk_ivfpq(
                     "pq_codes": list(codes),
                 }
             )
+
+    vec_spark_type = candidates.schema[vec_col].dataType.simpleString()
+    # The id type rides through from the candidate schema (like the vec type
+    # does) — hardcoding `long` broke / silently coerced string doc ids.
+    id_spark_type = candidates.schema[id_col].dataType.simpleString()
+    enc = candidates.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(
+        _enc_rows,
+        f"neighbor_id {id_spark_type}, cv {vec_spark_type}, cell long,"
+        " pq_codes array<long>",
+    )
+    if path is not None:
+        enc.write.mode("overwrite").parquet(path)
+        enc = candidates.sparkSession.read.parquet(path)
+    elif persist:
+        enc = enc.persist()
+        enc.count()
+    return IVFPQIndex(coarse=coarse, books=books, encoded=enc)
+
+
+def topk_ivfpq(
+    queries: DataFrame,
+    candidates: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 256,
+    refine: int = 4,
+    trained: tuple[np.ndarray, list[np.ndarray]] | None = None,
+    index: IVFPQIndex | None = None,
+) -> DataFrame:
+    """IVFADC search: each candidate is stored as (cell, m residual codes);
+    a query probes its ``n_probe`` nearest cells and ADC-scores ONLY the
+    candidates in those cells — the scan is simultaneously restricted
+    (IVF: n_probe/n_cells of the corpus) and compressed (PQ: m bytes per
+    vector). score(q,v) ≈ q·c_cell + q·r_v: the first term rides the
+    probe join, the second is the codes-vs-LUT sum — a pure
+    zip_with/element_at Column expression, JVM-side. Exact cosine
+    re-ranks the ×``refine`` shortlist only.
+
+    Pass a pre-built ``index`` (:func:`build_ivfpq_index`) to serve
+    against a materialized encode — the production path; the (queries,
+    candidates) form trains+encodes inline as one self-contained plan."""
+    if index is None:
+        if candidates is None:
+            raise ValueError("topk_ivfpq needs either candidates or index")
+        index = build_ivfpq_index(
+            candidates, vec_col, id_col, n_cells=n_cells, m=m, pq_k=pq_k,
+            trained=trained, persist=False,
+        )
+    coarse, books = index.coarse, index.books
+    dim = coarse.shape[1]
+    sub = dim // m
+    cn = np.linalg.norm(coarse, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    coarse_unit = coarse / cn
 
     probe_schema = StructType(
         [
@@ -855,17 +1051,7 @@ def topk_ivfpq(
             )
         return pd.Series(out)
 
-    vec_spark_type = candidates.schema[vec_col].dataType.simpleString()
-    # The id type rides through from the candidate schema (like the vec type
-    # does) — hardcoding `long` broke / silently coerced string doc ids.
-    id_spark_type = candidates.schema[id_col].dataType.simpleString()
-    cenc = candidates.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).mapInPandas(
-        _enc_rows,
-        f"neighbor_id {id_spark_type}, cv {vec_spark_type}, cell long,"
-        " pq_codes array<long>",
-    )
+    cenc = index.encoded
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

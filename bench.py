@@ -125,6 +125,63 @@ def main() -> None:
         for n in stress_present:
             stress[n] = min(stress[n], run_once(n))
 
+    # ANN index build vs serve split (VERDICT r4 "Next round" #1): the
+    # registered ANN queries are self-contained (train+encode+serve in one
+    # call), which books O(N) index-build cost as serve time — at 100 TB
+    # nobody re-encodes the corpus per query. This section measures the
+    # production accounting: build once (materialized), then serve against
+    # the built index. Serve is min-of-REPS like the headline; build is a
+    # single timing (it is one bounded job sequence, not noise-sensitive
+    # sub-second work).
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        similarity,
+    )
+
+    emb = tables.load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        out = fn()
+        return out, round(time.perf_counter() - t0, 3)
+
+    def split(build_fn, serve_fn):
+        idx, t_build = timed(build_fn)
+        t_serve = None
+        for _ in range(REPS):
+            _, t = timed(
+                lambda: serve_fn(idx)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            t_serve = t if t_serve is None else min(t_serve, t)
+        idx.unpersist()
+        spark.catalog.clearCache()
+        return {"build": t_build, "serve": t_serve}
+
+    ann_split = {
+        "similarity_topk_pq": split(
+            lambda: similarity.build_pq_index(emb),
+            lambda idx: similarity.topk_pq(probes, index=idx),
+        ),
+        "similarity_topk_ivfpq": split(
+            lambda: similarity.build_ivfpq_index(emb),
+            lambda idx: similarity.topk_ivfpq(probes, index=idx),
+        ),
+        "similarity_topk_ivf_kmeans": split(
+            lambda: similarity.build_ivf_index(
+                emb,
+                centroids=similarity.train_kmeans_centroids(
+                    emb, k=16, n_iters=4
+                ).select("centroid_id", F.col("cv").alias("embedding")),
+            ),
+            lambda idx: similarity.topk_ivf(probes, index=idx),
+        ),
+    }
+
     # Coverage accounting for the capped Jaccard dedup: how many distinct
     # shingles the df cap drops this run. The cap is a documented recall
     # bound, and a bound that is never measured reads as "covered
@@ -185,6 +242,7 @@ def main() -> None:
         "queries": timings,
         "subtotal_r1_queries": subtotal_r1,
         "stress": stress,
+        "ann_split": ann_split,
         "reps": REPS,
         "vintage": vintage,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

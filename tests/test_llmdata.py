@@ -566,6 +566,85 @@ def test_pq_codebook_shapes_and_encode(spark, sf_dir):
         assert all(0 <= c < 256 for c in r["pq_codes"])
 
 
+def test_ann_index_build_serve_parity(spark, sf_dir):
+    """Serving against a pre-built, materialized index must return exactly
+    the rows of the inline (train+encode-per-call) path, for all three
+    indexed ANN families — the build/serve split changes ACCOUNTING, never
+    results. Also pins reuse: two serves off one build agree."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # PQ
+    pq_idx = similarity.build_pq_index(emb)
+    try:
+        served = rows(similarity.topk_pq(probes, index=pq_idx))
+        assert served == rows(similarity.topk_pq(probes, emb))
+        assert served == rows(similarity.topk_pq(probes, index=pq_idx))
+    finally:
+        pq_idx.unpersist()
+
+    # IVFADC
+    ivfpq_idx = similarity.build_ivfpq_index(emb)
+    try:
+        served = rows(similarity.topk_ivfpq(probes, index=ivfpq_idx))
+        assert served == rows(similarity.topk_ivfpq(probes, emb))
+    finally:
+        ivfpq_idx.unpersist()
+
+    # IVF (trained centroids)
+    cents = similarity.train_kmeans_centroids(emb, k=16, n_iters=4)
+    cents = cents.select("centroid_id", F.col("cv").alias("embedding"))
+    ivf_idx = similarity.build_ivf_index(emb, centroids=cents)
+    try:
+        served = rows(similarity.topk_ivf(probes, index=ivf_idx))
+        assert served == rows(similarity.topk_ivf(probes, emb, centroids=cents))
+    finally:
+        ivf_idx.unpersist()
+
+
+def test_pq_index_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """path= writes the encoded corpus as a parquet table and serves off the
+    re-read — the durable 100 TB index shape. Results must match the
+    in-memory index exactly."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    mem_idx = similarity.build_pq_index(emb)
+    try:
+        disk_idx = similarity.build_pq_index(
+            emb, codebooks=mem_idx.codebooks, path=str(tmp_path / "pq_index")
+        )
+        a = sorted(map(tuple, similarity.topk_pq(probes, index=mem_idx).collect()))
+        b = sorted(map(tuple, similarity.topk_pq(probes, index=disk_idx).collect()))
+        assert a == b
+    finally:
+        mem_idx.unpersist()
+
+
+def test_topk_bruteforce_fences_query_side(spark, sf_dir):
+    import pytest as _pytest
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    small = emb.limit(3)
+    with _pytest.raises(ValueError, match="query rows"):
+        similarity.topk_bruteforce(emb, small, max_exact_rows=5)
+
+
 def test_similarity_ivfpq_recall_and_exact_rerank(spark, sf_dir):
     """IVFADC: probing 4/16 cells over residual-PQ codes must still
     recover most exact neighbors, deterministically, with exact cosine
