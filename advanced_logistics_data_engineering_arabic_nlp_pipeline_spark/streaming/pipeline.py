@@ -149,10 +149,50 @@ def stream_attribution_join(
     ).select("purchase_id", "user_id", "event_type", "ts", "p_ts")
 
 
+# State-store providers for stateful operators (windowed/session aggs,
+# streaming dedup, stream-stream joins). The default HDFS-backed provider
+# keeps every store's working set on the JVM heap — at 100 TB-scale state
+# (billions of in-flight keys) that heap residency is the streaming scale
+# risk; RocksDB spills state to local disk with bounded memory and is the
+# production choice for large state. The provider is a session conf read
+# when a query STARTS, and must stay consistent for the life of a
+# checkpoint (the on-disk state formats differ) — hence an explicit
+# per-run option, not a hardcoded session default.
+STATE_STORE_PROVIDERS = {
+    "hdfs": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider"
+    ),
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+def _apply_state_store(spark: SparkSession, state_store: str | None) -> None:
+    if state_store is None:
+        return
+    if state_store not in STATE_STORE_PROVIDERS:
+        raise ValueError(
+            f"state_store must be one of {sorted(STATE_STORE_PROVIDERS)},"
+            f" got {state_store!r}"
+        )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        STATE_STORE_PROVIDERS[state_store],
+    )
+
+
 def run_to_memory(
-    agg: DataFrame, query_name: str, output_mode: str = "complete"
+    agg: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    state_store: str | None = None,
 ) -> StreamingQuery:
-    """availableNow run into an in-memory table (tests/inspection)."""
+    """availableNow run into an in-memory table (tests/inspection).
+    ``state_store``: 'hdfs' | 'rocksdb' | None (keep session default)."""
+    _apply_state_store(agg.sparkSession, state_store)
     return (
         agg.writeStream.format("memory")
         .queryName(query_name)
@@ -163,11 +203,15 @@ def run_to_memory(
 
 
 def run_passthrough_to_parquet(
-    stream: DataFrame, sink_dir: str, checkpoint_dir: str
+    stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    state_store: str | None = None,
 ) -> StreamingQuery:
     """Exactly-once landing→parquet relay: the checkpoint replaces the
     reference's pickle-batch resume (A4/A5). Re-running after new files
     arrive processes only the delta; re-running with nothing new is a no-op."""
+    _apply_state_store(stream.sparkSession, state_store)
     return (
         stream.writeStream.format("parquet")
         .option("path", sink_dir)
@@ -185,6 +229,7 @@ def run_upsert_latest(
     sink_dir: str,
     checkpoint_dir: str,
     n_buckets: int = 16,
+    state_store: str | None = None,
 ) -> StreamingQuery:
     """foreachBatch upsert: keep the latest row per key across batches —
     the incremental replacement for the reference's rewrite-everything cycle.
@@ -283,6 +328,7 @@ def run_upsert_latest(
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(scratch, ignore_errors=True)
 
+    _apply_state_store(stream.sparkSession, state_store)
     return (
         stream.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)

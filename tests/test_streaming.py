@@ -621,3 +621,100 @@ def test_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
         if r["n_clicks"] or r["n_views"]  # stream inner join emits matches only
     }
     assert got == want
+
+
+def test_state_store_providers_cleanup_and_parity(spark, tmp_path):
+    """VERDICT r4 #5: the streaming state store is the 100 TB scale risk.
+    Two assertions, per provider (default HDFS-backed heap store AND
+    RocksDB, the bounded-memory production choice for large state):
+
+    - watermark-driven state CLEANUP: across many availableNow runs whose
+      event times keep advancing, finalized windows must be EVICTED from
+      the store — final numRowsTotal stays bounded instead of growing with
+      every window ever seen;
+    - output parity: both providers emit exactly the same finalized
+      windows (the provider changes the state backend, never semantics).
+    """
+
+    N_ROUNDS = 6
+
+    def drive(provider: str):
+        land = str(tmp_path / f"ss_{provider}_land")
+        ckpt = str(tmp_path / f"ss_{provider}_ckpt")
+        sink = str(tmp_path / f"ss_{provider}_sink")
+        os.makedirs(land)
+        state_rows = []
+
+        def run_once():
+            stream = landing.stream_landing(spark, land, EVENT_SCHEMA)
+            agg = pipeline.windowed_counts(stream, watermark="1 hour")
+
+            def dump(batch, batch_id):
+                if batch.count() > 0:
+                    batch.write.mode("append").parquet(sink)
+
+            pipeline._apply_state_store(spark, provider)
+            q = (
+                agg.writeStream.foreachBatch(dump)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            rows = [
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ]
+            if rows:
+                state_rows.append(rows[-1])
+
+        eid = 0
+        for rnd in range(N_ROUNDS):
+            # two fresh hourly windows per round, clock advancing 2h/round
+            rows = []
+            for sub in (0, 1):
+                hour = 2 * rnd + sub
+                eid += 1
+                rows.append(
+                    {
+                        "event_id": eid,
+                        "ts": f"2024-03-0{1 + (10 + hour) // 24} "
+                        f"{(10 + hour) % 24:02d}:15:00",
+                        "user_id": 1,
+                        "event_type": "click",
+                        "value": 1.0,
+                    }
+                )
+            with open(os.path.join(land, f"page_{rnd:06d}.json"), "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+            run_once()
+
+        out = {
+            (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.read.parquet(sink).collect()
+        }
+        return state_rows, out
+
+    results = {p: drive(p) for p in ("hdfs", "rocksdb")}
+    # restore the session default for later tests in this session
+    pipeline._apply_state_store(spark, "hdfs")
+
+    total_windows = 2 * N_ROUNDS
+    for provider, (state_rows, _) in results.items():
+        assert state_rows, f"{provider}: no stateOperators progress captured"
+        # eviction: the store never holds anywhere near every window ever
+        # seen (without cleanup the last run would hold ~total_windows rows)
+        assert max(state_rows) < total_windows, (provider, state_rows)
+        # and the tail doesn't trend upward: last run's state is no larger
+        # than the largest mid-run state (bounded, not monotonic)
+        assert state_rows[-1] <= max(state_rows[:-1] or state_rows), (
+            provider,
+            state_rows,
+        )
+
+    hdfs_out, rocks_out = results["hdfs"][1], results["rocksdb"][1]
+    assert hdfs_out == rocks_out
+    assert len(hdfs_out) > 0
