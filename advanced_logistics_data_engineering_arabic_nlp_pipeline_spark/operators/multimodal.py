@@ -38,6 +38,25 @@ FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, feat_mean double, feat_dim int"
 # on PIL/ffmpeg, which this container doesn't ship.
 DECODERS_IMPLEMENTED = ("ppm", "bmp", "wav-pcm", "y4m")
 
+# Adversarial-payload fence at the decode boundary: the decoders reject
+# TRUNCATED containers, but a well-formed multi-GiB payload would still
+# decode eagerly inside one Arrow batch and can OOM the executor. Decode
+# entry points refuse payloads above this cap unless the caller raises it
+# explicitly for known-large media (None disables). 64 MiB comfortably
+# covers the fixture media while staying far below executor batch memory.
+DEFAULT_MAX_PAYLOAD_BYTES = 64 * 1024 * 1024
+
+
+def _check_payload_size(doc_id, payload, max_bytes: int | None) -> None:
+    """Length check BEFORE any bytes() copy of the Arrow buffer — an
+    oversized payload is rejected without ever being materialized twice."""
+    if max_bytes is not None and len(payload) > max_bytes:
+        raise ValueError(
+            f"doc {doc_id}: payload is {len(payload)} bytes, above"
+            f" max_payload_bytes={max_bytes}; pass a higher"
+            f" max_payload_bytes (or None) for known-large media"
+        )
+
 
 def attach_fake_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Simulate a multimodal table: payload = utf-8 bytes of the text,
@@ -213,9 +232,12 @@ AUDIO_FEATURE_SCHEMA = (
 )
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
+def extract_audio_features(
+    media: DataFrame, max_payload_bytes: int | None = DEFAULT_MAX_PAYLOAD_BYTES
+) -> DataFrame:
     """REAL WAV decode → waveform statistics (duration, RMS, peak),
-    Arrow-batched — the audio analogue of extract_pixel_features."""
+    Arrow-batched — the audio analogue of extract_pixel_features.
+    Payloads above ``max_payload_bytes`` are rejected before decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -223,6 +245,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 "doc_id", "sample_rate", "n_frames", "duration_s", "rms", "peak",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _check_payload_size(doc_id, payload, max_payload_bytes)
                 x, rate = decode_wav(bytes(payload))
                 rows["doc_id"].append(doc_id)
                 rows["sample_rate"].append(rate)
@@ -361,10 +384,13 @@ VIDEO_FEATURE_SCHEMA = (
 )
 
 
-def extract_video_features(media: DataFrame) -> DataFrame:
+def extract_video_features(
+    media: DataFrame, max_payload_bytes: int | None = DEFAULT_MAX_PAYLOAD_BYTES
+) -> DataFrame:
     """REAL Y4M decode → per-clip statistics over decoded luma planes:
     mean luminance and mean absolute frame-to-frame delta (a motion
-    proxy) — the video analogue of extract_pixel_features."""
+    proxy) — the video analogue of extract_pixel_features.
+    Payloads above ``max_payload_bytes`` are rejected before decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -373,6 +399,7 @@ def extract_video_features(media: DataFrame) -> DataFrame:
                 "luma_mean", "luma_motion",
             )}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _check_payload_size(doc_id, payload, max_payload_bytes)
                 frames, w, h, (fn, fd) = decode_y4m(bytes(payload))
                 rows["doc_id"].append(doc_id)
                 rows["width"].append(w)
@@ -475,17 +502,21 @@ PIXEL_FEATURE_SCHEMA = (
 )
 
 
-def extract_pixel_features(media: DataFrame) -> DataFrame:
+def extract_pixel_features(
+    media: DataFrame, max_payload_bytes: int | None = DEFAULT_MAX_PAYLOAD_BYTES
+) -> DataFrame:
     """REAL decode → per-channel pixel statistics, Arrow-batched. Unlike
     :func:`extract_features` (payload-byte fake for oracle-checkability),
     this path parses the image container (PPM/BMP via the pure-numpy
     decoders) and computes features over decoded pixels — the M4 decode
-    step, codec-verified, not plumbing-verified."""
+    step, codec-verified, not plumbing-verified.
+    Payloads above ``max_payload_bytes`` are rejected before decode."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _check_payload_size(doc_id, payload, max_payload_bytes)
                 img = decode_image(bytes(payload))
                 rows["doc_id"].append(doc_id)
                 rows["height"].append(img.shape[0])

@@ -825,6 +825,32 @@ def test_multimodal_pixel_decode_matches_numpy(spark, sf_dir):
     assert out.count() > 0
 
 
+def test_decode_rejects_oversized_payload(spark):
+    """VERDICT r4 #6: the decoders reject truncation, but a WELL-FORMED
+    oversized payload would decode eagerly inside an Arrow batch. The
+    max_payload_bytes fence at the mapInPandas boundary must reject it
+    cleanly (before any bytes() copy), per decode family; raising the cap
+    explicitly must allow the same payload through."""
+    import pytest as _pytest
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "x" * 500)], ["doc_id", "text"])
+    wav = mm.attach_wav_media(docs, "text", "doc_id")
+    img = mm.attach_ppm_media(docs, "text", "doc_id")
+    vid = mm.attach_y4m_media(docs, "text", "doc_id")
+
+    for extract, media in (
+        (mm.extract_audio_features, wav),
+        (mm.extract_pixel_features, img),
+        (mm.extract_video_features, vid),
+    ):
+        with _pytest.raises(Exception, match="max_payload_bytes"):
+            extract(media, max_payload_bytes=100).collect()
+        # explicit opt-out lets known-large media through
+        assert extract(media, max_payload_bytes=None).count() == 1
+
+
 def test_wav_decoder_against_stdlib_encoder(spark, sf_dir):
     """decode_wav must parse WAVs written by Python's stdlib `wave` module
     (an independent encoder): 16-bit stereo and 8-bit mono, exact sample
