@@ -184,6 +184,7 @@ def with_all_locations_fuzzy(
     out_col: str = "all_locations_list",
     index: dict[str, str] | None = None,
     cutoff: float | None = None,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """F2 with tier-3 fuzzy: the full scan runs once per *distinct* text —
     the reference's lru_cache insight (cleaner_v6.py:37, 180) lifted to the
@@ -245,6 +246,10 @@ def with_all_locations_fuzzy(
             ).otherwise(hits),
         )
 
+    # join path: the plan references the cached cut points — hand them to
+    # the caller for post-action unpersist (see lookup.resolve_tokens_fuzzy)
+    if caches_out is not None:
+        caches_out.extend(caches)
     resolved = exploded.join(
         F.broadcast(mapping.withColumnRenamed("__canonical", "__canon")),
         exploded["__tok"] == mapping["__t"],

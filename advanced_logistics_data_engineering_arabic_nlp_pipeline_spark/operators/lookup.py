@@ -94,48 +94,74 @@ def token_sort_ratio(a: str, b: str) -> float:
 
 @lru_cache(maxsize=32)
 def _variant_block_tables(variants: tuple[str, ...]):
-    """Per-dictionary precomputed blocking tables: token-sorted forms,
-    their lengths, and 64-bin character-count vectors (ord & 63)."""
+    """Per-dictionary precomputed blocking tables, LENGTH-SORTED: the
+    argsort-by-length ``order``, sorted lengths ``lv`` (for a binary-search
+    length window), token-sorted forms and 64-bin character-count vectors
+    (ord & 63) both in length order."""
     sorted_forms = [" ".join(sorted(v.split())) for v in variants]
     lv = np.array([len(s) for s in sorted_forms], dtype=np.int32)
+    order = np.argsort(lv, kind="stable").astype(np.int64)
+    lv = lv[order]
+    sorted_forms = [sorted_forms[i] for i in order]
     counts = np.zeros((len(variants), 64), dtype=np.int32)
     for i, s in enumerate(sorted_forms):
         for ch in s:
             counts[i, ord(ch) & 63] += 1
-    return sorted_forms, lv, counts
+    return order, sorted_forms, lv, counts
 
 
 def fuzzy_best_match(
     norm: str, variants: list[str], cutoff: float = FUZZY_SCORE_CUTOFF
 ) -> str | None:
     """extractOne semantics: best score ≥ cutoff; ties keep the earliest
-    candidate (strictly-greater replacement).
+    candidate (strictly-greater replacement — earliest in DICTIONARY
+    order, which the length-sorted layout maps back to via ``order``).
 
-    Character-multiset blocking (lossless): score = 200·LCS/(la+lb) and
-    LCS(a,b) ≤ Σ_c min(count_a(c), count_b(c)), so a candidate whose shared
-    character budget can't reach the cutoff is skipped without running the
-    O(la·lb) DP. Counts are hashed into 64 bins (ord & 63) — a collision
-    only OVERcounts the shared budget, so the prune stays lossless (the
-    property test checks against an unblocked reference). This bound also
-    subsumes the earlier min/max length-window prune (common ≤ min(la,lb)).
-    One numpy pass scores the whole dictionary's bound per input string —
-    at 100 TB dictionary sizes this is the first-stage prune the
-    reference's survey flags as the tier-3 scaling risk (SURVEY.md §7
-    risk 1)."""
-    sorted_forms, lv, vcounts = _variant_block_tables(tuple(variants))
+    Two-stage lossless blocking:
+
+    1. LENGTH WINDOW (binary search, O(log V)): score = 200·LCS/(la+lb)
+       and LCS ≤ min(la, lb), so a variant can reach the cutoff only if
+       cutoff·ln/(200−cutoff) ≤ lv ≤ ln·(200−cutoff)/cutoff. The variant
+       table is pre-sorted by length, so two searchsorted calls restrict
+       every later stage to the feasible length band — at a 100k-variant
+       dictionary the O(V) per-string bound check the r4 verdict flagged
+       becomes O(band) (VERDICT r4 "Next round" #7).
+    2. CHARACTER-MULTISET bound on the band (numpy, lossless):
+       LCS(a,b) ≤ Σ_c min(count_a(c), count_b(c)); a candidate whose
+       shared character budget can't reach the cutoff skips the O(la·lb)
+       DP. Counts hash into 64 bins (ord & 63) — a collision only
+       OVERcounts the budget, so the prune stays lossless (property-tested
+       against an unblocked reference). The multiset bound subsumes the
+       length bound; the window exists to shrink the vectors it runs on."""
+    order, sorted_forms, lv, vcounts = _variant_block_tables(tuple(variants))
     a2 = " ".join(sorted(norm.split()))
     ln = len(a2)
+    if cutoff > 0:
+        lo_len = int(np.ceil(cutoff * ln / (200.0 - cutoff)))
+        hi_len = int(np.floor(ln * (200.0 - cutoff) / cutoff))
+        lo = int(np.searchsorted(lv, lo_len, side="left"))
+        hi = int(np.searchsorted(lv, hi_len, side="right"))
+    else:
+        lo, hi = 0, len(lv)
+    if lo >= hi:
+        return None
     c = np.zeros(64, dtype=np.int32)
     for ch in a2:
         c[ord(ch) & 63] += 1
-    common = np.minimum(vcounts, c).sum(axis=1)
-    denom = lv + ln
+    common = np.minimum(vcounts[lo:hi], c).sum(axis=1)
+    denom = lv[lo:hi] + ln
     ok = np.nonzero((denom > 0) & (200.0 * common >= cutoff * denom))[0]
-    best, best_score = None, None
-    for i in ok:
+    best, best_score, best_pos = None, None, None
+    for j in ok:
+        i = lo + j
         s = _ratio_sorted(a2, sorted_forms[i])
-        if s >= cutoff and (best_score is None or s > best_score):
-            best, best_score = variants[i], s
+        pos = order[i]  # original dictionary position (tie-break order)
+        if s >= cutoff and (
+            best_score is None
+            or s > best_score
+            or (s == best_score and pos < best_pos)
+        ):
+            best, best_score, best_pos = variants[pos], s, pos
     return best
 
 
@@ -272,6 +298,11 @@ def _distinct_token_mapping(
     )
     # Second cut point, filled before the broadcasts race (reads cached d).
     fz.count()
+    # keep a handle on the CACHED frame: d is about to be reassigned to the
+    # joined plan, and unpersist() on that derived frame is a no-op — the
+    # returned cache list must hold the frame .cache() was called on
+    # (pre-r5 both paths leaked the cascade cache because of exactly this)
+    d_cached = d
     d = (
         d.join(
             F.broadcast(fz.withColumnRenamed("__fz", "__fzn")),
@@ -302,7 +333,7 @@ def _distinct_token_mapping(
     # hand the cut-point frames back so the caller can unpersist them the
     # moment the mapping no longer references them (the literal path): a
     # per-request service call must not leak cached blocks forever
-    return mapping, [d, fz]
+    return mapping, [d_cached, fz]
 
 
 def mapping_literal_probe(mapping: DataFrame) -> tuple[Column | None, bool]:
@@ -335,6 +366,7 @@ def resolve_tokens_fuzzy(
     out_col: str = "canonical",
     index: dict[str, str] | None = None,
     cutoff: float = FUZZY_SCORE_CUTOFF,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """Full 3-tier resolution of a token column, fuzzy included (see
     :func:`_distinct_token_mapping` for the cascade contract).
@@ -344,7 +376,14 @@ def resolve_tokens_fuzzy(
     expression (zero joins, zero exchanges — the common human-entered-text
     shape); above, it is broadcast-joined (the general small-dim shape).
     Both paths are row-for-row identical: an unresolved or null token gets
-    a null ``out_col``."""
+    a null ``out_col``.
+
+    ``caches_out``: on the broadcast-join path the returned plan still
+    references the cascade's cached cut-point frames, so they cannot be
+    unpersisted here; pass a list and the frames are appended for the
+    caller to unpersist AFTER its terminal action (a long-lived service
+    must not leak cached blocks per request — ADVICE r4). Without it the
+    frames stay resident until evicted/cache-cleared."""
     index = index if index is not None else build_variant_index()
     mapping, caches = _distinct_token_mapping(tokens_df, token_col, index, cutoff)
     m, is_literal = mapping_literal_probe(mapping)
@@ -362,6 +401,8 @@ def resolve_tokens_fuzzy(
         return tokens_df.withColumn(out_col, resolved)
     # join path: the returned plan still reads the cached frames, so they
     # stay resident until the caller's action completes / cache is cleared
+    if caches_out is not None:
+        caches_out.extend(caches)
     mapping = mapping.withColumnRenamed("__canonical", out_col)
     return tokens_df.join(
         F.broadcast(mapping), tokens_df[token_col] == mapping["__t"], "left"

@@ -34,15 +34,20 @@ def clean_texts_df(
     fuzzy: bool = True,
     index: dict[str, str] | None = None,
     cutoff: float | None = None,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """F5 shared codepath (api.py:210-225 = Main.py:406-425): adds
-    all_locations, main_location, trip_type for a text column."""
+    all_locations, main_location, trip_type for a text column.
+    ``caches_out`` collects join-path cut-point caches for the caller to
+    unpersist after its terminal action (large-mapping requests in a
+    long-lived service must not leak cached blocks)."""
     index = index if index is not None else build_variant_index()
     t = F.col(text_col)
     if fuzzy:
         df = df.withColumn("__rid", F.monotonically_increasing_id())
         df = with_all_locations_fuzzy(
-            df, text_col, "__rid", "all_locations", index, cutoff=cutoff
+            df, text_col, "__rid", "all_locations", index, cutoff=cutoff,
+            caches_out=caches_out,
         )
         df = df.drop("__rid")
     else:
@@ -123,10 +128,17 @@ class CleaningService:
         df = self.spark.createDataFrame(
             [(i, t) for i, t in enumerate(texts)], "idx int, text string"
         )
+        caches: list = []
         out = clean_texts_df(
-            df, "text", use_fuzzy, self.index, cutoff=self.fuzzy_cutoff
+            df, "text", use_fuzzy, self.index, cutoff=self.fuzzy_cutoff,
+            caches_out=caches,
         ).orderBy("idx")
         collected = out.collect()
+        # collect() is the terminal action: any join-path cut-point caches
+        # are dead weight now — a long-lived service must not accumulate
+        # cached blocks per large-mapping request (ADVICE r4)
+        for c in caches:
+            c.unpersist(blocking=True)
         total_ms = round((time.perf_counter() - t0) * 1000, 3)
         per_item_ms = round(total_ms / max(len(collected), 1), 3)
         results = [
@@ -149,11 +161,14 @@ class CleaningService:
         df = landing.read_landing(
             self.spark, landing_dir, "serialId bigint, confirm_status boolean, end_location string"
         ).filter(F.col("confirm_status").eqNullSafe(True))
+        caches: list = []
         enriched = clean_texts_df(
             df, "end_location", self.fuzzy_enabled, self.index,
-            cutoff=self.fuzzy_cutoff,
+            cutoff=self.fuzzy_cutoff, caches_out=caches,
         )
         records = enriched.count()
+        for c in caches:
+            c.unpersist(blocking=True)
         from datetime import datetime, timezone
 
         self._last_stats = {

@@ -123,3 +123,38 @@ def test_resolve_literal_and_join_paths_agree(spark, monkeypatch):
     join_rows = run()
     assert lit_rows == join_rows
     assert any(c is not None for _, c in lit_rows), "no token resolved"
+
+
+def test_extract_literal_and_join_paths_agree(spark, monkeypatch):
+    """ADVICE r4: with_all_locations_fuzzy has its own literal-vs-join fork
+    (literal rebuilds hits with transform/element_at, join path with
+    posexplode + ordered re-aggregation) which was only reachable at >512
+    resolved tokens — force both paths over the same texts and require
+    row-for-row equality, nulls/empties included."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import extract, lookup
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.dictionary import (
+        build_variant_index,
+    )
+
+    variants = list(build_variant_index().keys())
+    texts = (
+        [f"من {v} الى المطار" for v in variants[:12]]
+        + ["مطارر ثم هيلتو", "xyz only", "", "  ", None, "ذهاب وعودة الهرم"]
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+
+    def run():
+        out = extract.with_all_locations_fuzzy(df, "text", "i", "locs")
+        return sorted(
+            (r["i"], tuple(r["locs"]) if r["locs"] is not None else None)
+            for r in out.collect()
+        )
+
+    monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 10_000)
+    lit_rows = run()
+    monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 0)
+    join_rows = run()
+    assert lit_rows == join_rows
+    assert any(locs for _, locs in lit_rows), "no text resolved any location"

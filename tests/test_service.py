@@ -136,3 +136,28 @@ def test_api_endpoint_functions_reference_shapes(spark, tmp_path):
 
         with _pytest.raises(ImportError, match="fastapi"):
             api.create_app(svc)
+
+
+def test_clean_batch_join_path_leaves_no_cached_blocks(spark, monkeypatch):
+    """ADVICE r4: on the broadcast-join path the cascade's cut-point caches
+    used to outlive the request in a long-lived service. clean_batch's
+    terminal collect must now unpersist them — zero persisted RDDs after
+    the call (force the join path via MAPPING_LITERAL_MAX=0)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import lookup
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.service import CleaningService
+
+    monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 0)
+    svc = CleaningService(spark)
+    out = svc.clean_batch(["من الهرم الى المطار", "مطارر", None])
+    assert len(out["results"]) == 3
+    leftover = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(leftover) == 0, [str(x) for x in leftover]
+
+    # literal path too (resolve_tokens_fuzzy unpersists internally — that
+    # unpersist was also a no-op pre-r5 because the cache handle pointed at
+    # a derived join plan, not the cached frame)
+    monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 512)
+    out = svc.clean_batch(["من الهرم الى المطار"])
+    assert len(out["results"]) == 1
+    leftover = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(leftover) == 0, [str(x) for x in leftover]
