@@ -146,12 +146,18 @@ def test_clean_batch_join_path_leaves_no_cached_blocks(spark, monkeypatch):
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import lookup
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.service import CleaningService
 
+    # other suite tests may hold session-lifetime blocks (e.g. RDD
+    # localCheckpoints, which clearCache doesn't touch) — assert OUR
+    # requests add nothing, via a storage snapshot diff
+    def storage_ids():
+        return {x.id() for x in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
+
+    before = storage_ids()
     monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 0)
     svc = CleaningService(spark)
     out = svc.clean_batch(["من الهرم الى المطار", "مطارر", None])
     assert len(out["results"]) == 3
-    leftover = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(leftover) == 0, [str(x) for x in leftover]
+    assert storage_ids() <= before
 
     # literal path too (resolve_tokens_fuzzy unpersists internally — that
     # unpersist was also a no-op pre-r5 because the cache handle pointed at
@@ -159,5 +165,4 @@ def test_clean_batch_join_path_leaves_no_cached_blocks(spark, monkeypatch):
     monkeypatch.setattr(lookup, "MAPPING_LITERAL_MAX", 512)
     out = svc.clean_batch(["من الهرم الى المطار"])
     assert len(out["results"]) == 1
-    leftover = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(leftover) == 0, [str(x) for x in leftover]
+    assert storage_ids() <= before
