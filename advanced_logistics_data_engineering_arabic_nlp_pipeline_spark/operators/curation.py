@@ -1,0 +1,208 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs on
+top of dedup/similarity: PII redaction, repetition-based quality filtering
+(Gopher/C4-style), and eval-set decontamination.
+
+These are value-add operators beyond the reference's own surface (the brief's
+LLM-data section); they run over the ``documents`` fixture and each has a
+DuckDB oracle in plans/llmdata.py.
+
+Scale shape, in order of appearance:
+
+- PII redaction is pure JVM-side ``regexp_replace`` / ``regexp_count``
+  expressions — no UDF, no shuffle, whole-stage-codegen friendly. The
+  pattern set is deliberately written in the common Java-regex ∩ RE2
+  subset (no lookarounds, no backrefs) so the DuckDB oracle runs the
+  LITERAL same patterns.
+- Repetition stats use explode → two-level aggregation (partial map-side
+  combine on (doc_id, gram), then per-doc) — linear in corpus size and
+  partition-parallel, unlike the tempting ``transform(array_distinct(...))``
+  expression form which is O(distinct × len) PER ROW and melts on a
+  100k-token document.
+- Decontamination broadcasts the eval-set shingle dictionary (eval sets are
+  small — thousands of docs — vs a 100 TB train corpus): the train side
+  streams, never shuffles on the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_rows, shingles_expr, tokens_expr
+
+# ── PII redaction ───────────────────────────────────────────────────────────
+# Java-regex ∩ RE2 subset ONLY (both engines must match byte-for-byte):
+# character classes, bounded quantifiers and \b — no lookarounds/backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{9,15}"  # E.164-ish international form
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# (pattern, replacement) in application order. Email first: an address
+# contains digits and dots that the later numeric patterns could otherwise
+# chew on; counts are nevertheless computed per-pattern on the ORIGINAL
+# text (documented contract, mirrored in the oracle).
+PII_RULES: list[tuple[str, str]] = [
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_IPV4_RE, "<IP>"),
+]
+
+
+def redact_pii_expr(text: Column) -> Column:
+    """Sequentially redact every PII_RULES pattern. Pure expression chain —
+    stays inside whole-stage codegen, no Python in the hot path."""
+    out = text
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts_exprs(text: Column) -> list[Column]:
+    """Per-pattern match counts on the ORIGINAL text, aliased
+    n_email / n_phone / n_ip (stable oracle column names)."""
+    names = ["n_email", "n_phone", "n_ip"]
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(name)
+        for (pat, _), name in zip(PII_RULES, names)
+    ]
+
+
+def redact_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, redacted, n_email, n_phone, n_ip) per document."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        redact_pii_expr(t).alias("redacted"),
+        *pii_counts_exprs(t),
+    )
+
+
+# ── Repetition / quality filtering (Gopher-style) ──────────────────────────
+
+def ngrams_expr(text: Column, n: int) -> Column:
+    """ALL word n-grams in order, duplicates preserved (contrast
+    :func:`dedup.shingles_expr`, which distincts for set semantics — counts
+    need multiplicity). Docs shorter than n tokens yield an empty array.
+    Token array bound as a lambda variable so the split runs once per row
+    (see shingles_expr's measured CollapseProject note)."""
+    return F.try_element_at(
+        F.transform(
+            F.array(tokens_expr(text)),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        F.lit(1),
+    )
+
+
+# Cutoffs sized against the sf0.01 fixture distribution (measured this
+# round: distinct_ratio p5–p95 = 0.31–0.80 median 0.46; top_token_frac
+# median 0.09 p95 0.16; top_bigram_frac median 0.033 p95 0.087) so BOTH
+# keep outcomes occur at every SF — a filter that never fires is a vacuous
+# oracle row. The *shape* follows Gopher's repetition rules (Rae et al.
+# 2021, table A1: duplicate-n-gram fraction cutoffs); the constants are
+# fixture-calibrated, tunable per-corpus in production.
+REPETITION_MIN_DISTINCT_RATIO = 0.40
+REPETITION_MAX_TOP_TOKEN_FRAC = 0.12
+REPETITION_MAX_TOP_BIGRAM_FRAC = 0.06
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc repetition metrics + keep flag.
+
+    Two explode→count branches (unigrams, bigrams) joined on the doc key.
+    Each branch is groupBy(doc, gram) → groupBy(doc): the first agg gets a
+    map-side partial combine, and the second operates on the already-small
+    per-doc distinct-gram frame. Linear, no per-row quadratic expression."""
+    idc = F.col(id_col)
+    toks = df.select(idc.alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("g"))
+    tok_stats = (
+        toks.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    bgs = df.select(
+        idc.alias("id"), F.explode(ngrams_expr(F.col(text_col), 2)).alias("g")
+    )
+    bg_stats = (
+        bgs.groupBy("id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg"))
+    )
+    # left join: a 0/1-token doc has no bigrams; its bigram fraction is 0.
+    joined = tok_stats.join(bg_stats, "id", "left")
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_token_frac = F.col("top_tok") / F.col("n_tokens")
+    top_bigram_frac = F.coalesce(
+        F.col("top_bg") / F.col("n_bigrams"), F.lit(0.0)
+    )
+    return joined.select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_token_frac, 6).alias("top_token_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        (
+            (distinct_ratio >= REPETITION_MIN_DISTINCT_RATIO)
+            & (top_token_frac <= REPETITION_MAX_TOP_TOKEN_FRAC)
+            & (top_bigram_frac <= REPETITION_MAX_TOP_BIGRAM_FRAC)
+        ).alias("keep"),
+    )
+
+
+# ── Eval-set decontamination ────────────────────────────────────────────────
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Flag training docs sharing any k-token shingle with the eval set.
+
+    The standard pre-training hygiene step: an eval example leaking into the
+    train corpus inflates benchmark scores. Shingling matches the dedup
+    family (distinct k-grams, whole-text fallback for short docs) so the
+    contamination definition composes with the Jaccard ledger.
+
+    Scale shape: the eval shingle DICTIONARY is distinct-ed and broadcast —
+    eval sets are small and bounded while train is the 100 TB side, so the
+    train scan streams map-side with zero shuffle on the join key; the only
+    shuffle is the per-doc count aggregation, keyed by doc id. Returns every
+    train doc (left join): zero-hit docs carry n_contam = 0, contaminated =
+    false."""
+    ev = F.broadcast(
+        eval_df.select(F.explode(shingles_expr(F.col(text_col), k)).alias("sh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    tr = shingle_rows(train, text_col, id_col, k)
+    hits = (
+        tr.join(ev, "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            # count(hit) counts non-null ⇒ matched shingles only
+            F.count("hit").alias("n_contam"),
+        )
+    )
+    return hits.select(
+        "id",
+        "n_shingles",
+        "n_contam",
+        F.round(F.col("n_contam") / F.col("n_shingles"), 6).alias("contam_frac"),
+        (F.col("n_contam") > 0).alias("contaminated"),
+    )

@@ -55,6 +55,9 @@ HEADLINE = [
     "multimodal_pixel_decode",
     "multimodal_audio_decode",
     "multimodal_video_decode",
+    "pii_redaction",
+    "docs_repetition",
+    "decontaminate",
     # event-time windows
     "events_hourly",
     "events_sliding",

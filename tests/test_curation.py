@@ -1,0 +1,130 @@
+"""Unit evidence for the corpus-curation trio (operators/curation.py) on
+crafted inputs — the oracle rows prove fixture-scale parity; these pin the
+operator semantics on known values and adversarial edges."""
+
+from __future__ import annotations
+
+import pytest
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import curation
+
+
+def _one(df):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# ── PII redaction ──────────────────────────────────────────────────────────
+
+@pytest.mark.parametrize(
+    "text, redacted, n_email, n_phone, n_ip",
+    [
+        ("mail bob.smith+x@sub.example.co now", "mail <EMAIL> now", 1, 0, 0),
+        ("call +966555012345 thanks", "call <PHONE> thanks", 0, 1, 0),
+        ("host 192.168.0.1 down", "host <IP> down", 0, 0, 1),
+        ("no pii here", "no pii here", 0, 0, 0),
+        # all three, plus a second email
+        (
+            "a@b.io and c@d.org via 10.0.0.7 or +123456789",
+            "<EMAIL> and <EMAIL> via <IP> or <PHONE>",
+            2, 1, 1,
+        ),
+        # 16-digit run after '+': greedy match takes the 15-digit E.164 max,
+        # one digit remains (documented leftmost-greedy contract)
+        ("+1234567890123456", "<PHONE>6", 0, 1, 0),
+        # dotted quad glued into a longer dotted run: \b anchors still fire
+        ("1.2.3.4.5", "<IP>.5", 0, 0, 1),
+    ],
+)
+def test_redact_pii_known_values(spark, text, redacted, n_email, n_phone, n_ip):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = _one(curation.redact_pii(df, "text", "doc_id"))
+    assert r["redacted"] == redacted
+    assert (r["n_email"], r["n_phone"], r["n_ip"]) == (n_email, n_phone, n_ip)
+
+
+def test_redact_counts_are_on_original_text(spark):
+    """Counts are per-pattern on the RAW text even though redaction is
+    sequential — an email's digits never leak into the phone count."""
+    df = spark.createDataFrame(
+        [(1, "user123456789@example.com")], "doc_id long, text string"
+    )
+    r = _one(curation.redact_pii(df, "text", "doc_id"))
+    assert r["redacted"] == "<EMAIL>"
+    assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 0, 0)
+
+
+# ── repetition stats ───────────────────────────────────────────────────────
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame([(1, "a a a b")], "doc_id long, text string")
+    r = _one(curation.repetition_stats(df, "text", "doc_id"))
+    assert r["n_tokens"] == 4 and r["n_distinct"] == 2
+    assert r["distinct_ratio"] == 0.5
+    assert r["top_token_frac"] == 0.75
+    # bigrams: "a a", "a a", "a b" → top mass 2/3
+    assert r["top_bigram_frac"] == round(2 / 3, 6)
+    assert r["keep"] is False  # hyper-repetitive
+
+
+def test_repetition_stats_single_token_doc(spark):
+    """A doc with no bigrams must survive the left join with frac 0.0, and
+    whitespace runs collapse (tokenizer parity with the oracle)."""
+    df = spark.createDataFrame([(1, "  solo   ")], "doc_id long, text string")
+    r = _one(curation.repetition_stats(df, "text", "doc_id"))
+    assert r["n_tokens"] == 1 and r["n_distinct"] == 1
+    assert r["top_bigram_frac"] == 0.0
+    assert r["keep"] is False  # top_token_frac = 1.0 > cutoff
+
+
+def test_repetition_stats_diverse_doc_keeps(spark):
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = _one(curation.repetition_stats(df, "text", "doc_id"))
+    assert r["distinct_ratio"] == 1.0 and r["keep"] is True
+
+
+def test_ngrams_expr_preserves_multiplicity(spark):
+    """ngrams_expr must NOT distinct (contrast shingles_expr): counts need
+    every occurrence."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("x y x y x",)], "t string")
+    out = df.select(curation.ngrams_expr(F.col("t"), 2).alias("g")).collect()[0]["g"]
+    assert out == ["x y", "y x", "x y", "y x"]
+    short = df.select(curation.ngrams_expr(F.lit("solo"), 2).alias("g")).collect()[0]["g"]
+    assert short == []
+
+
+# ── decontamination ────────────────────────────────────────────────────────
+
+def test_decontaminate_known_overlap(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "a quick brown fox ran off"),   # shares "quick brown fox"
+            (2, "totally unrelated words here"),
+            (3, "xs"),                           # short-doc whole-text shingle
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["id"]: r for r in curation.decontaminate(tr, ev, "text", "doc_id").collect()}
+    assert rows[1]["contaminated"] is True and rows[1]["n_contam"] == 1
+    assert rows[2]["contaminated"] is False and rows[2]["n_contam"] == 0
+    assert rows[3]["contaminated"] is False
+    # every train doc present (left-join contract)
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["contam_frac"] == round(1 / rows[1]["n_shingles"], 6)
+
+
+def test_decontaminate_eval_side_broadcast(spark):
+    """The 100 TB shape: the eval dictionary must reach the join as a
+    broadcast (train side streams, no shuffle on the shingle key)."""
+    ev = spark.createDataFrame([(100, "one two three")], "doc_id long, text string")
+    tr = spark.createDataFrame([(1, "one two three four")], "doc_id long, text string")
+    plan = curation.decontaminate(tr, ev, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
