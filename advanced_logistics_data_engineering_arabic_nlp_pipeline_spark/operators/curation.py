@@ -13,11 +13,19 @@ Scale shape, in order of appearance:
   pattern set is deliberately written in the common Java-regex ∩ RE2
   subset (no lookarounds, no backrefs) so the DuckDB oracle runs the
   LITERAL same patterns.
-- Repetition stats use explode → two-level aggregation (partial map-side
-  combine on (doc_id, gram), then per-doc) — linear in corpus size and
-  partition-parallel, unlike the tempting ``transform(array_distinct(...))``
-  expression form which is O(distinct × len) PER ROW and melts on a
-  100k-token document.
+- Repetition stats are SHUFFLE-FREE: per-doc top-gram mass is a sorted
+  run-length scan (``array_sort`` + ``aggregate``, O(n log n) per row,
+  JVM-side) instead of the explode → groupBy(doc, gram) → groupBy(doc)
+  form, which moves a corpus-scale gram shuffle (per-doc distinct grams
+  even after map-side combine). Both compute the same answer (pinned by a
+  parity test) and TIE at sf1 local[32] (3.4 s vs 3.2 s — local shuffles
+  are nearly free and HOF lambdas are interpreted); the shuffle-free plan
+  is the default because on a network-bound cluster its cost stays a
+  per-partition scan while the exploded form's shuffle grows with the
+  corpus. (The naive ``transform(array_distinct(...))`` counting
+  expression is NOT the alternative — it is O(distinct × len) per row and
+  melts on a 100k-token document; the sorted-run trick is what makes the
+  expression form viable.)
 - Decontamination broadcasts the eval-set shingle dictionary (eval sets are
   small — thousands of docs — vs a 100 TB train corpus): the train side
   streams, never shuffles on the join key.
@@ -112,13 +120,85 @@ REPETITION_MAX_TOP_TOKEN_FRAC = 0.12
 REPETITION_MAX_TOP_BIGRAM_FRAC = 0.06
 
 
-def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-doc repetition metrics + keep flag.
+def max_run_expr(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    multiplicity of the most frequent element — as one ``aggregate`` pass
+    (O(n), JVM-side). Empty array → 0."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
 
-    Two explode→count branches (unigrams, bigrams) joined on the doc key.
-    Each branch is groupBy(doc, gram) → groupBy(doc): the first agg gets a
-    map-side partial combine, and the second operates on the already-small
-    per-doc distinct-gram frame. Linear, no per-row quadratic expression."""
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc repetition metrics + keep flag — one shuffle-free projection.
+
+    Top-gram multiplicity = longest equal-adjacent run of the sorted gram
+    array (:func:`max_run_expr`): O(n log n) per row, zero Exchange in the
+    physical plan (machine-checked by pytest). At sf1 local[32] this TIES
+    the exploded formulation (3.4 s vs 3.2 s, measured best-of-2 — local
+    shuffles are nearly free); the reason it is the default is shuffle
+    VOLUME at cluster scale: the exploded form ships ~per-doc-distinct
+    gram rows (about half the corpus token stream here) across the
+    network twice, this form ships nothing.
+
+    Zero-token docs are dropped (matches the explode form, where they
+    vanish from the aggregation, and the unnest-based oracle)."""
+    idc = F.col(id_col)
+    out = df.select(
+        idc.alias("id"),
+        F.array_sort(tokens_expr(F.col(text_col))).alias("__toks"),
+        F.array_sort(ngrams_expr(F.col(text_col), 2)).alias("__bgs"),
+    ).where(F.size("__toks") > 0)
+    out = out.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).cast("long").alias("n_distinct"),
+        max_run_expr(F.col("__toks")).alias("top_tok"),
+        F.size("__bgs").cast("long").alias("n_bigrams"),
+        max_run_expr(F.col("__bgs")).alias("top_bg"),
+    )
+    distinct_ratio = F.col("n_distinct") / F.col("n_tokens")
+    top_token_frac = F.col("top_tok") / F.col("n_tokens")
+    # a 0/1-token doc has no bigrams: try_divide(0, 0) → null → 0.0 (the
+    # exploded form gets the null from its left join instead; under ANSI
+    # mode a plain 0/0 here would throw DIVIDE_BY_ZERO)
+    top_bigram_frac = F.coalesce(
+        F.try_divide(F.col("top_bg"), F.col("n_bigrams")), F.lit(0.0)
+    )
+    return out.select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_token_frac, 6).alias("top_token_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        (
+            (distinct_ratio >= REPETITION_MIN_DISTINCT_RATIO)
+            & (top_token_frac <= REPETITION_MAX_TOP_TOKEN_FRAC)
+            & (top_bigram_frac <= REPETITION_MAX_TOP_BIGRAM_FRAC)
+        ).alias("keep"),
+    )
+
+
+def repetition_stats_exploded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The explode → two-level-agg formulation of :func:`repetition_stats`,
+    kept as the parity reference (tests pin equal output) and for corpora
+    with degenerate single-huge-document rows where a per-row sort might
+    exceed task memory. Ships ~per-doc-distinct gram rows through two
+    shuffles — prefer repetition_stats on a real cluster."""
     idc = F.col(id_col)
     toks = df.select(idc.alias("id"), F.explode(tokens_expr(F.col(text_col))).alias("g"))
     tok_stats = (

@@ -85,6 +85,45 @@ def test_repetition_stats_diverse_doc_keeps(spark):
     assert r["distinct_ratio"] == 1.0 and r["keep"] is True
 
 
+def test_repetition_sorted_run_matches_exploded_form(spark, sf_dir):
+    """The shuffle-free sorted-run formulation must equal the explode +
+    two-level-agg reference on the full fixture corpus AND on edge docs
+    (all-same tokens, zero-token rows dropped by both)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [(100001, "x x x x"), (100002, "  "), (100003, "a"), (100004, "a b a b")],
+        "doc_id long, text string",
+    ).select("doc_id", "text")
+    both = docs.select("doc_id", "text").unionByName(edge)
+    a = sorted(map(tuple, curation.repetition_stats(both, "text", "doc_id").collect()))
+    b = sorted(map(tuple, curation.repetition_stats_exploded(both, "text", "doc_id").collect()))
+    assert a == b
+    ids = {r[0] for r in a}
+    assert 100002 not in ids and {100001, 100003, 100004} <= ids
+
+
+def test_repetition_stats_plan_is_shuffle_free(spark):
+    """The 100 TB claim, machine-checked: no Exchange in the physical plan
+    (a per-partition scan end-to-end)."""
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = curation.repetition_stats(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_max_run_expr_known_values(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(1)
+    vals = df.select(
+        curation.max_run_expr(F.array(*[F.lit(x) for x in ["a", "a", "b", "b", "b", "c"]])).alias("m"),
+        curation.max_run_expr(F.array().cast("array<string>")).alias("empty"),
+        curation.max_run_expr(F.array(F.lit("z"))).alias("one"),
+    ).collect()[0]
+    assert (vals["m"], vals["empty"], vals["one"]) == (3, 0, 1)
+
+
 def test_ngrams_expr_preserves_multiplicity(spark):
     """ngrams_expr must NOT distinct (contrast shingles_expr): counts need
     every occurrence."""
