@@ -55,6 +55,56 @@ def test_redact_counts_are_on_original_text(spark):
     assert (r["n_email"], r["n_phone"], r["n_ip"]) == (1, 0, 0)
 
 
+def test_redact_pii_cross_engine_parity_adversarial(spark):
+    """Property-style Java-regex vs RE2 parity on adversarial strings.
+
+    The PII patterns are written in the dialect-common subset, but that
+    claim needs teeth beyond the fixture corpus (which the oracle gate
+    covers): generate strings dense in the boundary characters the
+    patterns care about (@ . + digits, \\b edges, glued matches) and pin
+    Spark's redaction + counts to DuckDB's byte-for-byte. Deterministic
+    seed — a failure reproduces."""
+    import random
+
+    import duckdb
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.curation import (
+        PII_EMAIL_RE, PII_IPV4_RE, PII_PHONE_RE,
+    )
+
+    rng = random.Random(20260814)
+    frags = [
+        "a@b.co", "x.y@z.example.org", "@@", "@.", "a@b", "a@b.c",  # email-ish
+        "+123456789", "+12345678", "+123456789012345678", "plus+99",  # phone-ish
+        "1.2.3.4", "10.0.0.255", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+        "v1.2.3.4x", "..", "word", "  ", "7", "end.",
+    ]
+    texts = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["redacted"], r["n_email"], r["n_phone"], r["n_ip"])
+        for r in curation.redact_pii(df, "text", "doc_id").collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        red, ne, np_, ni = con.execute(
+            """SELECT regexp_replace(regexp_replace(regexp_replace(?,
+                 ?, '<EMAIL>', 'g'), ?, '<PHONE>', 'g'), ?, '<IP>', 'g'),
+               len(regexp_extract_all(?, ?)),
+               len(regexp_extract_all(?, ?)),
+               len(regexp_extract_all(?, ?))""",
+            [t, PII_EMAIL_RE, PII_PHONE_RE, PII_IPV4_RE,
+             t, PII_EMAIL_RE, t, PII_PHONE_RE, t, PII_IPV4_RE],
+        ).fetchone()
+        assert got[i] == (red, ne, np_, ni), (i, t, got[i], (red, ne, np_, ni))
+    con.close()
+
+
 # ── repetition stats ───────────────────────────────────────────────────────
 
 def test_repetition_stats_known_values(spark):
@@ -157,6 +207,53 @@ def test_decontaminate_known_overlap(spark):
     # every train doc present (left-join contract)
     assert set(rows) == {1, 2, 3}
     assert rows[1]["contam_frac"] == round(1 / rows[1]["n_shingles"], 6)
+
+
+def test_curation_exprs_run_in_streaming_micro_batches(spark, sf_dir, tmp_path):
+    """PII redaction and repetition stats are stateless projections, so
+    they must drop into a Structured Streaming micro-batch unchanged and
+    match their batch twins — the shape a streaming ingest pipeline uses
+    to curate documents on arrival."""
+    import pyspark.sql.functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    # one pass: redact, then score the redacted text — both are stateless
+    # projections, so no watermark or output-mode gymnastics needed
+    curated = curation.repetition_stats(
+        stream.select(
+            "doc_id", curation.redact_pii_expr(F.col("text")).alias("text")
+        ),
+        "text",
+        "doc_id",
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM curated_stream").collect()))
+    want = sorted(
+        map(
+            tuple,
+            curation.repetition_stats(
+                docs.select(
+                    "doc_id", curation.redact_pii_expr(F.col("text")).alias("text")
+                ),
+                "text",
+                "doc_id",
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 50
 
 
 def test_decontaminate_eval_side_broadcast(spark):
