@@ -121,9 +121,10 @@ REPETITION_MAX_TOP_BIGRAM_FRAC = 0.06
 
 
 def max_run_expr(sorted_arr: Column) -> Column:
-    """Longest run of equal adjacent elements in a SORTED array — i.e. the
-    multiplicity of the most frequent element — as one ``aggregate`` pass
-    (O(n), JVM-side). Empty array → 0."""
+    """Longest run of equal adjacent elements in a SORTED array<string> —
+    i.e. the multiplicity of the most frequent element — as one
+    ``aggregate`` pass (O(n), JVM-side). Empty array → 0. The accumulator
+    types ``prev`` as string; other element types need a matching cast."""
     init = F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.lit(0).cast("long").alias("run"),
