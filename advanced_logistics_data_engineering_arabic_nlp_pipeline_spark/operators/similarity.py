@@ -992,6 +992,99 @@ def build_ivfpq_index(
     return IVFPQIndex(coarse=coarse, books=books, encoded=enc)
 
 
+# ── incremental index add (frozen parameters) ──────────────────────────────
+# The standard production lifecycle (and the SCALE.md §3 contract): new
+# vectors are encoded with the FROZEN trained parameters and appended to
+# the index table; full retrain happens only on distribution drift. Each
+# add is one linear encode pass over the NEW vectors only — nothing
+# already indexed is touched. Caller contract: ids are append-only (an add
+# does not dedupe against already-indexed ids).
+
+def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
+           read_path: str | None = None) -> DataFrame:
+    """Union an index table with freshly encoded rows. ``path`` appends the
+    new rows to the durable parquet index and re-reads it (old rows are
+    already there); otherwise a persisted (or lazy) in-memory union."""
+    if path is not None:
+        fresh.write.mode("append").parquet(read_path or path)
+        return fresh.sparkSession.read.parquet(read_path or path)
+    grown = old.unionByName(fresh)
+    if persist:
+        grown = grown.persist()
+        grown.count()
+        old.unpersist()
+    return grown
+
+
+def pq_index_add(
+    index: PQIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    persist: bool = True,
+    path: str | None = None,
+) -> PQIndex:
+    """Encode ``new_vectors`` with the index's frozen codebooks and append.
+    Serving the grown index is bit-identical to having built it with the
+    same codebooks over the full corpus (pytest pins this)."""
+    fresh = build_pq_index(
+        new_vectors, vec_col, id_col,
+        codebooks=index.codebooks, persist=False,
+    ).encoded
+    return PQIndex(
+        codebooks=index.codebooks,
+        encoded=_grown(index.encoded, fresh, persist, path),
+    )
+
+
+def ivf_index_add(
+    index: IVFIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    persist: bool = True,
+    path: str | None = None,
+) -> IVFIndex:
+    """Assign ``new_vectors`` to the index's frozen centroid cells and
+    append (durable layout: ``path/assigned``, matching build_ivf_index)."""
+    fresh = build_ivf_index(
+        new_vectors, vec_col, id_col,
+        centroids=index.centroids.select(
+            "centroid_id", F.col("cv").alias(vec_col)
+        ) if "cv" in index.centroids.columns
+        else index.centroids,
+        persist=False,
+    ).assigned
+    return IVFIndex(
+        centroids=index.centroids,
+        assigned=_grown(
+            index.assigned, fresh, persist, path,
+            read_path=f"{path}/assigned" if path else None,
+        ),
+    )
+
+
+def ivfpq_index_add(
+    index: IVFPQIndex,
+    new_vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    persist: bool = True,
+    path: str | None = None,
+) -> IVFPQIndex:
+    """Encode ``new_vectors`` against the frozen coarse centroids + shared
+    residual codebooks and append."""
+    fresh = build_ivfpq_index(
+        new_vectors, vec_col, id_col,
+        trained=(index.coarse, index.books), persist=False,
+    ).encoded
+    return IVFPQIndex(
+        coarse=index.coarse,
+        books=index.books,
+        encoded=_grown(index.encoded, fresh, persist, path),
+    )
+
+
 def topk_ivfpq(
     queries: DataFrame,
     candidates: DataFrame | None = None,

@@ -989,3 +989,57 @@ def test_decoders_reject_truncated_payloads():
         mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME")  # no newline
     with _pytest.raises(ValueError, match="truncated"):
         mm.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\nFRAME\n\x00\x00")  # short
+
+
+def test_ann_index_incremental_add_matches_full_build(spark, sf_dir, tmp_path):
+    """The SCALE.md index lifecycle contract: encoding new vectors with
+    FROZEN trained parameters and appending must serve identically to a
+    full build over the whole corpus with those same parameters — for all
+    three indexed ANN families, plus the durable parquet-append path."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # PQ: train on half_a, grow with half_b vs full build with SAME books
+    base = similarity.build_pq_index(half_a)
+    grown = similarity.pq_index_add(base, half_b)
+    full = similarity.build_pq_index(emb, codebooks=base.codebooks)
+    assert rows(similarity.topk_pq(probes, index=grown)) == rows(
+        similarity.topk_pq(probes, index=full)
+    )
+
+    # durable shape: build half_a at a path, append half_b, re-serve
+    p = str(tmp_path / "pq_idx")
+    disk = similarity.build_pq_index(half_a, codebooks=base.codebooks, path=p)
+    disk_grown = similarity.pq_index_add(disk, half_b, path=p)
+    assert rows(similarity.topk_pq(probes, index=disk_grown)) == rows(
+        similarity.topk_pq(probes, index=full)
+    )
+    full.unpersist(); grown.unpersist()
+
+    # IVF: frozen centroid table
+    ibase = similarity.build_ivf_index(half_a)
+    igrown = similarity.ivf_index_add(ibase, half_b)
+    ifull = similarity.build_ivf_index(emb, centroids=ibase.centroids)
+    assert rows(similarity.topk_ivf(probes, index=igrown)) == rows(
+        similarity.topk_ivf(probes, index=ifull)
+    )
+    ifull.unpersist(); igrown.unpersist()
+
+    # IVFADC: frozen coarse + residual books
+    pbase = similarity.build_ivfpq_index(half_a)
+    pgrown = similarity.ivfpq_index_add(pbase, half_b)
+    pfull = similarity.build_ivfpq_index(emb, trained=(pbase.coarse, pbase.books))
+    assert rows(similarity.topk_ivfpq(probes, index=pgrown)) == rows(
+        similarity.topk_ivfpq(probes, index=pfull)
+    )
+    pfull.unpersist(); pgrown.unpersist()
