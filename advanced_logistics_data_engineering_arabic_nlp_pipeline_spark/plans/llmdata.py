@@ -1287,6 +1287,181 @@ ORDER BY tr.id
 """
 
 
+def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-pipeline drop-reason AUDIT LEDGER — one row per TRAINING
+    candidate doc (the eval slice doc_id % 97 = 0 is excluded by
+    definition: eval docs never enter the train corpus) with ``kept`` and
+    the FIRST failing stage in pipeline order:
+
+        quality → exact_dup → near_dup → repetition → contaminated
+
+    Composes the five already-oracle-checked components (quality gate,
+    exact keeper, near-dup cluster keeper, repetition filter,
+    decontamination) into the artifact a curation run actually ships to
+    its operators: not just the surviving corpus (curated_corpus) but WHY
+    each drop happened — per-stage accounting is how a 100 TB pipeline
+    run is reviewed before anyone trains on it. Dup structures are
+    computed over the FULL corpus, like curated_corpus (a duplicate must
+    not resurrect because its twin was eval or failed quality).
+
+    Fixture note: the 'quality' and 'exact_dup' reasons are structurally
+    empty on this corpus (every fixture doc clears the 0.5 gate; raw-text
+    exact dups don't exist at any SF — the same fact that forced
+    dedup_exact's fingerprint key). Both stages carry their own positive
+    evidence elsewhere (text_quality oracle, exact-dedup pytests); here
+    they are exercised as pass-through stages, with drops concentrated in
+    repetition/near_dup/contaminated (274/24/66 at sf0.01)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+
+    q_ok = docs.select(
+        "doc_id", (ta.quality_score(F.col("text")) >= 0.5).alias("q_ok")
+    )
+    exact_keep = (
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id").withColumn("ex_ok", F.lit(True))
+    )
+    pairs = dedup.jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    non_keep = comp.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    ).withColumn("near_dup", F.lit(True))
+    rep = curation.repetition_stats(docs, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), F.col("keep").alias("rep_ok")
+    )
+    dec = curation.decontaminate(train, ev, "text", "doc_id").select(
+        F.col("id").alias("doc_id"), "contaminated"
+    )
+    led = (
+        train.select("doc_id")
+        .join(q_ok, "doc_id", "left")
+        .join(exact_keep, "doc_id", "left")
+        .join(non_keep, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+    )
+    reason = (
+        F.when(~F.coalesce(F.col("q_ok"), F.lit(False)), "quality")
+        .when(~F.coalesce(F.col("ex_ok"), F.lit(False)), "exact_dup")
+        .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
+        .when(~F.coalesce(F.col("rep_ok"), F.lit(False)), "repetition")
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), "contaminated")
+    )
+    return led.select(
+        "doc_id",
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+    ).orderBy("doc_id")
+
+
+CURATION_LEDGER_SQL = f"""
+WITH RECURSIVE jpairs AS (
+{DEDUP_JACCARD_SQL.replace("ORDER BY doc_a, doc_b", "")}
+),
+jedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM jpairs
+  UNION
+  SELECT doc_b, doc_a FROM jpairs
+),
+jnodes AS (SELECT DISTINCT a AS id FROM jedges),
+jreach(id, lbl) AS (
+  SELECT id, id FROM jnodes
+  UNION
+  SELECT e.a, r.lbl FROM jedges e JOIN jreach r ON r.id = e.b
+),
+jlab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM jreach GROUP BY id),
+ltok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+lqm AS (
+  SELECT doc_id, toks,
+         ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mtl,
+         ROUND({{EN_HITS}} * 1.0 / greatest(len(toks), 1), 6) AS sw
+  FROM ltok
+),
+lq AS (
+  SELECT doc_id,
+         (ROUND(CAST(
+           (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN mtl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) >= 0.5) AS q_ok
+  FROM lqm
+),
+lexact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+ltc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM ltok)
+  GROUP BY doc_id, tok
+),
+ltd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_distinct, MAX(c) AS top_tok
+  FROM ltc GROUP BY doc_id
+),
+lbc AS (
+  SELECT doc_id, b, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1])) AS b
+        FROM ltok)
+  GROUP BY doc_id, b
+),
+lbd AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, MAX(c) AS top_bg
+  FROM lbc GROUP BY doc_id
+),
+lrep AS (
+  SELECT ltd.doc_id,
+         (ltd.n_distinct * 1.0 / ltd.n_tokens >= {curation.REPETITION_MIN_DISTINCT_RATIO}
+          AND ltd.top_tok * 1.0 / ltd.n_tokens <= {curation.REPETITION_MAX_TOP_TOKEN_FRAC}
+          AND COALESCE(lbd.top_bg * 1.0 / lbd.n_bigrams, 0) <= {curation.REPETITION_MAX_TOP_BIGRAM_FRAC}) AS rep_ok
+  FROM ltd LEFT JOIN lbd ON ltd.doc_id = lbd.doc_id
+),
+lsh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                ELSE [COALESCE(array_to_string(toks, ' '), '')] END
+         ) AS shs
+  FROM ltok
+),
+lex AS (SELECT doc_id AS id, unnest(shs) AS sh FROM lsh),
+lev AS (SELECT DISTINCT sh FROM lex WHERE id % 97 = 0),
+ldec AS (
+  SELECT t.id AS doc_id, (COUNT(lev.sh) > 0) AS contaminated
+  FROM (SELECT id, sh FROM lex WHERE id % 97 <> 0) t
+  LEFT JOIN lev ON t.sh = lev.sh
+  GROUP BY t.id
+),
+led AS (
+  SELECT d.doc_id,
+         CASE
+           WHEN NOT COALESCE(lq.q_ok, FALSE) THEN 'quality'
+           WHEN d.doc_id NOT IN (SELECT doc_id FROM lexact) THEN 'exact_dup'
+           WHEN COALESCE(jlab.doc_id <> jlab.cluster_id, FALSE) THEN 'near_dup'
+           WHEN NOT COALESCE(lrep.rep_ok, FALSE) THEN 'repetition'
+           WHEN COALESCE(ldec.contaminated, FALSE) THEN 'contaminated'
+         END AS drop_reason
+  FROM documents d
+  LEFT JOIN lq ON lq.doc_id = d.doc_id
+  LEFT JOIN jlab ON jlab.doc_id = d.doc_id
+  LEFT JOIN lrep ON lrep.doc_id = d.doc_id
+  LEFT JOIN ldec ON ldec.doc_id = d.doc_id
+  WHERE d.doc_id % 97 <> 0
+)
+SELECT doc_id, (drop_reason IS NULL) AS kept, drop_reason
+FROM led
+ORDER BY doc_id
+"""
+CURATION_LEDGER_SQL = CURATION_LEDGER_SQL.replace("{EN_HITS}", _sql_hits(ta.EN_STOP))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
@@ -1329,6 +1504,7 @@ QUERIES = {
     "pii_redaction": pii_redaction,
     "docs_repetition": docs_repetition,
     "decontaminate": decontaminate_train,
+    "curation_ledger": curation_ledger,
 }
 
 ORACLES = {
@@ -1371,4 +1547,10 @@ LOCAL_ORACLES = {
     "distinct_parts_exact": DISTINCT_PARTS_EXACT_SQL,
     "price_quantiles_exact": PRICE_QUANTILES_EXACT_SQL,
     "doc_length_histogram": DOC_LENGTH_HISTOGRAM_SQL,
+    # Local-tier by CHOICE, not necessity: the ledger composes five
+    # already-driver-checked components, so the extra driver slot buys
+    # little; the full hash check (incl. the recursive-CTE cluster stage)
+    # runs in pytest, and a separate invariant test cross-checks the
+    # ledger against the component queries themselves.
+    "curation_ledger": CURATION_LEDGER_SQL,
 }

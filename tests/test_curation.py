@@ -264,3 +264,33 @@ def test_decontaminate_eval_side_broadcast(spark):
     plan = curation.decontaminate(tr, ev, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_curation_ledger_consistent_with_components(spark, sf_dir):
+    """The ledger must agree with the component queries it composes: its
+    kept-set equals curated_corpus ∩ repetition-keep ∩ not-contaminated
+    (within the train slice), and every drop_reason points at a stage
+    whose component query actually fails that doc."""
+    import pyspark.sql.functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans import llmdata
+
+    led = {r["doc_id"]: r["drop_reason"] for r in llmdata.curation_ledger(spark, sf_dir).collect()}
+    train_ids = set(led)
+    curated = {r["doc_id"] for r in llmdata.curated_corpus(spark, sf_dir).collect()}
+    rep_keep = {r["doc_id"] for r in llmdata.docs_repetition(spark, sf_dir).collect() if r["keep"]}
+    contam = {r["doc_id"] for r in llmdata.decontaminate_train(spark, sf_dir).collect() if r["contaminated"]}
+
+    kept = {d for d, reason in led.items() if reason is None}
+    assert kept == (curated & rep_keep & train_ids) - contam
+    for d, reason in led.items():
+        if reason == "near_dup" or reason == "quality" or reason == "exact_dup":
+            assert d not in curated, (d, reason)
+        elif reason == "repetition":
+            assert d not in rep_keep, d
+        elif reason == "contaminated":
+            assert d in contam, d
+    # the fixture exercises a non-trivial mix of outcomes
+    assert kept and {"repetition", "near_dup", "contaminated"} <= {
+        r for r in led.values() if r
+    }
