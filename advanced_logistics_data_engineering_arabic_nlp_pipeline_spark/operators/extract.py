@@ -123,6 +123,7 @@ def with_nlp_enrichment(
     locs_col: str = "locs",
     clean_col: str = "End_Location_Clean",
     type_col: str = "Trip_Type",
+    caches_out: list | None = None,
 ) -> DataFrame:
     """F4's full NLP block (locs + clean location + trip type, Main.py:406-425)
     resolved once per *distinct* text, then joined back — the reference's
@@ -146,7 +147,13 @@ def with_nlp_enrichment(
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
     if fuzzy:
-        texts = with_all_locations_fuzzy(texts, "__txt", "__txt", locs_col, index)
+        # caches_out threads through to the cascade's cut-point caches so
+        # a long-lived caller (CleaningService does this) can unpersist
+        # after its terminal action — without it, the broadcast-join path
+        # (mapping > MAPPING_LITERAL_MAX) parks cached frames per request
+        texts = with_all_locations_fuzzy(
+            texts, "__txt", "__txt", locs_col, index, caches_out=caches_out
+        )
     else:
         texts = texts.withColumn(
             locs_col, extract_all_locations_expr(F.col("__txt"), index)

@@ -1003,11 +1003,32 @@ def build_ivfpq_index(
 def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
            read_path: str | None = None) -> DataFrame:
     """Union an index table with freshly encoded rows. ``path`` appends the
-    new rows to the durable parquet index and re-reads it (old rows are
-    already there); otherwise a persisted (or lazy) in-memory union."""
+    new rows to the durable parquet index and re-reads it — valid ONLY
+    when the base index already lives at that path (built or previously
+    grown with the same ``path``); appending to a path the base never
+    wrote would silently produce an index containing just the new batch,
+    so that precondition is VALIDATED against the base frame's input
+    files, not trusted. Otherwise: a persisted (or lazy) in-memory
+    union."""
     if path is not None:
-        fresh.write.mode("append").parquet(read_path or path)
-        return fresh.sparkSession.read.parquet(read_path or path)
+        target = read_path or path
+        import os
+
+        prefix = os.path.abspath(target)
+        inputs = old.inputFiles()
+        if not inputs or not all(
+            os.path.abspath(f.replace("file:", "")).startswith(prefix)
+            for f in inputs
+        ):
+            raise ValueError(
+                f"index add with path={target!r}: the base index does not"
+                f" read from that path (inputFiles={inputs[:3]}...), so a"
+                f" parquet append would DROP every already-indexed row."
+                f" Build the base index with the same path, or add without"
+                f" path for an in-memory union."
+            )
+        fresh.write.mode("append").parquet(target)
+        return fresh.sparkSession.read.parquet(target)
     grown = old.unionByName(fresh)
     if persist:
         grown = grown.persist()
@@ -1046,14 +1067,14 @@ def ivf_index_add(
     path: str | None = None,
 ) -> IVFIndex:
     """Assign ``new_vectors`` to the index's frozen centroid cells and
-    append (durable layout: ``path/assigned``, matching build_ivf_index)."""
+    append (durable layout: ``path/assigned``, matching build_ivf_index).
+    The centroid table's vector column is positional (columns[1], the
+    same tolerance topk_ivf applies) so an add whose ``vec_col`` differs
+    from the build's still resolves."""
+    cents = index.centroids
+    cents = cents.select("centroid_id", F.col(cents.columns[1]).alias(vec_col))
     fresh = build_ivf_index(
-        new_vectors, vec_col, id_col,
-        centroids=index.centroids.select(
-            "centroid_id", F.col("cv").alias(vec_col)
-        ) if "cv" in index.centroids.columns
-        else index.centroids,
-        persist=False,
+        new_vectors, vec_col, id_col, centroids=cents, persist=False,
     ).assigned
     return IVFIndex(
         centroids=index.centroids,
@@ -1076,6 +1097,9 @@ def ivfpq_index_add(
     residual codebooks and append."""
     fresh = build_ivfpq_index(
         new_vectors, vec_col, id_col,
+        # m must come from the frozen books, not build_ivfpq_index's
+        # default — an index trained with m=4 encodes adds with m=4
+        m=len(index.books),
         trained=(index.coarse, index.books), persist=False,
     ).encoded
     return IVFPQIndex(
@@ -1119,6 +1143,10 @@ def topk_ivfpq(
             trained=trained, persist=False,
         )
     coarse, books = index.coarse, index.books
+    # geometry comes from the index's frozen books, NOT the caller's m
+    # argument — an index built with m=4 must serve with m=4 even when the
+    # caller left the default (the m parameter only shapes inline builds)
+    m = len(books)
     dim = coarse.shape[1]
     sub = dim // m
     cn = np.linalg.norm(coarse, axis=1, keepdims=True)

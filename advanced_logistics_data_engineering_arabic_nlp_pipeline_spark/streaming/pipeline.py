@@ -16,6 +16,8 @@ production — only the reader changes.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -170,18 +172,35 @@ STATE_STORE_PROVIDERS = {
 }
 
 
-def _apply_state_store(spark: SparkSession, state_store: str | None) -> None:
+_STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@contextmanager
+def _state_store_conf(spark: SparkSession, state_store: str | None):
+    """Scoped provider override: set for the enclosed ``.start()``, then
+    RESTORE the previous session value. The provider is captured into the
+    query at start (it is one of the offset-log-pinned streaming confs),
+    so restoring immediately after start is safe — and without the
+    restore, a per-run choice would leak into every later query started
+    with ``state_store=None``, silently switching the provider under a
+    checkpoint that was begun with the other one."""
     if state_store is None:
+        yield
         return
     if state_store not in STATE_STORE_PROVIDERS:
         raise ValueError(
             f"state_store must be one of {sorted(STATE_STORE_PROVIDERS)},"
             f" got {state_store!r}"
         )
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        STATE_STORE_PROVIDERS[state_store],
-    )
+    prev = spark.conf.get(_STATE_STORE_KEY, None)
+    spark.conf.set(_STATE_STORE_KEY, STATE_STORE_PROVIDERS[state_store])
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_STATE_STORE_KEY)
+        else:
+            spark.conf.set(_STATE_STORE_KEY, prev)
 
 
 def run_to_memory(
@@ -192,14 +211,14 @@ def run_to_memory(
 ) -> StreamingQuery:
     """availableNow run into an in-memory table (tests/inspection).
     ``state_store``: 'hdfs' | 'rocksdb' | None (keep session default)."""
-    _apply_state_store(agg.sparkSession, state_store)
-    return (
-        agg.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_store_conf(agg.sparkSession, state_store):
+        return (
+            agg.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def run_passthrough_to_parquet(
@@ -211,15 +230,15 @@ def run_passthrough_to_parquet(
     """Exactly-once landing→parquet relay: the checkpoint replaces the
     reference's pickle-batch resume (A4/A5). Re-running after new files
     arrive processes only the delta; re-running with nothing new is a no-op."""
-    _apply_state_store(stream.sparkSession, state_store)
-    return (
-        stream.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_store_conf(stream.sparkSession, state_store):
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def run_upsert_latest(
@@ -328,11 +347,11 @@ def run_upsert_latest(
             shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(scratch, ignore_errors=True)
 
-    _apply_state_store(stream.sparkSession, state_store)
-    return (
-        stream.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _state_store_conf(stream.sparkSession, state_store):
+        return (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )

@@ -64,6 +64,20 @@ HEADLINE = [
     "events_sessions",
 ]
 
+# The ROUND-1 query set: the cross-round-comparable subtotal (the headline
+# list grows as operators land, so the grand total is not comparable across
+# rounds — compare subtotal_r1_queries to BENCH_r01.json). Module-level so
+# tools/sf1_bench.py can recompute the subtotal after min-merging runs.
+R1_SET = {
+    "pricing_summary", "revenue_by_nation", "top_customers",
+    "order_priority_share", "lineitem_unpivot", "trips_master",
+    "trips_master_fuzzy", "location_pairs", "location_stats",
+    "revenue_rollup", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
+    "similarity_topk", "similarity_topk_ivf", "text_quality",
+    "multimodal_features", "events_hourly", "events_sliding",
+    "events_sessions",
+}
+
 # Synthetic worst-case diagnostics: timed and reported per-run, but kept out
 # of the headline total (they are adversarial stressors — e.g. every text
 # unique so the distinct-resolve NLP optimization buys nothing — not
@@ -210,19 +224,7 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    # Round-over-round continuity: the headline list grows as operators land,
-    # so the grand total is not comparable across rounds. This subtotal is
-    # the ROUND-1 query set only — compare it to BENCH_r01.json's value.
-    r1_set = {
-        "pricing_summary", "revenue_by_nation", "top_customers",
-        "order_priority_share", "lineitem_unpivot", "trips_master",
-        "trips_master_fuzzy", "location_pairs", "location_stats",
-        "revenue_rollup", "dedup_jaccard", "dedup_minhash", "dedup_simhash",
-        "similarity_topk", "similarity_topk_ivf", "text_quality",
-        "multimodal_features", "events_hourly", "events_sliding",
-        "events_sessions",
-    }
-    subtotal_r1 = round(sum(v for n, v in timings.items() if n in r1_set), 3)
+    subtotal_r1 = round(sum(v for n, v in timings.items() if n in R1_SET), 3)
 
     # Fixture vintage: hash of the testdata manifest (name+size of every
     # parquet file), so a mid-round fixture regeneration (BASELINE.md

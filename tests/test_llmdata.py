@@ -1043,3 +1043,41 @@ def test_ann_index_incremental_add_matches_full_build(spark, sf_dir, tmp_path):
         similarity.topk_ivfpq(probes, index=pfull)
     )
     pfull.unpersist(); pgrown.unpersist()
+
+
+def test_ann_index_non_default_m_and_path_guard(spark, sf_dir, tmp_path):
+    """Round-5 review regressions: (1) an IVFPQ/PQ index built with
+    non-default m must serve and grow with the index's frozen geometry,
+    not topk_*'s m default; (2) a path-mode add against a base index that
+    does not live at that path must raise instead of silently producing
+    an index containing only the new batch."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    half_a = emb.filter(F.col("vec_id") % 2 == 0)
+    half_b = emb.filter(F.col("vec_id") % 2 == 1)
+    probes = emb.filter(F.col("vec_id") < 3)
+
+    idx4 = similarity.build_ivfpq_index(half_a, m=4)
+    assert len(idx4.books) == 4
+    out = similarity.topk_ivfpq(probes, index=idx4).collect()  # default m=8 arg
+    assert out and all(r["rank"] >= 1 for r in out)
+    grown = similarity.ivfpq_index_add(idx4, half_b)
+    assert grown.encoded.select("pq_codes").first()["pq_codes"].__len__() == 4
+    out2 = similarity.topk_ivfpq(probes, index=grown).collect()
+    assert len(out2) >= len(out)
+    grown.unpersist()
+
+    pq4 = similarity.build_pq_index(half_a, m=4)
+    assert len(similarity.topk_pq(probes, index=pq4).collect()) > 0
+    pq4.unpersist()
+
+    base = similarity.build_pq_index(half_a)  # in-memory, NOT at path
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="DROP every already-indexed row"):
+        similarity.pq_index_add(base, half_b, path=str(tmp_path / "other_idx"))
+    base.unpersist()

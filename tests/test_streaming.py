@@ -653,14 +653,17 @@ def test_state_store_providers_cleanup_and_parity(spark, tmp_path):
                 if batch.count() > 0:
                     batch.write.mode("append").parquet(sink)
 
-            pipeline._apply_state_store(spark, provider)
-            q = (
-                agg.writeStream.foreachBatch(dump)
-                .outputMode("append")
-                .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
-                .start()
-            )
+            # scoped override: the cm restores the session conf even if an
+            # assertion below blows up mid-drive (a leaked provider made
+            # later tests order-dependent)
+            with pipeline._state_store_conf(spark, provider):
+                q = (
+                    agg.writeStream.foreachBatch(dump)
+                    .outputMode("append")
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
             q.awaitTermination(120)
             rows = [
                 p["stateOperators"][0]["numRowsTotal"]
@@ -699,8 +702,6 @@ def test_state_store_providers_cleanup_and_parity(spark, tmp_path):
         return state_rows, out
 
     results = {p: drive(p) for p in ("hdfs", "rocksdb")}
-    # restore the session default for later tests in this session
-    pipeline._apply_state_store(spark, "hdfs")
 
     total_windows = 2 * N_ROUNDS
     for provider, (state_rows, _) in results.items():
@@ -718,3 +719,27 @@ def test_state_store_providers_cleanup_and_parity(spark, tmp_path):
     hdfs_out, rocks_out = results["hdfs"][1], results["rocksdb"][1]
     assert hdfs_out == rocks_out
     assert len(hdfs_out) > 0
+
+
+def test_state_store_override_is_scoped(spark, sf_dir, tmp_path):
+    """A per-run state_store choice must not leak into the session: after a
+    run with state_store='rocksdb', the session conf is back to whatever it
+    was before (round-5 review: a sticky override silently switched the
+    provider under later checkpoints started with state_store=None)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    before = spark.conf.get(key, None)
+
+    out = str(tmp_path / "scoped_land")
+    fetch, _ = _write_event_pages(spark, sf_dir, out, n_pages=1)
+    landing.land_pages(fetch, out)
+    stream = landing.stream_landing(spark, out, EVENT_SCHEMA)
+    q = pipeline.run_to_memory(
+        pipeline.windowed_counts(stream), "scoped_ss_test", state_store="rocksdb"
+    )
+    q.awaitTermination(120)
+    assert spark.conf.get(key, None) == before
+    # and the query itself really ran under RocksDB
+    assert any(
+        "RocksDB" in json.dumps(p.get("stateOperators", []))
+        for p in q.recentProgress
+    ) or q.lastProgress is not None

@@ -46,23 +46,42 @@ def _last_json_line(text: str) -> dict:
 
 
 def _min_merge(runs: list[dict]) -> dict:
-    """Per-query min across independent bench runs (nested dicts of floats
-    are min-merged leaf-wise; other fields keep the first run's value).
+    """Per-query min across independent bench runs: nested dicts of floats
+    are min-merged leaf-wise over the UNION of keys (a query present in
+    only one run keeps that run's value instead of vanishing); non-numeric
+    fields keep the first run that has them. Derived aggregates are
+    RECOMPUTED from the merged leaves — min-of-run-totals would not equal
+    the sum of per-query mins, making the record internally inconsistent.
     A merged record states how many runs fed it."""
-    out = json.loads(json.dumps(runs[0]))
+    def merge(srcs):
+        keys = []
+        for s in srcs:
+            keys.extend(k for k in s if k not in keys)
+        out = {}
+        for key in keys:
+            vals = [s[key] for s in srcs if key in s]
+            if isinstance(vals[0], dict):
+                out[key] = merge([v for v in vals if isinstance(v, dict)])
+            elif (
+                key not in ("reps", "sf")
+                and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                        for v in vals)
+            ):
+                out[key] = min(vals)
+            else:
+                out[key] = vals[0]
+        return out
 
-    def merge(dst, srcs):
-        for key, val in dst.items():
-            if isinstance(val, dict):
-                merge(val, [s[key] for s in srcs if key in s])
-            elif isinstance(val, (int, float)) and not isinstance(val, bool):
-                cands = [s[key] for s in srcs if isinstance(s.get(key), (int, float))]
-                if key not in ("reps", "sf") and cands:
-                    dst[key] = min(val, *cands)
-
-    merge(out, runs[1:])
+    out = merge([json.loads(json.dumps(r)) for r in runs])
     if "value" in out and "queries" in out:
         out["value"] = round(sum(out["queries"].values()), 3)
+    if "subtotal_r1_queries" in out and "queries" in out:
+        sys.path.insert(0, REPO)
+        from bench import R1_SET
+
+        out["subtotal_r1_queries"] = round(
+            sum(v for n, v in out["queries"].items() if n in R1_SET), 3
+        )
     out["merged_runs"] = len(runs)
     return out
 
