@@ -33,7 +33,7 @@ Scale shape, in order of appearance:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingle_rows, shingles_expr, tokens_expr
@@ -240,6 +240,65 @@ def repetition_stats_exploded(df: DataFrame, text_col: str, id_col: str) -> Data
             & (top_token_frac <= REPETITION_MAX_TOP_TOKEN_FRAC)
             & (top_bigram_frac <= REPETITION_MAX_TOP_BIGRAM_FRAC)
         ).alias("keep"),
+    )
+
+
+# ── Sequence packing (concat-then-chunk) ───────────────────────────────────
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """GPT-style concat-then-chunk packing ledger: documents are laid
+    end-to-end in a deterministic order and cut into fixed ``max_len``
+    token windows; each doc's row records where its tokens land
+    (start_offset within its shard stream, first/last chunk id, whether it
+    spans a chunk boundary). This is the position bookkeeping a training
+    export needs to materialize packed sequences without ever building
+    them driver-side.
+
+    Scale shape: a GLOBAL greedy pack is inherently sequential (every
+    offset depends on every prior doc), so production packing shards
+    first — ``shard = id % n_shards`` — and packs each shard's stream
+    independently: the cumulative sum runs per shard
+    (``Window.partitionBy(shard)``), giving n_shards-way parallelism and
+    bounded per-task state instead of the single-partition funnel a bare
+    ``Window.orderBy`` would create (Spark warns on exactly that plan).
+    Chunk ids are globally unique via (shard, chunk_in_shard). At 100 TB,
+    n_shards scales with the cluster; determinism holds because shard
+    assignment and intra-shard order are pure functions of the id.
+
+    Token counts use the whitespace tokenizer (textanalysis.token_count)
+    so the ledger composes with the rest of the text stack."""
+    from .textanalysis import token_count
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("id")
+    d = (
+        d.withColumn("end_off", F.sum("n_tok").over(w))
+        .withColumn("start_offset", F.col("end_off") - F.col("n_tok"))
+    )
+    chunk_first = F.floor(F.col("start_offset") / max_len)
+    # last token sits at end_off-1; empty docs occupy no tokens and are
+    # pinned to their start chunk so first<=last always holds
+    chunk_last = F.when(F.col("n_tok") == 0, chunk_first).otherwise(
+        F.floor((F.col("end_off") - 1) / max_len)
+    )
+    return d.select(
+        "id",
+        "shard",
+        "n_tok",
+        "start_offset",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last > chunk_first).alias("spans_boundary"),
     )
 
 

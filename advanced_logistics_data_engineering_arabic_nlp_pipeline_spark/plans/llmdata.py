@@ -1462,6 +1462,55 @@ ORDER BY doc_id
 CURATION_LEDGER_SQL = CURATION_LEDGER_SQL.replace("{EN_HITS}", _sql_hits(ta.EN_STOP))
 
 
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing ledger over the documents corpus
+    (operators/curation.pack_sequences, max_len=512, 8 shards): where each
+    doc's tokens land when the corpus is laid end-to-end per shard and cut
+    into fixed training windows. Sharded cumulative sums — n_shards-way
+    parallel, never a global single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.pack_sequences(docs, "text", "doc_id", max_len=512, n_shards=8)
+        .select(
+            F.col("id").alias("doc_id"),
+            "shard",
+            "n_tok",
+            "start_offset",
+            "chunk_first",
+            "chunk_last",
+            "spans_boundary",
+        )
+        .orderBy("doc_id")
+    )
+
+
+SEQUENCE_PACKING_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tok,
+         CAST(doc_id % 8 AS BIGINT) AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tok, shard,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS end_off
+  FROM tok
+)
+SELECT doc_id, shard, n_tok,
+       CAST(end_off - n_tok AS BIGINT) AS start_offset,
+       CAST((end_off - n_tok) // 512 AS BIGINT) AS chunk_first,
+       CAST(CASE WHEN n_tok = 0 THEN ((end_off - n_tok) // 512)
+                 ELSE ((end_off - 1) // 512) END AS BIGINT) AS chunk_last,
+       (CASE WHEN n_tok = 0 THEN ((end_off - n_tok) // 512)
+             ELSE ((end_off - 1) // 512) END
+        > ((end_off - n_tok) // 512)) AS spans_boundary
+FROM cum
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
@@ -1505,6 +1554,7 @@ QUERIES = {
     "docs_repetition": docs_repetition,
     "decontaminate": decontaminate_train,
     "curation_ledger": curation_ledger,
+    "sequence_packing": sequence_packing,
 }
 
 ORACLES = {
@@ -1553,4 +1603,7 @@ LOCAL_ORACLES = {
     # runs in pytest, and a separate invariant test cross-checks the
     # ledger against the component queries themselves.
     "curation_ledger": CURATION_LEDGER_SQL,
+    # Local-tier to preserve the mandated driver-window headroom; full
+    # hash parity (sharded cumsum, chunk boundaries) runs in pytest.
+    "sequence_packing": SEQUENCE_PACKING_SQL,
 }

@@ -294,3 +294,47 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
     assert kept and {"repetition", "near_dup", "contaminated"} <= {
         r for r in led.values() if r
     }
+
+
+# ── sequence packing ───────────────────────────────────────────────────────
+
+def test_pack_sequences_known_layout(spark):
+    """Hand-computed layout: one shard, max_len 10. Docs of 4/8/3 tokens:
+    doc1 [0,4) chunk 0; doc2 [4,12) chunks 0-1 (spans); doc3 [12,15)
+    chunk 1. Plus an empty doc pinned to its start chunk."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (8, "a b c d e f g h"), (16, "a b c"), (24, " ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in curation.pack_sequences(docs, "text", "doc_id", max_len=10, n_shards=1).collect()
+    }
+    assert (rows[0]["start_offset"], rows[0]["chunk_first"], rows[0]["chunk_last"]) == (0, 0, 0)
+    assert (rows[8]["start_offset"], rows[8]["chunk_first"], rows[8]["chunk_last"]) == (4, 0, 1)
+    assert rows[8]["spans_boundary"] is True
+    assert (rows[16]["start_offset"], rows[16]["chunk_first"], rows[16]["chunk_last"]) == (12, 1, 1)
+    assert rows[16]["spans_boundary"] is False
+    assert (rows[24]["n_tok"], rows[24]["chunk_first"], rows[24]["chunk_last"]) == (0, 1, 1)
+
+
+def test_pack_sequences_invariants_and_shard_parallelism(spark, sf_dir):
+    """On the fixture corpus: offsets are contiguous within each shard
+    (no gaps, no overlaps), chunk ids are consistent with offsets, and
+    the physical plan partitions the window by shard (never a global
+    single-partition sort)."""
+    import pyspark.sql.functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.pack_sequences(docs, "text", "doc_id", max_len=512, n_shards=8)
+    rows = out.collect()
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["id"])):
+        nxt = by_shard.get(r["shard"], 0)
+        assert r["start_offset"] == nxt, (r["shard"], r["id"])
+        by_shard[r["shard"]] = nxt + r["n_tok"]
+        assert r["chunk_first"] == r["start_offset"] // 512
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan
