@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import shingle_rows, shingles_expr, tokens_expr
+from .textanalysis import token_count
 
 # ── PII redaction ───────────────────────────────────────────────────────────
 # Java-regex ∩ RE2 subset ONLY (both engines must match byte-for-byte):
@@ -272,15 +273,24 @@ def pack_sequences(
     assignment and intra-shard order are pure functions of the id.
 
     Token counts use the whitespace tokenizer (textanalysis.token_count)
-    so the ledger composes with the rest of the text stack."""
-    from .textanalysis import token_count
-
+    so the ledger composes with the rest of the text stack. Null text
+    occupies 0 tokens (clamped — non-ANSI ``size(null)`` is −1, which
+    would DECREMENT every later offset in the shard)."""
     d = df.select(
         F.col(id_col).alias("id"),
-        token_count(F.col(text_col)).cast("long").alias("n_tok"),
+        F.greatest(
+            F.coalesce(token_count(F.col(text_col)), F.lit(0)), F.lit(0)
+        ).alias("n_tok"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
     )
-    w = Window.partitionBy("shard").orderBy("id")
+    # explicit ROWS frame: the default with orderBy is RANGE, under which
+    # duplicate ids in a shard would share one cumulative value and
+    # overlap their offset ranges (and diverge from the oracle's frame)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     d = (
         d.withColumn("end_off", F.sum("n_tok").over(w))
         .withColumn("start_offset", F.col("end_off") - F.col("n_tok"))

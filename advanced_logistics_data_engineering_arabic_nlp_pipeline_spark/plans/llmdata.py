@@ -1487,9 +1487,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQUENCE_PACKING_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
-                              t -> t <> '')) AS BIGINT) AS n_tok,
-         CAST(doc_id % 8 AS BIGINT) AS shard
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       t -> t <> '')), 0) AS BIGINT) AS n_tok,
+         CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS shard
   FROM documents
 ),
 cum AS (

@@ -338,3 +338,22 @@ def test_pack_sequences_invariants_and_shard_parallelism(spark, sf_dir):
         assert r["chunk_first"] == r["start_offset"] // 512
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in plan
+
+
+def test_pack_sequences_duplicate_ids_and_null_text(spark):
+    """Round-5 review regressions: (1) duplicate ids within a shard must
+    still produce contiguous non-overlapping offsets (explicit ROWS frame;
+    the default RANGE frame gave tied rows one shared cumulative value),
+    (2) null text occupies 0 tokens instead of corrupting later offsets."""
+    docs = spark.createDataFrame(
+        [(5, "a b c d"), (5, "x y z w v a"), (7, None), (9, "q r")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        curation.pack_sequences(docs, "text", "doc_id", max_len=100, n_shards=1).collect(),
+        key=lambda r: (r["id"], r["start_offset"]),
+    )
+    # the two id=5 docs: contiguous [0,4) and [4,10), never overlapping
+    assert [(r["id"], r["start_offset"], r["n_tok"]) for r in rows] == [
+        (5, 0, 4), (5, 4, 6), (7, 10, 0), (9, 10, 2),
+    ]
