@@ -92,8 +92,9 @@ def ngrams_expr(text: Column, n: int) -> Column:
     """ALL word n-grams in order, duplicates preserved (contrast
     :func:`dedup.shingles_expr`, which distincts for set semantics — counts
     need multiplicity). Docs shorter than n tokens yield an empty array.
-    Token array bound as a lambda variable so the split runs once per row
-    (see shingles_expr's measured CollapseProject note)."""
+    Token array bound as a lambda variable so the split runs once per row;
+    per-gram body is n unrolled O(1) ``element_at`` lookups, not an
+    allocating ``slice`` (see shingles_expr's measured notes on both)."""
     return F.try_element_at(
         F.transform(
             F.array(tokens_expr(text)),
@@ -101,7 +102,9 @@ def ngrams_expr(text: Column, n: int) -> Column:
                 F.size(t) >= n,
                 F.transform(
                     F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(n)]
+                    ),
                 ),
             ).otherwise(F.array().cast("array<string>")),
         ),

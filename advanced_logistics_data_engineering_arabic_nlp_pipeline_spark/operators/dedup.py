@@ -56,8 +56,14 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
     split through a projected column does NOT achieve this: CollapseProject
     re-inlines the subtree into every reference inside the (interpreted)
     HOF lambda, re-splitting the text up to 9× per row (measured 4.4 s vs
-    0.5 s at sf0.1). The slice-over-positions body itself measures ~6×
-    faster than the previous token-anchored lookahead-regex single pass."""
+    0.5 s at sf0.1).
+
+    Per-shingle body = k unrolled ``element_at`` lookups (O(1) each, no
+    allocation) rather than ``slice`` — slice materializes a k-element
+    array per position that concat_ws immediately consumes; at 25M
+    shingles (sf1) the allocation-free form measured 0.43 s vs 1.44 s,
+    identical output. (The slice form itself was ~6× faster than the
+    original token-anchored lookahead-regex pass.)"""
     norm = F.regexp_replace(F.trim(F.lower(text.cast("string"))), "\\s+", " ")
     shingled = F.try_element_at(
         F.transform(
@@ -66,7 +72,9 @@ def shingles_expr(text: Column, k: int = 3) -> Column:
                 F.size(t) >= k,
                 F.transform(
                     F.sequence(F.lit(1), F.size(t) - (k - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(k)]
+                    ),
                 ),
             ).otherwise(F.array(F.concat_ws(" ", t))),
         ),
