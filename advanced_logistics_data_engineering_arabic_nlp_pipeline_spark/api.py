@@ -51,13 +51,18 @@ def health_endpoint(svc: CleaningService | None) -> dict:
     }
 
 
-def clean_endpoint(svc: CleaningService, text: str, fuzzy: bool = True) -> dict:
-    """POST /clean (api.py:265-281): CleanResponse shape."""
+def clean_endpoint(
+    svc: CleaningService, text: str, fuzzy: bool | None = None
+) -> dict:
+    """POST /clean (api.py:265-281): CleanResponse shape. ``fuzzy=None``
+    defers to the service's FUZZY_ENABLED config — a request that doesn't
+    ask must not silently override the ops knob (the reference's endpoint
+    likewise obeys the cleaner's own config, api.py:278)."""
     return svc.clean_one(text, fuzzy=fuzzy)
 
 
 def clean_batch_endpoint(
-    svc: CleaningService, texts: list[str], fuzzy: bool = True
+    svc: CleaningService, texts: list[str], fuzzy: bool | None = None
 ) -> dict:
     """POST /clean/batch (api.py:284-311): BatchCleanResponse shape —
     {results, total, processing_ms}. Unlike the reference (a sequential
@@ -122,26 +127,32 @@ def create_app(svc: CleaningService, fetch_page=None, landing_dir: str | None = 
         version="6.0.0",
     )
 
+    # plain `def` handlers: FastAPI dispatches sync handlers to its
+    # threadpool, so a multi-second Spark job never parks the event loop
+    # (an `async def` handler would run the collect() ON the loop and
+    # stall /health and every concurrent request — the reference paid the
+    # same cost with run_in_executor, api.py:277-278)
+
     @app.get("/health")
-    async def health() -> dict:
+    def health() -> dict:
         return health_endpoint(svc)
 
     @app.post("/clean")
-    async def clean(req: dict) -> dict:
-        return clean_endpoint(svc, req["text"], req.get("fuzzy", True))
+    def clean(req: dict) -> dict:
+        return clean_endpoint(svc, req["text"], req.get("fuzzy"))
 
     @app.post("/clean/batch")
-    async def clean_batch(req: dict) -> dict:
-        return clean_batch_endpoint(svc, req["texts"], req.get("fuzzy", True))
+    def clean_batch(req: dict) -> dict:
+        return clean_batch_endpoint(svc, req["texts"], req.get("fuzzy"))
 
     @app.get("/stats")
-    async def stats() -> dict:
+    def stats() -> dict:
         return stats_endpoint(svc)
 
     if fetch_page is not None and landing_dir is not None:
 
         @app.post("/run-cycle")
-        async def run_cycle() -> dict:
+        def run_cycle() -> dict:
             return run_cycle_endpoint(svc, fetch_page, landing_dir)
 
     return app

@@ -44,12 +44,14 @@ def clean_texts_df(
     index = index if index is not None else build_variant_index()
     t = F.col(text_col)
     if fuzzy:
-        df = df.withColumn("__rid", F.monotonically_increasing_id())
+        # id_col is documented as ignored (resolution keys on the text
+        # itself) — pass the text column like with_nlp_enrichment does;
+        # the old fabricated __rid monotonically_increasing_id column was
+        # dead work in every request
         df = with_all_locations_fuzzy(
-            df, text_col, "__rid", "all_locations", index, cutoff=cutoff,
+            df, text_col, text_col, "all_locations", index, cutoff=cutoff,
             caches_out=caches_out,
         )
-        df = df.drop("__rid")
     else:
         df = df.withColumn("all_locations", extract_all_locations_expr(t, index))
     return df.withColumn(

@@ -110,11 +110,13 @@ def variant_map_expr(index: dict[str, str] | None = None) -> Column:
         key = None
     if key is not None and key in _MAP_EXPR_MEMO:
         return _MAP_EXPR_MEMO[key]
-    pairs: list[Column] = []
-    for nv, canonical in index.items():
-        pairs.append(F.lit(nv))
-        pairs.append(F.lit(canonical))
-    out = F.create_map(*pairs)
+    # TWO py4j literal calls total (one array literal per side), not
+    # 2×|variants| per-entry F.lit round-trips — at a 10k-variant custom
+    # dictionary the per-entry form pays thousands of gateway calls on
+    # every cold build (and after every JVM restart)
+    out = F.map_from_arrays(
+        F.lit(list(index.keys())), F.lit(list(index.values()))
+    )
     if key is not None:
         _MAP_EXPR_MEMO[key] = out
     return out

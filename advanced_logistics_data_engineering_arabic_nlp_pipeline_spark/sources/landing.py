@@ -58,7 +58,8 @@ def robust_call(fn: Callable[[], list[dict]], max_attempts: int = 5, backoff: fl
             return fn()
         except Exception as exc:  # noqa: BLE001 — fetcher failures are retryable by contract
             last = exc
-            time.sleep(min(backoff * attempt, 5.0))
+            if attempt < max_attempts:  # no dead wait after the final failure
+                time.sleep(min(backoff * attempt, 5.0))
     raise RuntimeError(f"fetch failed after {max_attempts} attempts") from last
 
 
@@ -107,22 +108,23 @@ def land_pages(
                     batch_pages,
                 )
             )
-            batch_has_data = False
+            # Land ONLY the contiguous non-empty prefix. Writing pages
+            # beyond the first empty page counted their rows into `landed`
+            # and progress.total_records without advancing current_page
+            # past them — so a resume re-fetched and RE-COUNTED those rows
+            # every run (and a persistently-empty mid-stream page stalled
+            # progress while the counters grew). Pages past the gap are
+            # re-fetched next run, when the gap has either filled (normal
+            # growth race) or confirmed itself as end-of-data.
+            advanced = 0
             for p, rows in zip(batch_pages, results):
                 if not rows:
-                    continue
+                    break
                 _write_page(out_dir, p, rows)
                 landed += len(rows)
-                batch_has_data = True
-            # advance past contiguous non-empty pages only, so resume
-            # restarts exactly at the first empty page
-            advanced = 0
-            for rows in results:
-                if not rows:
-                    break
                 advanced += 1
             page += advanced
-            keep_fetching = batch_has_data and bool(results[-1]) and advanced == len(results)
+            keep_fetching = advanced == len(results) and advanced > 0
             save_progress(
                 out_dir,
                 {

@@ -67,17 +67,40 @@ def _rebalanced(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # deterministic timestamp semantics regardless of the caller session's
-    # JVM default zone (date parts must match the oracle's naive timestamps)
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Deterministic timestamp semantics are an ENGINE INVARIANT (every plan
+    # and oracle assumes UTC at execution time), so a foreign session's
+    # zone is overridden — deliberately NOT scope-restored, because the
+    # zone matters when downstream actions run, not at load. get_spark
+    # sessions already carry UTC; warn when this actually flips something
+    # so a caller's explicit non-UTC choice never changes silently.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        import warnings
+
+        warnings.warn(
+            "load_table sets spark.sql.session.timeZone=UTC for the session"
+            " (engine-wide determinism contract; see session.py)",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark's
         # vectorized reader rejects — read as nanos-since-epoch under the
         # legacy conf and convert) and as TIMESTAMP(MICROS, NTZ). Branch on
         # the type actually read so either fixture vintage yields the same
-        # session-UTC TimestampType column.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # session-UTC TimestampType column. The legacy conf is consulted at
+        # schema resolution (the eager read below), so it is scope-restored
+        # — left set, it silently turned every LATER nanos-timestamp
+        # parquet read session-wide into bigint columns.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

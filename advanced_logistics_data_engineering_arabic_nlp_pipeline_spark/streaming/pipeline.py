@@ -286,11 +286,15 @@ def run_upsert_latest(
         bucket = F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]), F.lit(n_buckets)).cast(
             "int"
         )
-        b = batch.withColumn("__bucket", bucket)
+        # persist: the touched-buckets collect and the merge write are two
+        # actions over this frame — without the pin each re-executes the
+        # micro-batch source scan and the key-hash pass
+        b = batch.withColumn("__bucket", bucket).persist()
         touched = sorted(
             r["__bucket"] for r in b.select("__bucket").distinct().collect()
         )
         if not touched:
+            b.unpersist()
             return
 
         # Crash recovery: a previous run may have died between a bucket's
@@ -327,13 +331,18 @@ def run_upsert_latest(
             .drop("__rn")
         )
 
-        scratch = os.path.join(
-            checkpoint_dir, "__merge_scratch", f"batch_{batch_id}"
-        )
-        shutil.rmtree(scratch, ignore_errors=True)
-        dedup.write.mode("overwrite").partitionBy("__bucket").parquet(scratch)
-
+        # scratch lives UNDER sink_dir (dot-prefixed: hidden from Spark's
+        # file listing) so the bucket swap below is a same-filesystem
+        # rename — checkpoint and sink routinely sit on different volumes
+        # (fast local ckpt, durable sink), where a cross-device
+        # os.replace raises EXDEV and would kill every batch
         os.makedirs(sink_dir, exist_ok=True)
+        scratch = os.path.join(sink_dir, ".__merge_scratch", f"batch_{batch_id}")
+        shutil.rmtree(scratch, ignore_errors=True)
+        try:
+            dedup.write.mode("overwrite").partitionBy("__bucket").parquet(scratch)
+        finally:
+            b.unpersist()
         for bkt in touched:
             src = os.path.join(scratch, f"__bucket={bkt}")
             dst = os.path.join(sink_dir, f"__bucket={bkt}")

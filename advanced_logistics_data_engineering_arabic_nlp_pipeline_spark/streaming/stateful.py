@@ -37,7 +37,11 @@ def _update(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
-    state.update((n, round(total, 6)))
+    # store the UNROUNDED total; round only the emitted snapshot. Rounding
+    # the stored state discards any per-batch increment below 5e-7 forever
+    # (round(prev + 4e-7, 6) == prev) and compounds error across batches,
+    # drifting from the exact-decimal dsum batch twin.
+    state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 6)]}
     )

@@ -166,3 +166,30 @@ def test_clean_batch_join_path_leaves_no_cached_blocks(spark, monkeypatch):
     out = svc.clean_batch(["من الهرم الى المطار"])
     assert len(out["results"]) == 1
     assert storage_ids() <= before
+
+
+def test_api_fuzzy_default_defers_to_service_config(spark):
+    """Round-5 review regression: a /clean request that doesn't send a
+    'fuzzy' field must NOT override the service's FUZZY_ENABLED config —
+    the endpoint passes fuzzy=None through, and the service resolves it
+    from its own configuration."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark import api
+
+    class Probe:
+        def __init__(self):
+            self.seen = []
+
+        def clean_one(self, text, fuzzy=None):
+            self.seen.append(fuzzy)
+            return {"ok": True}
+
+        def clean_batch(self, texts, fuzzy=None):
+            self.seen.append(fuzzy)
+            return {"results": [{}] * len(texts), "total_ms": 0.0}
+
+    svc = Probe()
+    api.clean_endpoint(svc, "x")
+    api.clean_batch_endpoint(svc, ["x"])
+    assert svc.seen == [None, None]
+    api.clean_endpoint(svc, "x", fuzzy=False)
+    assert svc.seen[-1] is False

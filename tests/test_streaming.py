@@ -743,3 +743,28 @@ def test_state_store_override_is_scoped(spark, sf_dir, tmp_path):
         "RocksDB" in json.dumps(p.get("stateOperators", []))
         for p in q.recentProgress
     ) or q.lastProgress is not None
+
+
+def test_landing_mid_batch_empty_page_no_double_count(tmp_path):
+    """Round-5 review regression: a batch like [empty, data, ...] must land
+    only the contiguous non-empty prefix — writing pages past the gap
+    counted their rows into progress.total_records on EVERY resume (the
+    gap never advanced current_page past them)."""
+    pages = {0: [], 1: [{"event_id": 1}], 2: [{"event_id": 2}]}
+
+    def fetch(page: int) -> list[dict]:
+        return pages.get(page, [])
+
+    out = str(tmp_path / "gap_land")
+    # run twice: with the gap at page 0 nothing may ever be landed/counted
+    assert landing.land_pages(fetch, out, batch_size=3) == 0
+    assert landing.land_pages(fetch, out, batch_size=3) == 0
+    prog = landing.load_progress(out)
+    assert prog["current_page"] == 0 and prog["total_records"] == 0
+    assert not [f for f in os.listdir(out) if f.startswith("page_")]
+
+    # gap fills (upstream growth race resolved): everything lands exactly once
+    pages[0] = [{"event_id": 0}]
+    assert landing.land_pages(fetch, out, batch_size=3) == 3
+    prog = landing.load_progress(out)
+    assert prog["current_page"] == 3 and prog["total_records"] == 3
