@@ -29,6 +29,15 @@ def extract_plate(c: Column) -> Column:
     return F.when(digits == "", F.lit("No Plate")).otherwise(digits)
 
 
+def sql_extract_plate(expr: str) -> str:
+    """DuckDB mirror of :func:`extract_plate` — ONE generator for every
+    oracle that needs the plate rule (customer_plates, trips_master), so a
+    semantics change (e.g. Arabic-Indic digit support) lands in all
+    mirrors at once instead of two hand-synced SQL copies."""
+    digits = f"regexp_replace(regexp_replace({expr}, '\\D', '', 'g'), '^0+', '')"
+    return f"CASE WHEN {digits} = '' THEN 'No Plate' ELSE {digits} END"
+
+
 def us_date_string(ts: Column) -> Column:
     return F.when(
         ts.isNotNull(),

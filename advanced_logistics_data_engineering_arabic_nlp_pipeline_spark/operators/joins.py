@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -38,7 +40,19 @@ def salted_join(
     monotonically_increasing_id() (both depend on partition layout, so the
     reducer-skew distribution would differ run to run). Identical duplicate
     rows share a salt — acceptable: skew comes from hot *keys*, whose rows
-    differ in payload columns and therefore spread."""
+    differ in payload columns and therefore spread.
+
+    Join types that preserve unmatched DIM rows are rejected: the dim side
+    is exploded ×n_salts, so a right/full outer join would emit every
+    unmatched dim row n_salts times — silently wrong counts."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti",
+                   "semi", "anti", "cross"):
+        raise ValueError(
+            f"salted_join cannot express how={how!r}: the dim side is"
+            f" replicated per salt, so unmatched dim rows would duplicate"
+            f" ×{n_salts}. Use an unsalted join (AQE skew-join handles"
+            f" moderate skew) for right/full outer semantics."
+        )
     salted_fact = fact.withColumn(
         "__salt",
         F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int"),
@@ -127,10 +141,16 @@ def tier2_theta_join(
 
     Input ``tokens`` must carry a unique ``__tid`` row id. Output adds
     ``canonical`` (NULL when nothing matched)."""
+    # a variant containing the literal sequence \E would terminate the
+    # \Q…\E quote early and compile the remainder as live regex — split
+    # any embedded \E back out as quoted text (the standard \Q-escaping)
+    safe_variant = F.regexp_replace(
+        F.col(variant_col), re.escape("\\E"), "\\\\E\\\\\\\\E\\\\Q"
+    )
     boundary_pat = F.concat(
         F.lit(f"(?:^|[^{WORDCH}])"),
         F.lit("\\Q"),
-        F.col(variant_col),
+        safe_variant,
         F.lit("\\E"),
         F.lit(f"(?:$|[^{WORDCH}])"),
     )

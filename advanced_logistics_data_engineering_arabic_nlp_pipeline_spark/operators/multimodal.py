@@ -99,6 +99,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     h_b, pos = _ppm_token(payload, pos)
     maxval_b, pos = _ppm_token(payload, pos)
     w, h, maxval = int(w_b), int(h_b), int(maxval_b)
+    if w <= 0 or h <= 0:
+        # np.frombuffer treats a negative count as read-everything and
+        # reshape(-1, …) happily infers a dimension — a corrupt header
+        # would decode into a wrong-but-plausible image; must raise
+        raise ValueError(f"invalid PPM dimensions {w}x{h}")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     pos += 1  # exactly one whitespace byte after maxval
@@ -120,6 +125,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:
         raise NotImplementedError(f"only uncompressed 24bpp BMP (got {bpp}bpp/c{compression})")
+    if w <= 0 or h == 0:  # negative h is legal (top-down rows); w is not
+        raise ValueError(f"invalid BMP dimensions {w}x{h}")
     hh = abs(h)
     row = (w * 3 + 3) // 4 * 4
     arr = np.frombuffer(payload, np.uint8, row * hh, data_offset).reshape(hh, row)
@@ -170,6 +177,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                 f"truncated {cid!r} chunk: declared {size}, got {len(body)} bytes"
             )
         if cid == b"fmt ":
+            if len(body) < 16:
+                # struct.error would escape the documented ValueError/
+                # NotImplementedError contract callers quarantine on
+                raise ValueError(
+                    f"fmt chunk too short: {len(body)} bytes (need 16)"
+                )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body

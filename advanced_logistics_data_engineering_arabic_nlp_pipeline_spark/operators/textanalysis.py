@@ -23,9 +23,15 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """BPE-ish proxy: count of word/number/punctuation units — a regex
-    approximation of subword segmentation for budgeting token costs."""
+    approximation of subword segmentation for budgeting token costs.
+    Unit class is Unicode ``\\p{L}\\p{N}`` (valid in both Java regex and
+    RE2, so the oracle mirrors it): an ASCII-only ``[a-z0-9]`` class split
+    every Arabic letter into its own unit, overstating Arabic/mixed
+    documents' token budget by roughly their character count — useless for
+    cross-language budget comparison in an Arabic-NLP engine."""
     units = F.filter(
-        F.split(F.lower(text), "(?=[^a-z0-9])|\\s+"), lambda t: F.trim(t) != ""
+        F.split(F.lower(text), "(?=[^\\p{L}\\p{N}])|\\s+"),
+        lambda t: F.trim(t) != "",
     )
     return F.size(units).cast("bigint")
 
@@ -36,8 +42,11 @@ def _hit_count(toks: Column, words: list[str]) -> Column:
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
     toks = tokens_expr(text)
+    # `is not None`, not truthiness: an explicitly EMPTY stopword list
+    # means "no stopwords" (ratio 0.0 everywhere), not "use English"
+    words = stopwords if stopwords is not None else EN_STOP
     return F.round(
-        _hit_count(toks, stopwords or EN_STOP) / F.greatest(F.size(toks), F.lit(1)), 6
+        _hit_count(toks, words) / F.greatest(F.size(toks), F.lit(1)), 6
     )
 
 

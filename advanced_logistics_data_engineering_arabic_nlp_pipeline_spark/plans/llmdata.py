@@ -452,7 +452,8 @@ WITH tok AS (
 m AS (
   SELECT doc_id, toks,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_units,
+         CAST(len(regexp_extract_all(lower(text),
+           '[\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]')) AS BIGINT) AS n_units,
          ROUND({_sql_hits(ta.EN_STOP)} * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
          ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len,
          {_sql_hits(ta.EN_STOP)} AS en_h, {_sql_hits(ta.FR_STOP)} AS fr_h, {_sql_hits(ta.ES_STOP)} AS es_h

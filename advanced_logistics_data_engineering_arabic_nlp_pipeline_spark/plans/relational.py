@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.coercion import dsum
-from ..functions.scalars import extract_plate, us_date_string
+from ..functions.scalars import extract_plate, sql_extract_plate, us_date_string
 from ..operators.joins import asof_join, range_join
 from ..sources.tables import load_table
 
@@ -68,7 +68,11 @@ ORDER BY l_returnflag, l_linestatus
 # 5-way star join + aggregation (the "explicit join" the reference never had,
 # SURVEY.md §2 I; dims broadcast — zero shuffle for the dim side at any SF).
 # --------------------------------------------------------------------------
-def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 5-way star join for the revenue family (by-nation / rollup /
+    cube): lineitem→orders→customer→broadcast(nation)→broadcast(region).
+    ONE construction site — a join-key or broadcast-hint change must not
+    need three lockstep edits."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -79,6 +83,19 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+
+
+REVENUE_STAR_FROM_SQL = """FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _revenue_star(spark, sf_dir)
         .groupBy("r_name", "n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
@@ -88,16 +105,12 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REVENUE_BY_NATION_SQL = """
+REVENUE_BY_NATION_SQL = f"""
 SELECT r_name,
        n_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
+{REVENUE_STAR_FROM_SQL}
 GROUP BY r_name, n_name
 ORDER BY revenue DESC, n_name
 """
@@ -193,12 +206,9 @@ def customer_plates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CUSTOMER_PLATES_SQL = r"""
+CUSTOMER_PLATES_SQL = f"""
 SELECT c_custkey,
-       CASE WHEN regexp_replace(regexp_replace(c_name, '\D', '', 'g'), '^0+', '') = ''
-            THEN 'No Plate'
-            ELSE regexp_replace(regexp_replace(c_name, '\D', '', 'g'), '^0+', '')
-       END AS plate,
+       {sql_extract_plate("c_name")} AS plate,
        COALESCE(CAST(c_mktsegment AS VARCHAR), '') AS segment,
        ROUND(c_acctbal, 2) AS acctbal
 FROM customer
@@ -278,16 +288,8 @@ ORDER BY measure
 # Spark): region→nation revenue with subtotals and a grand total.
 # --------------------------------------------------------------------------
 def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        _revenue_star(spark, sf_dir)
         .rollup("r_name", "n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
@@ -297,16 +299,12 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REVENUE_ROLLUP_SQL = """
+REVENUE_ROLLUP_SQL = f"""
 SELECT r_name,
        n_name,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
+{REVENUE_STAR_FROM_SQL}
 GROUP BY ROLLUP(r_name, n_name)
 ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
 """
@@ -317,16 +315,8 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     completeness): all four grouping sets — (region, nation), region-only,
     nation-only, grand total — in ONE pass with map-side partials;
     grouping_id disambiguates aggregated-away NULLs from data NULLs."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    region = load_table(spark, sf_dir, "region")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(customer, orders.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        _revenue_star(spark, sf_dir)
         .cube("r_name", "n_name")
         .agg(
             F.grouping_id().cast("bigint").alias("gid"),
@@ -337,17 +327,13 @@ def revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-REVENUE_CUBE_SQL = """
+REVENUE_CUBE_SQL = f"""
 SELECT r_name,
        n_name,
        CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
-FROM lineitem
-JOIN orders   ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation   ON c_nationkey = n_nationkey
-JOIN region   ON n_regionkey = r_regionkey
+{REVENUE_STAR_FROM_SQL}
 GROUP BY CUBE(r_name, n_name)
 ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, gid
 """

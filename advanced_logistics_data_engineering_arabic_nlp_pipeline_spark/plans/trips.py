@@ -34,6 +34,7 @@ from ..functions.scalars import (
     conditional_distance,
     extract_plate,
     route_string,
+    sql_extract_plate,
     us_date_string,
 )
 from ..operators.extract import with_nlp_enrichment
@@ -216,15 +217,28 @@ def location_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # locs is a join-output attribute after with_nlp_enrichment, so the
     # pair-lambda references a materialized column, not the NLP chain
     m = m.select("#", "sale_price", "locs")
-    valid = F.array_sort(F.filter(F.slice(F.col("locs"), 1, 5), _VALID_LOC))
-    pairs = F.flatten(
+    # bind `valid` as a LAMBDA VARIABLE (transform-over-singleton, the
+    # shingles_expr pattern) so the sort+filter evaluates once per row: a
+    # plain expression reference inside the pair lambdas re-evaluates it
+    # per outer element, and a staged withColumn gets re-inlined by
+    # CollapseProject (both measured in this repo's HOF notes)
+    valid_expr = F.array_sort(F.filter(F.slice(F.col("locs"), 1, 5), _VALID_LOC))
+    pairs = F.try_element_at(
         F.transform(
-            valid,
-            lambda x, i: F.transform(
-                F.slice(valid, i + 2, F.size(valid)),
-                lambda y: F.struct(x.alias("Location_A"), y.alias("Location_B")),
+            F.array(valid_expr),
+            lambda v: F.flatten(
+                F.transform(
+                    v,
+                    lambda x, i: F.transform(
+                        F.slice(v, i + 2, F.size(v)),
+                        lambda y: F.struct(
+                            x.alias("Location_A"), y.alias("Location_B")
+                        ),
+                    ),
+                )
             ),
-        )
+        ),
+        F.lit(1),
     )
     exploded = m.select(
         F.col("#").alias("trip_id"),
@@ -330,11 +344,7 @@ def _sql_master_stage() -> str:
         + sql_tier1_case("x.s") + ", " + sql_tier2_case("x.s") + ")"
     )
     toks = arabic.sql_tokenize(arabic.sql_scrub_round_trip("trim(end_location)"))
-    plate = (
-        "CASE WHEN regexp_replace(regexp_replace(car_number, '\\D', '', 'g'), '^0+', '') = '' "
-        "THEN 'No Plate' "
-        "ELSE regexp_replace(regexp_replace(car_number, '\\D', '', 'g'), '^0+', '') END"
-    )
+    plate = sql_extract_plate("car_number")
     return f"""
 WITH raw AS (
   SELECT event_id AS id,

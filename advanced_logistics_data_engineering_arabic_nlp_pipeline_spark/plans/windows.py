@@ -142,10 +142,17 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # decimal-cast INSIDE the window sum: a raw double prefix sum is
+    # association-order dependent (Spark accumulates sequentially, DuckDB
+    # uses a segment tree), so a sum landing within an ulp of a …5
+    # boundary could round differently per engine — the dsum discipline
+    # applied to the running frame
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double"), 6
+        ).alias("running_value"),
         F.row_number().over(
             Window.partitionBy("user_id").orderBy("ts", "event_id")
         ).cast("bigint").alias("event_seq"),
@@ -155,8 +162,9 @@ def user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 USER_RUNNING_TOTALS_SQL = """
 SELECT event_id,
        user_id,
-       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                              ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6)))
+                  OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_value,
        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS event_seq
 FROM events
 ORDER BY user_id, event_seq

@@ -1081,3 +1081,50 @@ def test_ann_index_non_default_m_and_path_guard(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError, match="DROP every already-indexed row"):
         similarity.pq_index_add(base, half_b, path=str(tmp_path / "other_idx"))
     base.unpersist()
+
+
+def test_decoder_rejects_corrupt_headers():
+    """Round-5 review regressions: non-positive PPM/BMP dimensions and a
+    short WAV fmt chunk must raise ValueError (the corrupt-media
+    contract), never silently decode or leak struct.error."""
+    import struct
+
+    import pytest as _pytest
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="invalid PPM dimensions"):
+        mm.decode_ppm(b"P6\n5 -1\n255\n" + b"\x00" * 30)
+    with _pytest.raises(ValueError, match="invalid PPM dimensions"):
+        mm.decode_ppm(b"P6\n0 4\n255\n")
+    # BMP with w=0
+    hdr = b"BM" + b"\x00" * 8 + struct.pack("<I", 54)
+    info = struct.pack("<IiiHHII", 40, 0, 4, 1, 24, 0, 0) + b"\x00" * 16
+    with _pytest.raises(ValueError, match="invalid BMP dimensions"):
+        mm.decode_bmp(hdr + info)
+    # WAV whose fmt chunk declares size 4 (consistent body, too short)
+    wav = (
+        b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x00" * 4
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError, match="fmt chunk too short"):
+        mm.decode_wav(wav)
+
+
+def test_stopword_ratio_empty_list_and_bpe_unicode(spark):
+    """Explicitly empty stopword list means 'no stopwords' (ratio 0.0),
+    not 'fall back to English'; bpe_ish units count Unicode letter runs
+    as words instead of one unit per Arabic character."""
+    import pyspark.sql.functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import textanalysis as ta
+
+    df = spark.createDataFrame([("the of and مطار القاهرة",)], "text string")
+    r = df.select(
+        ta.stopword_ratio(F.col("text"), stopwords=[]).alias("none"),
+        ta.stopword_ratio(F.col("text")).alias("en"),
+        ta.bpe_ish_token_count(F.col("text")).alias("units"),
+    ).collect()[0]
+    assert r["none"] == 0.0 and r["en"] > 0
+    assert r["units"] == 5  # 3 EN stop tokens + 2 Arabic WORDS (not 8+ chars)
