@@ -276,11 +276,11 @@ def sql_normalize(e: str) -> str:
     stops = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     # COALESCE: DuckDB's array_to_string([]) is NULL; Spark's array_join is ''
     x = (
-        f"COALESCE(array_to_string(list_filter(regexp_split_to_array({x}, '\\s+'), "
+        f"COALESCE(array_to_string(list_filter(regexp_split_to_array({x}, '[ \\t\\n\\v\\f\\r]+'), "
         f"w -> w <> '' AND w NOT IN ({stops})), ' '), '')"
     )
     x = _sql_squeeze(x)
-    x = _rr(x, "\\s+", " ")
+    x = _rr(x, "[ \\t\\n\\v\\f\\r]+", " ")
     return f"trim({x})"
 
 
@@ -306,7 +306,7 @@ def sql_clean_text(e: str) -> str:
     x = _rr(x, DIACRITICS_D2, "")
     x = _rr(x, "[،؛,;:]", " ")
     x = _rr(x, "[()\\[\\]{}]", "")
-    x = _rr(x, "\\s+", " ")
+    x = _rr(x, "[ \\t\\n\\v\\f\\r]+", " ")
     return f"COALESCE(trim({x}), '')"
 
 
@@ -330,7 +330,7 @@ def sql_rlike(e: str, pattern: str) -> str:
 
 
 def sql_title_first_two_words(e: str) -> str:
-    two = f"list_slice(regexp_split_to_array(trim({e}), '\\s+'), 1, 2)"
+    two = f"list_slice(regexp_split_to_array(trim({e}), '[ \\t\\n\\v\\f\\r]+'), 1, 2)"
     cased = (
         f"list_transform({two}, "
         "w -> upper(substring(w, 1, 1)) || lower(substring(w, 2)))"
@@ -345,18 +345,28 @@ _PY_ALEF = re.compile(ALEF_VARIANTS)
 _PY_DIA = re.compile(DIACRITICS)
 _PY_LAM = re.compile(LAM_ALEF_LIGATURES)
 _PY_SQUEEZE = re.compile(r"(.)\1{2,}")
+# ASCII whitespace, explicitly spelled: Python's bare strip()/split()/\s are
+# UNICODE-aware (NBSP, U+2028, …) while the Spark mirror's Java \s and the
+# SQL mirror's RE2 \s are ASCII — the three-mirrors-one-rule discipline
+# (operators/dedup.py:102-110): non-ASCII whitespace is CONTENT in all
+# three, so an NBSP-carrying token behaves identically everywhere instead
+# of normalizing away only in the Python mirror.
+_PY_ASCII_WS = " \t\n\r\f\v"
+_PY_ASCII_WS_RE = re.compile(f"[{_PY_ASCII_WS}]+")
 
 
 def normalize_py(text: str | None) -> str:
     if text is None:
         return ""
-    t = str(text).strip().lower()
+    t = str(text).strip(_PY_ASCII_WS).lower()
     t = _PY_ALEF.sub("ا", t)
     t = t.replace(TATWEEL, "")
     t = t.replace("ى", "ي")
     t = _PY_WORD_FINAL_HA.sub("ة", t)
     t = _PY_DIA.sub("", t)
     t = _PY_LAM.sub("لا", t)
-    t = " ".join(w for w in t.split() if w not in EN_STOPWORDS)
+    t = " ".join(
+        w for w in _PY_ASCII_WS_RE.split(t) if w and w not in EN_STOPWORDS
+    )
     t = _PY_SQUEEZE.sub(r"\1\1", t)
-    return re.sub(r"\s+", " ", t).strip()
+    return _PY_ASCII_WS_RE.sub(" ", t).strip(_PY_ASCII_WS)

@@ -259,6 +259,7 @@ def jaccard_pairs(
     k: int = 3,
     max_shingle_df: int | None = None,
     prefix_filter: bool = False,
+    caches_out: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact k-shingle Jaccard, candidate-generated
     through a shingle equi-join (never a cross join).
@@ -305,7 +306,12 @@ def jaccard_pairs(
     # the shingling runs 3× per query. Lazy cache — one action fills it,
     # the other branches read it; at 100 TB prefer persist(DISK_ONLY) or
     # let eviction fall back to recompute (advisory, not load-bearing).
+    # ``caches_out`` hands the cached frames to a long-lived caller for
+    # unpersist after its terminal action (the lookup.py cascade pattern,
+    # ADVICE r4) — one-shot plans can ignore it (bench clears the cache).
     sh = sh.cache()
+    if caches_out is not None:
+        caches_out.append(sh)
 
     jaccard = F.round(
         F.col("n_common") / (F.col("sh_a") + F.col("sh_b") - F.col("n_common")), 6
@@ -331,6 +337,8 @@ def jaccard_pairs(
             # so the df-join + ranking window run once, not per side
             .cache()
         )
+        if caches_out is not None:
+            caches_out.append(pref)
         cand = (
             pref.alias("a")
             .join(

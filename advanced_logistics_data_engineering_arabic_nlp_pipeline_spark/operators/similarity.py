@@ -484,6 +484,14 @@ def topk_lsh(
     Only the (small) query side pays the ×5 probe explode; the candidate
     side is the standard ×16 multi-table explode, and the join still
     shuffles on an 8-byte bucket key."""
+    if hamming_probe not in (0, 1):
+        # only the 1-bit flip set is implemented; a larger value would
+        # silently behave as 1 and under-deliver the recall the caller
+        # tuned for — refuse instead
+        raise ValueError(
+            f"hamming_probe={hamming_probe} not supported: only 0 (exact"
+            f" band) or 1 (four 1-bit flips per band) are implemented"
+        )
     buckets = pandas_udf(_dup_band_buckets, ArrayType(LongType()))
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
@@ -560,6 +568,11 @@ def embedding_near_dup_lsh(
     plans.llmdata.dedup_embedding_cosine (the cross join stays a
     small-scale oracle only)."""
     buckets = pandas_udf(_dup_band_buckets, ArrayType(LongType()))
+    # pair-id columns carry the CALLER's id type (string doc keys etc.) —
+    # a hardcoded long schema broke/coerced non-long ids, the bug class
+    # build_ivfpq_index's id typing already fixed
+    id_spark_type = vectors.schema[id_col].dataType.simpleString()
+    id_pd_type = "int64" if id_spark_type in ("bigint", "long", "int") else "object"
     sig = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
@@ -569,7 +582,7 @@ def embedding_near_dup_lsh(
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                {"id_a": id_pd_type, "id_b": id_pd_type, "cosine": "float64"}
             )
         ids = pdf["id"].to_numpy()
         m = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
@@ -584,7 +597,10 @@ def embedding_near_dup_lsh(
 
     return (
         sig.groupBy("bucket")
-        .applyInPandas(bucket_pairs, "id_a long, id_b long, cosine double")
+        .applyInPandas(
+            bucket_pairs,
+            f"id_a {id_spark_type}, id_b {id_spark_type}, cosine double",
+        )
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
@@ -1015,11 +1031,18 @@ def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
         import os
 
         prefix = os.path.abspath(target)
+
+        def _under(uri: str) -> bool:
+            # strip only a LEADING file: scheme (mid-string 'file:' is
+            # path content), then require containment under prefix as a
+            # path COMPONENT — bare startswith let a sibling like
+            # '/data/index2' pass a '/data/index' guard
+            p = uri[len("file:"):] if uri.startswith("file:") else uri
+            p = os.path.abspath(p)
+            return p == prefix or p.startswith(prefix + os.sep)
+
         inputs = old.inputFiles()
-        if not inputs or not all(
-            os.path.abspath(f.replace("file:", "")).startswith(prefix)
-            for f in inputs
-        ):
+        if not inputs or not all(_under(f) for f in inputs):
             raise ValueError(
                 f"index add with path={target!r}: the base index does not"
                 f" read from that path (inputFiles={inputs[:3]}...), so a"

@@ -29,8 +29,15 @@ def bpe_ish_token_count(text: Column) -> Column:
     every Arabic letter into its own unit, overstating Arabic/mixed
     documents' token budget by roughly their character count — useless for
     cross-language budget comparison in an Arabic-NLP engine."""
+    # split BEFORE and AFTER every non-alnum char (lookahead + lookbehind)
+    # so a punctuation char never glues to the following run — the oracle
+    # counts via extraction ('[\\p{L}\\p{N}]+|[^\\p{L}\\p{N}\\s]'), and a
+    # before-only split made "don't" 2 units vs the oracle's 3
     units = F.filter(
-        F.split(F.lower(text), "(?=[^\\p{L}\\p{N}])|\\s+"),
+        F.split(
+            F.lower(text),
+            "(?=[^\\p{L}\\p{N}])|(?<=[^\\p{L}\\p{N}])|\\s+",
+        ),
         lambda t: F.trim(t) != "",
     )
     return F.size(units).cast("bigint")

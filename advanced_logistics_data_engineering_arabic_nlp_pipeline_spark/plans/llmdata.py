@@ -1,5 +1,11 @@
 """LLM training-data pipeline queries (SURVEY.md §2 M1-M5) over the
-documents / embeddings / events / lineitem fixtures, each with a DuckDB
+documents / embeddings / events / lineitem fixtures
+
+Token-split whitespace class: every oracle splits on the EXPLICIT ASCII
+class [ \t\n\v\f\r]+ rather than RE2's \s (which excludes \v) so
+tokenization matches the Spark mirrors' Java \s exactly — the
+three-subtly-different-\s problem operators/dedup.py:102-110 documents,
+applied to every token oracle, each with a DuckDB
 oracle where SQL can express it (MinHash/SimHash/LSH/approx are rows-only
 by nature; their recall/quality is pytest-checked against the exact
 operators instead)."""
@@ -42,7 +48,7 @@ DEDUP_EXACT_SQL = """
 WITH fp AS (
   SELECT doc_id,
          md5(COALESCE(array_to_string(list_sort(list_distinct(
-           list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))), ' '), '')) AS dup_key
+           list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> ''))), ' '), '')) AS dup_key
   FROM documents
 )
 SELECT MIN(doc_id) AS keep_id,
@@ -73,7 +79,7 @@ def dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_JACCARD_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 shd AS (
@@ -227,7 +233,7 @@ reach(id, lbl) AS (
 lab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
 tok2 AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 qm AS (
@@ -446,14 +452,14 @@ CURATED_CORPUS_SQL = CURATED_CORPUS_SQL.replace("{EN_HITS}", _sql_hits(ta.EN_STO
 TEXT_QUALITY_SQL = f"""
 WITH tok AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 m AS (
   SELECT doc_id, toks,
          CAST(len(toks) AS BIGINT) AS n_tokens,
          CAST(len(regexp_extract_all(lower(text),
-           '[\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]')) AS BIGINT) AS n_units,
+           '[\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}} \\t\\n\\v\\f\\r]')) AS BIGINT) AS n_units,
          ROUND({_sql_hits(ta.EN_STOP)} * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
          ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len,
          {_sql_hits(ta.EN_STOP)} AS en_h, {_sql_hits(ta.FR_STOP)} AS fr_h, {_sql_hits(ta.ES_STOP)} AS es_h
@@ -492,7 +498,7 @@ def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_SOURCE_STATS_SQL = """
 WITH tok AS (
   SELECT lang, source, n_chars,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 )
 SELECT lang, source,
@@ -520,7 +526,7 @@ def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_TERMS_SQL = """
 WITH tok AS (
-  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '')) AS term
   FROM documents
 )
 SELECT term, COUNT(*) AS cnt
@@ -562,7 +568,7 @@ def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_TERMS_TFIDF_SQL = """
 WITH terms AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')) AS term
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
@@ -600,7 +606,7 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOP_BIGRAMS_SQL = """
 WITH tok AS (
-  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+  SELECT list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 bg AS (
@@ -775,8 +781,12 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_PROPS_SQL = """
 WITH e AS (
+  -- TRY_CAST + signed capture: a props row without "k" extracts '' (a
+  -- bare CAST throws, killing the whole oracle), and a digit-only
+  -- pattern would strip the sign of a negative k while the Spark side
+  -- (get_json_object cast) keeps it
   SELECT event_type,
-         CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS BIGINT) AS k
+         TRY_CAST(regexp_extract(props, '"k":\\s*(-?[0-9]+)', 1) AS BIGINT) AS k
   FROM events
 )
 SELECT event_type,
@@ -1198,7 +1208,7 @@ def docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOCS_REPETITION_SQL = f"""
 WITH tok AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 tc AS (
@@ -1261,7 +1271,7 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECONTAMINATE_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 shd AS (
@@ -1376,7 +1386,7 @@ jreach(id, lbl) AS (
 jlab AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM jreach GROUP BY id),
 ltok AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS toks
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
   FROM documents
 ),
 lqm AS (
@@ -1488,7 +1498,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQUENCE_PACKING_SQL = """
 WITH tok AS (
   SELECT doc_id,
-         CAST(COALESCE(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'),
                                        t -> t <> '')), 0) AS BIGINT) AS n_tok,
          CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS shard
   FROM documents

@@ -49,6 +49,13 @@ CORPUS = [
     "سفرمطار",
     "جولة اهرامات وايجار مركب",
     "مطاار الي الفندق",
+    # non-ASCII whitespace (NBSP, LINE SEPARATOR) is CONTENT in all three
+    # mirrors (round-5 review: bare Python strip/split/\s are
+    # Unicode-aware and used to diverge from the Java/RE2 ASCII classes);
+    # vertical tab IS whitespace in all three
+    "مطار\u00a0هيلتون",
+    "trip\u2028cairo",
+    "a\x0bb  مطار",
 ]
 
 

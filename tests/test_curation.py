@@ -357,3 +357,26 @@ def test_pack_sequences_duplicate_ids_and_null_text(spark):
     assert [(r["id"], r["start_offset"], r["n_tok"]) for r in rows] == [
         (5, 0, 4), (5, 4, 6), (7, 10, 0), (9, 10, 2),
     ]
+
+
+def test_tokenizer_whitespace_class_cross_engine(spark):
+    """Round-5 review regression: Java \\s includes vertical tab, RE2's
+    does not — the oracles now spell the 6-char ASCII class explicitly, so
+    both engines must tokenize VT/FF identically, and treat NBSP as
+    content (not whitespace) identically."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.dedup import tokens_expr
+
+    cases = ["a\x0bb c", "a\x0cb", "x\ty z", "n bsp stays", "plain text"]
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    got = [r[0] for r in df.select(tokens_expr(F.col("text"))).collect()]
+    con = duckdb.connect()
+    for t, g in zip(cases, got):
+        want = con.execute(
+            r"select list_filter(regexp_split_to_array(lower(?), '[ \t\n\v\f\r]+'), t -> t <> '')",
+            [t],
+        ).fetchone()[0]
+        assert g == want, (repr(t), g, want)
