@@ -1,4 +1,4 @@
-"""LLM training-data pipeline queries (SURVEY.md §2 M1-M5) over the
+r"""LLM training-data pipeline queries (SURVEY.md §2 M1-M5) over the
 documents / embeddings / events / lineitem fixtures
 
 Token-split whitespace class: every oracle splits on the EXPLICIT ASCII
