@@ -275,24 +275,56 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
 
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans import llmdata
 
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import textanalysis as ta
+
     led = {r["doc_id"]: r["drop_reason"] for r in llmdata.curation_ledger(spark, sf_dir).collect()}
     train_ids = set(led)
-    curated = {r["doc_id"] for r in llmdata.curated_corpus(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the ledger's audit profile: strict quality gate + fingerprint-keyed
+    # exact stage (see CURATION_LEDGER_QUALITY_GATE rationale)
+    strict_q = {
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", ta.quality_score(F.col("text")).alias("q")
+        ).collect()
+        if r["q"] >= llmdata.CURATION_LEDGER_QUALITY_GATE
+    }
+    fp_keep = {
+        r["doc_id"]
+        for r in docs.groupBy(ta.fingerprint(F.col("text")).alias("fpk"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    near_nonkeep = {
+        r["doc_id"]
+        for r in llmdata.dedup_clusters(spark, sf_dir).collect()
+        if not r["is_keeper"]
+    }
     rep_keep = {r["doc_id"] for r in llmdata.docs_repetition(spark, sf_dir).collect() if r["keep"]}
     contam = {r["doc_id"] for r in llmdata.decontaminate_train(spark, sf_dir).collect() if r["contaminated"]}
 
     kept = {d for d, reason in led.items() if reason is None}
-    assert kept == (curated & rep_keep & train_ids) - contam
+    assert kept == (train_ids & strict_q & fp_keep & rep_keep) - near_nonkeep - contam
     for d, reason in led.items():
-        if reason == "near_dup" or reason == "quality" or reason == "exact_dup":
-            assert d not in curated, (d, reason)
+        if reason == "quality":
+            assert d not in strict_q, d
+        elif reason == "exact_dup":
+            assert d in strict_q and d not in fp_keep, d
+        elif reason == "near_dup":
+            assert d in near_nonkeep, d
         elif reason == "repetition":
             assert d not in rep_keep, d
         elif reason == "contaminated":
             assert d in contam, d
-    # the fixture exercises a non-trivial mix of outcomes
-    assert kept and {"repetition", "near_dup", "contaminated"} <= {
-        r for r in led.values() if r
+    # every stage of the audit must fire on the fixture — a ledger whose
+    # reasons never occur audits nothing (VERDICT r5 #3)
+    reasons = {r for r in led.values() if r}
+    assert kept and reasons == {
+        "quality",
+        "exact_dup",
+        "near_dup",
+        "repetition",
+        "contaminated",
     }
 
 
