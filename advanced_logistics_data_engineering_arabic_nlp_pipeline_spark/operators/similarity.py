@@ -344,6 +344,29 @@ def _lloyd_distributed(base: DataFrame, k: int, n_iters: int) -> list[tuple]:
 
 
 @dataclass
+class Tombstones:
+    """Removal state carried by an index between ``*_index_remove`` calls
+    (the delete half of the ANN lifecycle, VERDICT r5 "Next round" #2):
+    the distinct removed-id set (small — it broadcasts into the live
+    view's anti-join), the PHYSICAL index table that still contains the
+    removed rows, and the counts the compaction trigger compares. The
+    serve attribute (``encoded`` / ``assigned``) is always the LIVE
+    anti-joined view, so every serve function works unchanged on a
+    tombstoned index; compaction (rewrite to live rows only) happens only
+    when ``n_removed > threshold · n_base`` — at 100 TB nobody rewrites
+    the corpus table per delete."""
+
+    ids: DataFrame      # distinct removed ids, single column 'neighbor_id'
+    base: DataFrame     # physical table incl. tombstoned rows
+    n_removed: int
+    n_base: int
+
+    @property
+    def fraction(self) -> float:
+        return self.n_removed / max(self.n_base, 1)
+
+
+@dataclass
 class IVFIndex:
     """A built IVF index: the (tiny) centroid table plus the cell-assigned
     corpus (neighbor_id, cv, centroid_id). Assignment runs once at build;
@@ -351,9 +374,13 @@ class IVFIndex:
 
     centroids: DataFrame
     assigned: DataFrame
+    tombstones: Tombstones | None = None
 
     def unpersist(self) -> None:
         self.assigned.unpersist()
+        if self.tombstones is not None:
+            self.tombstones.ids.unpersist()
+            self.tombstones.base.unpersist()
 
 
 def build_ivf_index(
@@ -694,9 +721,13 @@ class PQIndex:
 
     codebooks: list[list[list[float]]]
     encoded: DataFrame
+    tombstones: Tombstones | None = None
 
     def unpersist(self) -> None:
         self.encoded.unpersist()
+        if self.tombstones is not None:
+            self.tombstones.ids.unpersist()
+            self.tombstones.base.unpersist()
 
 
 def build_pq_index(
@@ -927,9 +958,13 @@ class IVFPQIndex:
     coarse: np.ndarray
     books: list[np.ndarray]
     encoded: DataFrame
+    tombstones: Tombstones | None = None
 
     def unpersist(self) -> None:
         self.encoded.unpersist()
+        if self.tombstones is not None:
+            self.tombstones.ids.unpersist()
+            self.tombstones.base.unpersist()
 
 
 def build_ivfpq_index(
@@ -1060,6 +1095,30 @@ def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
     return grown
 
 
+def _carry_tombstones(
+    grown: DataFrame,
+    tombs: Tombstones | None,
+    fresh: DataFrame,
+    durable: bool,
+) -> tuple[DataFrame, Tombstones | None]:
+    """Preserve removal state across an index add. Durable mode re-reads
+    the FULL parquet table — including previously tombstoned rows — so the
+    anti-join must be reapplied or the add would resurrect deletions;
+    in-memory mode grows both the live view and the physical base. Counts
+    ride along stale; the next remove recomputes them from the frames."""
+    if tombs is None:
+        return grown, None
+    if durable:
+        base = grown
+        live = base.join(F.broadcast(tombs.ids), "neighbor_id", "left_anti")
+    else:
+        base = tombs.base.unionByName(fresh)
+        live = grown
+    return live, Tombstones(
+        ids=tombs.ids, base=base, n_removed=tombs.n_removed, n_base=tombs.n_base
+    )
+
+
 def pq_index_add(
     index: PQIndex,
     new_vectors: DataFrame,
@@ -1075,10 +1134,9 @@ def pq_index_add(
         new_vectors, vec_col, id_col,
         codebooks=index.codebooks, persist=False,
     ).encoded
-    return PQIndex(
-        codebooks=index.codebooks,
-        encoded=_grown(index.encoded, fresh, persist, path),
-    )
+    grown = _grown(index.encoded, fresh, persist, path)
+    live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
+    return PQIndex(codebooks=index.codebooks, encoded=live, tombstones=tombs)
 
 
 def ivf_index_add(
@@ -1099,13 +1157,12 @@ def ivf_index_add(
     fresh = build_ivf_index(
         new_vectors, vec_col, id_col, centroids=cents, persist=False,
     ).assigned
-    return IVFIndex(
-        centroids=index.centroids,
-        assigned=_grown(
-            index.assigned, fresh, persist, path,
-            read_path=f"{path}/assigned" if path else None,
-        ),
+    grown = _grown(
+        index.assigned, fresh, persist, path,
+        read_path=f"{path}/assigned" if path else None,
     )
+    live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
+    return IVFIndex(centroids=index.centroids, assigned=live, tombstones=tombs)
 
 
 def ivfpq_index_add(
@@ -1125,10 +1182,209 @@ def ivfpq_index_add(
         m=len(index.books),
         trained=(index.coarse, index.books), persist=False,
     ).encoded
+    grown = _grown(index.encoded, fresh, persist, path)
+    live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
     return IVFPQIndex(
-        coarse=index.coarse,
-        books=index.books,
-        encoded=_grown(index.encoded, fresh, persist, path),
+        coarse=index.coarse, books=index.books, encoded=live, tombstones=tombs
+    )
+
+
+# ── index remove / compact — the delete half of the lifecycle ───────────────
+
+# Compact when removed rows exceed this fraction of the physical table.
+# Below it the index serves through a broadcast anti-join on the (small)
+# tombstone set — the physical table is never rewritten per delete; above
+# it the rot is worth one rewrite of live rows (FAISS/Lucene practice:
+# tombstone-then-merge, not delete-in-place).
+INDEX_COMPACT_THRESHOLD = 0.2
+
+
+def _swap_dirs(target: str, tmp: str) -> None:
+    """Two-rename swap of a freshly written parquet dir into place (the
+    streaming upsert's crash pattern): target → target.old, tmp → target,
+    then drop .old. A crash between the renames leaves the index parked at
+    ``.old`` — recoverable by hand, never a half-written table."""
+    import os
+    import shutil
+
+    old = target + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(target, old)
+    os.rename(tmp, target)
+    shutil.rmtree(old)
+
+
+def _index_remove(
+    live: DataFrame,
+    tombstones: Tombstones | None,
+    remove_ids: DataFrame,
+    id_col: str,
+    compact_threshold: float,
+    persist: bool,
+    path: str | None,
+    read_path: str | None = None,
+) -> tuple[DataFrame, Tombstones | None]:
+    """Shared removal body: fold ``remove_ids`` into the tombstone set,
+    rebuild the live anti-join view over the UNCHANGED physical table
+    (one broadcast anti-join total, never a chain — each call re-derives
+    the view from the base), and compact only past the threshold.
+    Returns (new live/serve frame, new tombstone state — None after a
+    compaction)."""
+    rem = remove_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    base = live if tombstones is None else tombstones.base
+    if tombstones is not None:
+        rem = rem.unionByName(tombstones.ids).distinct()
+    rem = rem.persist()
+    n_removed = rem.count()
+    if tombstones is not None:
+        tombstones.ids.unpersist()
+    n_base = base.count()
+    filtered = base.join(F.broadcast(rem), "neighbor_id", "left_anti")
+    if n_removed <= compact_threshold * n_base:
+        return filtered, Tombstones(
+            ids=rem, base=base, n_removed=n_removed, n_base=n_base
+        )
+    # compact: rewrite live rows only, clear tombstones
+    if path is not None:
+        import os
+
+        target = read_path or path
+        target = target[len("file:"):] if target.startswith("file:") else target
+        target = os.path.abspath(target)
+        # same precondition _grown validates for append: the physical table
+        # must actually read from the target, or the swap would clobber an
+        # unrelated directory
+        def _under(uri: str) -> bool:
+            p = uri[len("file:"):] if uri.startswith("file:") else uri
+            p = os.path.abspath(p)
+            return p == target or p.startswith(target + os.sep)
+
+        inputs = base.inputFiles()
+        if not inputs or not all(_under(f) for f in inputs):
+            raise ValueError(
+                f"index compact with path={target!r}: the index does not"
+                f" read from that path (inputFiles={inputs[:3]}...)."
+                f" Pass the path the index was built/grown with, or compact"
+                f" in memory (path=None)."
+            )
+        tmp = target + ".compact"
+        filtered.write.mode("overwrite").parquet(tmp)
+        _swap_dirs(target, tmp)
+        new = filtered.sparkSession.read.parquet(target)
+    elif persist:
+        new = filtered.persist()
+        new.count()
+        base.unpersist()
+    else:
+        new = filtered
+    rem.unpersist()
+    return new, None
+
+
+def pq_index_remove(
+    index: PQIndex,
+    remove_ids: DataFrame,
+    id_col: str = "vec_id",
+    compact_threshold: float = INDEX_COMPACT_THRESHOLD,
+    persist: bool = True,
+    path: str | None = None,
+) -> PQIndex:
+    """Retire vectors from a PQ index without re-encoding anything: the ids
+    join the tombstone set and ``encoded`` becomes the broadcast-anti-join
+    live view (every serve function works unchanged); past
+    ``compact_threshold`` the live rows are rewritten (to ``path`` via the
+    two-rename swap when durable, or re-persisted) and tombstones clear.
+    Codebooks are untouched — removal never retrains. Invariant (pytest):
+    remove(add(X), X) serves bit-identically to the original index."""
+    new_enc, tombs = _index_remove(
+        index.encoded, index.tombstones, remove_ids, id_col,
+        compact_threshold, persist, path,
+    )
+    return PQIndex(codebooks=index.codebooks, encoded=new_enc, tombstones=tombs)
+
+
+def ivf_index_remove(
+    index: IVFIndex,
+    remove_ids: DataFrame,
+    id_col: str = "vec_id",
+    compact_threshold: float = INDEX_COMPACT_THRESHOLD,
+    persist: bool = True,
+    path: str | None = None,
+) -> IVFIndex:
+    """IVF removal twin (durable layout ``path/assigned``, matching
+    build/add). Centroids are untouched: emptying a cell is fine — probes
+    of an empty cell return nothing."""
+    new_asgn, tombs = _index_remove(
+        index.assigned, index.tombstones, remove_ids, id_col,
+        compact_threshold, persist, path,
+        read_path=f"{path}/assigned" if path else None,
+    )
+    return IVFIndex(
+        centroids=index.centroids, assigned=new_asgn, tombstones=tombs
+    )
+
+
+def ivfpq_index_remove(
+    index: IVFPQIndex,
+    remove_ids: DataFrame,
+    id_col: str = "vec_id",
+    compact_threshold: float = INDEX_COMPACT_THRESHOLD,
+    persist: bool = True,
+    path: str | None = None,
+) -> IVFPQIndex:
+    """IVFADC removal twin — frozen coarse centroids + residual codebooks
+    stay; only the encoded table's live view changes."""
+    new_enc, tombs = _index_remove(
+        index.encoded, index.tombstones, remove_ids, id_col,
+        compact_threshold, persist, path,
+    )
+    return IVFPQIndex(
+        coarse=index.coarse, books=index.books, encoded=new_enc,
+        tombstones=tombs,
+    )
+
+
+def index_tombstone_stats(index) -> DataFrame:
+    """Per-cell rot accounting for a tombstoned index: (cell, n_live,
+    n_removed, removed_frac) — how an operator decides WHICH indexes are
+    worth compacting before the global threshold forces it. Cell column:
+    ``centroid_id`` (IVF), ``cell`` (IVFADC); a PQ index is one flat cell
+    (-1). On a tombstone-free index n_removed is 0 everywhere."""
+    if index.tombstones is not None:
+        base = index.tombstones.base
+    elif hasattr(index, "assigned"):
+        base = index.assigned
+    else:
+        base = index.encoded
+    cell = next(
+        (c for c in ("centroid_id", "cell") if c in base.columns), None
+    )
+    cell_col = F.col(cell) if cell is not None else F.lit(-1).cast("long")
+    if index.tombstones is None:
+        marked = base.select(cell_col.alias("cell_id"), F.lit(False).alias("__rm"))
+    else:
+        marked = base.join(
+            F.broadcast(index.tombstones.ids.withColumn("__rm", F.lit(True))),
+            "neighbor_id",
+            "left",
+        ).select(
+            cell_col.alias("cell_id"),
+            F.coalesce(F.col("__rm"), F.lit(False)).alias("__rm"),
+        )
+    return (
+        marked.groupBy("cell_id")
+        .agg(
+            F.sum(F.when(~F.col("__rm"), 1).otherwise(0)).alias("n_live"),
+            F.sum(F.when(F.col("__rm"), 1).otherwise(0)).alias("n_removed"),
+        )
+        .withColumn(
+            "removed_frac",
+            F.round(
+                F.col("n_removed") / (F.col("n_live") + F.col("n_removed")), 6
+            ),
+        )
+        .orderBy("cell_id")
     )
 
 

@@ -1199,3 +1199,111 @@ def test_stopword_ratio_empty_list_and_bpe_unicode(spark):
     ).collect()[0]
     assert r["none"] == 0.0 and r["en"] > 0
     assert r["units"] == 5  # 3 EN stop tokens + 2 Arabic WORDS (not 8+ chars)
+
+
+def test_ann_index_remove_matches_rebuild_and_add_roundtrip(spark, sf_dir):
+    """The delete half of the index lifecycle (VERDICT r5 "Next round" #2),
+    for all three indexed families: (1) remove(add(X), X) serves
+    bit-identically to the original index; (2) a tombstoned index (below
+    the compaction threshold — physical table untouched) serves
+    identically to an index REBUILT from scratch over the surviving
+    vectors with the same frozen parameters, and returns no removed id."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keep = emb.filter(F.col("vec_id") % 10 != 7)
+    drop_ids = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    dropped = {r["vec_id"] for r in drop_ids.collect()}
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # PQ
+    base = similarity.build_pq_index(emb)
+    removed = similarity.pq_index_remove(base, drop_ids)
+    assert removed.tombstones is not None  # 10% < threshold: tombstoned
+    survivors = similarity.build_pq_index(keep, codebooks=base.codebooks)
+    got = similarity.topk_pq(probes, index=removed)
+    assert rows(got) == rows(similarity.topk_pq(probes, index=survivors))
+    assert not ({r["neighbor_id"] for r in got.collect()} & dropped)
+    # remove(add(X), X) == original: grow with the dropped slice, retire it
+    roundtrip = similarity.pq_index_remove(
+        similarity.pq_index_add(survivors, emb.filter(F.col("vec_id") % 10 == 7)),
+        drop_ids,
+    )
+    assert rows(similarity.topk_pq(probes, index=roundtrip)) == rows(got)
+    removed.unpersist(); roundtrip.unpersist()
+
+    # IVF
+    ibase = similarity.build_ivf_index(emb)
+    iremoved = similarity.ivf_index_remove(ibase, drop_ids)
+    isurv = similarity.build_ivf_index(keep, centroids=ibase.centroids)
+    assert rows(similarity.topk_ivf(probes, index=iremoved)) == rows(
+        similarity.topk_ivf(probes, index=isurv)
+    )
+    iremoved.unpersist(); isurv.unpersist()
+
+    # IVFADC
+    pbase = similarity.build_ivfpq_index(emb)
+    premoved = similarity.ivfpq_index_remove(pbase, drop_ids)
+    psurv = similarity.build_ivfpq_index(keep, trained=(pbase.coarse, pbase.books))
+    assert rows(similarity.topk_ivfpq(probes, index=premoved)) == rows(
+        similarity.topk_ivfpq(probes, index=psurv)
+    )
+    premoved.unpersist(); psurv.unpersist()
+    survivors.unpersist()
+
+
+def test_ann_index_compaction_and_per_cell_stats(spark, sf_dir, tmp_path):
+    """Crossing the compaction threshold rewrites the physical table to
+    live rows only and clears tombstones — durably (two-rename swap on the
+    parquet path; the re-read index must contain exactly the survivors)
+    and in memory. index_tombstone_stats accounts per-cell rot before
+    compaction and all-live after."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drop_ids = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")  # 50% > 0.2
+    n_total = emb.count()
+    n_drop = drop_ids.count()
+
+    # durable PQ: build at a path, remove past threshold -> compacted file
+    p = str(tmp_path / "pq_idx")
+    disk = similarity.build_pq_index(emb, path=p)
+    compacted = similarity.pq_index_remove(disk, drop_ids, path=p)
+    assert compacted.tombstones is None
+    assert compacted.encoded.count() == n_total - n_drop
+    # the parquet dir itself holds only survivors (physical, not a view)
+    assert spark.read.parquet(p).count() == n_total - n_drop
+    stats = similarity.index_tombstone_stats(compacted).collect()
+    assert all(r["n_removed"] == 0 for r in stats)
+
+    # in-memory IVF: per-cell stats show the rot, then compaction clears it
+    ivf = similarity.build_ivf_index(emb)
+    tombstoned = similarity.ivf_index_remove(
+        ivf, drop_ids, compact_threshold=0.9
+    )
+    pre = similarity.index_tombstone_stats(tombstoned).collect()
+    assert sum(r["n_removed"] for r in pre) == n_drop
+    assert sum(r["n_live"] for r in pre) == n_total - n_drop
+    assert {r["cell_id"] for r in pre} != {-1}  # genuinely per-cell
+    squeezed = similarity.ivf_index_remove(tombstoned, drop_ids.limit(0))
+    # second remove re-evaluates the threshold: 50% > 0.2 -> compacts
+    assert squeezed.tombstones is None
+    assert squeezed.assigned.count() == n_total - n_drop
+    squeezed.unpersist()
+
+    # wrong-path compaction must refuse before touching anything
+    mem = similarity.build_pq_index(emb)
+    import pytest
+
+    with pytest.raises(ValueError, match="does not"):
+        similarity.pq_index_remove(mem, drop_ids, path=str(tmp_path / "elsewhere"))
+    mem.unpersist()
