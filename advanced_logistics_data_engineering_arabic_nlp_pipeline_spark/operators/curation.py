@@ -315,6 +315,95 @@ def pack_sequences(
     )
 
 
+def materialize_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_len: int = 512,
+    n_shards: int = 8,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Materialize the packed training windows :func:`pack_sequences` only
+    bookkeeps (VERDICT r5 "Next round" #4): one row per (chunk, doc) SLICE
+    — which of the doc's tokens land in that chunk and the slice text
+    itself. Concatenating slices per chunk in ``pos_in_chunk`` order
+    yields the fixed-``max_len`` training sequence; concatenating chunks
+    per shard reconstructs the shard's token stream exactly
+    (invariant-pytested).
+
+    Scale shape: the same per-shard cumulative-sum window as the ledger
+    (n_shards-way parallel, no global funnel), then a pure-expression
+    explode of ``sequence(chunk_first, chunk_last)`` and an
+    ``F.slice`` of the doc's token array — the token arrays never leave
+    their partition and nothing is assembled driver-side. A doc
+    contributes chunk_last−chunk_first+1 rows (usually 1-2); empty docs
+    occupy no tokens and emit no slice.
+
+    Columns: chunk_uid (globally unique: chunk_in_shard·n_shards+shard),
+    shard, chunk_in_shard, id, token_start/token_end (half-open, within
+    the DOC), pos_in_chunk (where the slice begins inside the chunk),
+    chunk_text (the slice, space-joined lowercase whitespace tokens —
+    the tokenizer the whole text stack shares), plus any ``carry``
+    columns (per-doc metadata riding along — avoids re-joining the input
+    subtree, which would recompute it)."""
+    d = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+        F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
+        *[F.col(c) for c in carry],
+    ).withColumn(
+        "n_tok",
+        F.greatest(
+            F.coalesce(F.size("__toks").cast("bigint"), F.lit(0)), F.lit(0)
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        d.withColumn("end_off", F.sum("n_tok").over(w))
+        .withColumn("start_offset", F.col("end_off") - F.col("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .withColumn(
+            "chunk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_offset") / max_len),
+                    F.floor((F.col("end_off") - 1) / max_len),
+                )
+            ),
+        )
+    )
+    tok_start = F.greatest(
+        F.col("chunk") * max_len - F.col("start_offset"), F.lit(0)
+    ).cast("long")
+    tok_end = F.least(
+        F.col("n_tok"), (F.col("chunk") + 1) * max_len - F.col("start_offset")
+    ).cast("long")
+    return d.select(
+        (F.col("chunk") * n_shards + F.col("shard")).alias("chunk_uid"),
+        "shard",
+        F.col("chunk").alias("chunk_in_shard"),
+        "id",
+        tok_start.alias("token_start"),
+        tok_end.alias("token_end"),
+        F.greatest(F.col("start_offset") - F.col("chunk") * max_len, F.lit(0))
+        .cast("long")
+        .alias("pos_in_chunk"),
+        F.array_join(
+            F.slice(
+                "__toks",
+                (tok_start + 1).cast("int"),
+                (tok_end - tok_start).cast("int"),
+            ),
+            " ",
+        ).alias("chunk_text"),
+        *[F.col(c) for c in carry],
+    )
+
+
 # ── Eval-set decontamination ────────────────────────────────────────────────
 
 def decontaminate(

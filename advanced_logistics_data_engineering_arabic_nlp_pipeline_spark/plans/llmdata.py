@@ -1547,6 +1547,101 @@ ORDER BY doc_id
 """
 
 
+def sequence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED packed training windows the sequence_packing ledger
+    bookkeeps (operators/curation.materialize_chunks): one row per
+    (chunk, doc) slice with the slice text itself — per-shard cumsum →
+    pure-expression explode + F.slice, nothing driver-side. Full DuckDB
+    mirror in LOCAL_ORACLES (hash parity in pytest; registers after the
+    driver's 50-entry oracle window by the rows-only ordering rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        curation.materialize_chunks(docs, "text", "doc_id", max_len=512, n_shards=8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("chunk_uid", "pos_in_chunk")
+    )
+
+
+SEQUENCE_CHUNKS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'),
+                     t -> t <> '') AS toks,
+         CAST(((doc_id % 8) + 8) % 8 AS BIGINT) AS shard
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, toks, shard,
+         CAST(COALESCE(len(toks), 0) AS BIGINT) AS n_tok,
+         CAST(SUM(CAST(COALESCE(len(toks), 0) AS BIGINT))
+              OVER (PARTITION BY shard ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+  FROM tok
+),
+so AS (
+  SELECT doc_id, toks, shard, n_tok, end_off,
+         CAST(end_off - n_tok AS BIGINT) AS start_offset
+  FROM cum WHERE n_tok > 0
+),
+ex AS (
+  SELECT *, unnest(range(start_offset // 512, ((end_off - 1) // 512) + 1)) AS chunk
+  FROM so
+),
+sl AS (
+  SELECT *,
+         CAST(greatest(chunk * 512 - start_offset, 0) AS BIGINT) AS token_start,
+         CAST(least(n_tok, (chunk + 1) * 512 - start_offset) AS BIGINT) AS token_end
+  FROM ex
+)
+SELECT CAST(chunk * 8 + shard AS BIGINT) AS chunk_uid,
+       shard,
+       CAST(chunk AS BIGINT) AS chunk_in_shard,
+       doc_id,
+       token_start,
+       token_end,
+       CAST(greatest(start_offset - chunk * 512, 0) AS BIGINT) AS pos_in_chunk,
+       array_to_string(toks[token_start + 1:token_end], ' ') AS chunk_text
+FROM sl
+ORDER BY chunk_uid, pos_in_chunk
+"""
+
+
+def training_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_export folded through chunk materialization (VERDICT r5
+    "Next round" #4): the export's kept corpus (curation + embedding
+    near-dup anti-join) laid into fixed 512-token training windows, each
+    slice row carrying the doc's lang/quality metadata and PQ codes. The
+    shape a training job actually reads: packed sequences + per-doc index
+    codes, produced as ONE declarative plan (metadata rides through
+    ``carry`` — the export subtree is computed once, not re-joined).
+    Rows-only (LSH + PQ codes have no SQL mirror); invariants pytested
+    with training_export's."""
+    curated = curated_corpus(spark, sf_dir).select("doc_id", "lang", "quality")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4)
+    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = emb.join(drop, "vec_id", "anti")
+    books = similarity.train_pq_codebooks(kept, "embedding", "vec_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exported = (
+        similarity.pq_encode(
+            curated.join(kept, curated.doc_id == kept.vec_id).drop("vec_id"),
+            books,
+            "embedding",
+        )
+        .join(docs, "doc_id")
+        .select("doc_id", "text", "lang", "quality", "pq_codes")
+    )
+    return (
+        curation.materialize_chunks(
+            exported, "text", "doc_id", max_len=512, n_shards=8,
+            carry=("lang", "quality", "pq_codes"),
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("chunk_uid", "pos_in_chunk")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
@@ -1591,6 +1686,8 @@ QUERIES = {
     "decontaminate": decontaminate_train,
     "curation_ledger": curation_ledger,
     "sequence_packing": sequence_packing,
+    "sequence_chunks": sequence_chunks,
+    "training_export_chunks": training_export_chunks,
 }
 
 ORACLES = {
@@ -1642,4 +1739,7 @@ LOCAL_ORACLES = {
     # Local-tier to preserve the mandated driver-window headroom; full
     # hash parity (sharded cumsum, chunk boundaries) runs in pytest.
     "sequence_packing": SEQUENCE_PACKING_SQL,
+    # The materialized windows (r6): same headroom rule; the DuckDB mirror
+    # reproduces the explode + token slicing bit-for-bit.
+    "sequence_chunks": SEQUENCE_CHUNKS_SQL,
 }
