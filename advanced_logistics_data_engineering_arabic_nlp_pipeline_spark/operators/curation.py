@@ -198,6 +198,33 @@ def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_keep_expr(text: Column) -> Column:
+    """:func:`repetition_stats`' keep flag as ONE Column — the form a
+    streaming micro-batch (or any per-row gate) composes without joining
+    the stats frame back to the batch (a second scan of the micro-batch
+    frame, the double-scan trap). Same tokenizer, same cutoffs;
+    equality with the frame form is pytested over fixture + edge docs.
+    Zero-token / null docs gate to False (the frame form drops them — a
+    gate must reject what the stats would not even score)."""
+    toks = F.array_sort(tokens_expr(text))
+    bgs = F.array_sort(ngrams_expr(text, 2))
+    n_tokens = F.size(toks).cast("long")
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    top_token_frac = max_run_expr(toks) / n_tokens
+    top_bigram_frac = F.coalesce(
+        F.try_divide(max_run_expr(bgs), F.size(bgs).cast("long")), F.lit(0.0)
+    )
+    return F.coalesce(
+        F.when(
+            n_tokens > 0,
+            (distinct_ratio >= REPETITION_MIN_DISTINCT_RATIO)
+            & (top_token_frac <= REPETITION_MAX_TOP_TOKEN_FRAC)
+            & (top_bigram_frac <= REPETITION_MAX_TOP_BIGRAM_FRAC),
+        ),
+        F.lit(False),
+    )
+
+
 def repetition_stats_exploded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """The explode → two-level-agg formulation of :func:`repetition_stats`,
     kept as the parity reference (tests pin equal output) and for corpora

