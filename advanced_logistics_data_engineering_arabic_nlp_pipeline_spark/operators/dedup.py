@@ -259,6 +259,7 @@ def winnow_pairs(
     w: int = WINNOW_W,
     max_fp_df: int | None = None,
     caches_out: list | None = None,
+    self_join: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs sharing ≥ ``min_common`` winnowing fingerprints —
     substring-level dedup (catches shared boilerplate/quotations that
@@ -282,7 +283,20 @@ def winnow_pairs(
     ``caches_out``: the fingerprint frame feeds BOTH self-join sides (plus
     the df aggregate when capped) — without a cache the mapInPandas kernel
     runs per consumer. Cached here; appended to ``caches_out`` for callers
-    that outlive the terminal action (the jaccard_pairs pattern)."""
+    that outlive the terminal action (the jaccard_pairs pattern).
+
+    ``self_join=False`` (default): candidates come from ONE groupBy(fp) +
+    per-group ordered-pair expression (``i<j`` structs via transform/
+    slice/flatten, exploded) instead of the fp self-equi-join. Identical
+    output (pytested both ways); the scale difference is the shuffle
+    shape — the join moves the 3.3M-row (sf1) fingerprint frame TWICE and
+    then shuffles the full Σdf² joined rows (42.7M) into the pair
+    aggregate, while the agg form shuffles the fingerprint frame once and
+    explodes only the i<j HALF of each group's pairs. Measured min-merged:
+    sf1 7.30 s (join) → 4.33 s (agg), taking the 10× ratio from 5.7×
+    (r5's flagged outlier) to 2.0× — the family norm; at sf0.1 the join
+    form is ~0.9 s faster (interpreted-HOF constant), so pass
+    ``self_join=True`` for small corpora where the fan-out is cheap."""
     fp = winnow_fingerprint_rows(df, text_col, id_col, k, w)
     if max_fp_df is not None:
         hot = (
@@ -295,10 +309,39 @@ def winnow_pairs(
     fp = fp.cache()
     if caches_out is not None:
         caches_out.append(fp)
-    a, b = fp.alias("a"), fp.alias("b")
+    if self_join:
+        a, b = fp.alias("a"), fp.alias("b")
+        pairs = (
+            a.join(
+                b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+            )
+            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        )
+    else:
+        ids = F.col("ids")
+        pairs = (
+            fp.groupBy("fp")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") > 1)
+            .select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            ids,
+                            lambda x, i: F.transform(
+                                F.slice(ids, i + 2, F.size(ids)),
+                                lambda y: F.struct(
+                                    x.alias("doc_a"), y.alias("doc_b")
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .select("p.doc_a", "p.doc_b")
+        )
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
         .orderBy("doc_a", "doc_b")
