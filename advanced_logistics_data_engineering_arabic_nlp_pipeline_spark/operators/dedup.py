@@ -260,6 +260,7 @@ def winnow_pairs(
     max_fp_df: int | None = None,
     caches_out: list | None = None,
     self_join: bool = False,
+    agg_pair_max_df: int = 1024,
 ) -> DataFrame:
     """Near-duplicate pairs sharing ≥ ``min_common`` winnowing fingerprints —
     substring-level dedup (catches shared boilerplate/quotations that
@@ -318,11 +319,30 @@ def winnow_pairs(
             .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         )
     else:
-        ids = F.col("ids")
-        pairs = (
+        # Hybrid candidate generation. Groups at or below ``agg_pair_max_df``
+        # build their i<j pairs as one flatten(transform(...)) expression —
+        # the fast path (measured: this is where the sf1 7.3→4.3 s win
+        # lives; a per-row posexplode alternative re-copies the ids array
+        # per element and measured 2.5× SLOWER). But that expression
+        # materializes all O(df²) pairs of a group inside ONE row value, an
+        # unbounded per-row memory term for a boilerplate fingerprint
+        # shared by ~100k docs (5e9 structs in a row → task OOM) — so
+        # groups ABOVE the bound (none exist at fixture scale; rare hot
+        # outliers at 100 TB) re-explode to rows and take the old
+        # self-equi-join shape, whose fan-out spreads across rows. Same
+        # output either way (parity-pytested with a tiny bound forcing
+        # both paths).
+        grouped = (
             fp.groupBy("fp")
             .agg(F.sort_array(F.collect_list("id")).alias("ids"))
             .filter(F.size("ids") > 1)
+            .cache()
+        )
+        if caches_out is not None:
+            caches_out.append(grouped)
+        ids = F.col("ids")
+        small_pairs = (
+            grouped.filter(F.size("ids") <= agg_pair_max_df)
             .select(
                 F.explode(
                     F.flatten(
@@ -340,6 +360,14 @@ def winnow_pairs(
             )
             .select("p.doc_a", "p.doc_b")
         )
+        hot_ids = grouped.filter(F.size("ids") > agg_pair_max_df).select(
+            "fp", F.explode("ids").alias("id")
+        )
+        ha, hb = hot_ids.alias("a"), hot_ids.alias("b")
+        big_pairs = ha.join(
+            hb, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id"))
+        ).select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        pairs = small_pairs.unionByName(big_pairs)
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_common"))

@@ -375,6 +375,10 @@ class IVFIndex:
     centroids: DataFrame
     assigned: DataFrame
     tombstones: Tombstones | None = None
+    # the durable root this index was built/grown at (None = memory-only);
+    # removal uses it to refuse tombstone-clearing in-memory compactions of
+    # an index whose parquet still holds the removed rows
+    path: str | None = None
 
     def unpersist(self) -> None:
         self.assigned.unpersist()
@@ -429,7 +433,7 @@ def build_ivf_index(
     elif persist:
         assigned = assigned.persist()
         assigned.count()
-    return IVFIndex(centroids=cents, assigned=assigned)
+    return IVFIndex(centroids=cents, assigned=assigned, path=path)
 
 
 def topk_ivf(
@@ -722,6 +726,7 @@ class PQIndex:
     codebooks: list[list[list[float]]]
     encoded: DataFrame
     tombstones: Tombstones | None = None
+    path: str | None = None
 
     def unpersist(self) -> None:
         self.encoded.unpersist()
@@ -769,7 +774,7 @@ def build_pq_index(
     elif persist:
         enc = enc.persist()
         enc.count()  # materialize now: build pays the encode, serve doesn't
-    return PQIndex(codebooks=books, encoded=enc)
+    return PQIndex(codebooks=books, encoded=enc, path=path)
 
 
 def topk_pq(
@@ -959,6 +964,7 @@ class IVFPQIndex:
     books: list[np.ndarray]
     encoded: DataFrame
     tombstones: Tombstones | None = None
+    path: str | None = None
 
     def unpersist(self) -> None:
         self.encoded.unpersist()
@@ -1040,7 +1046,7 @@ def build_ivfpq_index(
     elif persist:
         enc = enc.persist()
         enc.count()
-    return IVFPQIndex(coarse=coarse, books=books, encoded=enc)
+    return IVFPQIndex(coarse=coarse, books=books, encoded=enc, path=path)
 
 
 # ── incremental index add (frozen parameters) ──────────────────────────────
@@ -1051,6 +1057,35 @@ def build_ivfpq_index(
 # already indexed is touched. Caller contract: ids are append-only (an add
 # does not dedupe against already-indexed ids).
 
+def _require_reads_from(df: DataFrame, target: str, consequence: str) -> str:
+    """Validate (never trust) that ``df``'s leaf scans all live under
+    ``target`` — the shared precondition for every operation that rewrites
+    or appends to a durable index directory. Returns the normalized
+    absolute target path."""
+    import os
+
+    t = target[len("file:"):] if target.startswith("file:") else target
+    prefix = os.path.abspath(t)
+
+    def _under(uri: str) -> bool:
+        # strip only a LEADING file: scheme (mid-string 'file:' is path
+        # content), then require containment under prefix as a path
+        # COMPONENT — bare startswith let a sibling like '/data/index2'
+        # pass a '/data/index' guard
+        p = uri[len("file:"):] if uri.startswith("file:") else uri
+        p = os.path.abspath(p)
+        return p == prefix or p.startswith(prefix + os.sep)
+
+    inputs = df.inputFiles()
+    if not inputs or not all(_under(f) for f in inputs):
+        raise ValueError(
+            f"path={target!r}: the index does not read from that path"
+            f" (inputFiles={inputs[:3]}...), so {consequence}."
+            f" Pass the path the index was built/grown with."
+        )
+    return prefix
+
+
 def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
            read_path: str | None = None) -> DataFrame:
     """Union an index table with freshly encoded rows. ``path`` appends the
@@ -1059,32 +1094,14 @@ def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
     grown with the same ``path``); appending to a path the base never
     wrote would silently produce an index containing just the new batch,
     so that precondition is VALIDATED against the base frame's input
-    files, not trusted. Otherwise: a persisted (or lazy) in-memory
-    union."""
+    files, not trusted (:func:`_require_reads_from`). Otherwise: a
+    persisted (or lazy) in-memory union."""
     if path is not None:
         target = read_path or path
-        import os
-
-        prefix = os.path.abspath(target)
-
-        def _under(uri: str) -> bool:
-            # strip only a LEADING file: scheme (mid-string 'file:' is
-            # path content), then require containment under prefix as a
-            # path COMPONENT — bare startswith let a sibling like
-            # '/data/index2' pass a '/data/index' guard
-            p = uri[len("file:"):] if uri.startswith("file:") else uri
-            p = os.path.abspath(p)
-            return p == prefix or p.startswith(prefix + os.sep)
-
-        inputs = old.inputFiles()
-        if not inputs or not all(_under(f) for f in inputs):
-            raise ValueError(
-                f"index add with path={target!r}: the base index does not"
-                f" read from that path (inputFiles={inputs[:3]}...), so a"
-                f" parquet append would DROP every already-indexed row."
-                f" Build the base index with the same path, or add without"
-                f" path for an in-memory union."
-            )
+        _require_reads_from(
+            old, target,
+            "a parquet append would DROP every already-indexed row",
+        )
         fresh.write.mode("append").parquet(target)
         return fresh.sparkSession.read.parquet(target)
     grown = old.unionByName(fresh)
@@ -1093,6 +1110,32 @@ def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
         grown.count()
         old.unpersist()
     return grown
+
+
+def _check_no_tombstoned_readds(tombs: Tombstones | None, fresh: DataFrame) -> None:
+    """Re-adding a TOMBSTONED id raises — BEFORE any durable append
+    mutates the index directory: after an append, the old (removed) and
+    new rows are indistinguishable, so the removal filter would silently
+    kill the fresh vector in durable mode while in-memory mode would serve
+    it — a silent mode divergence either way. Compact first (clearing the
+    tombstone set), then add."""
+    if tombs is None:
+        return
+    readded = (
+        fresh.select("neighbor_id")
+        .join(F.broadcast(tombs.ids), "neighbor_id", "semi")
+        .limit(5)
+        .collect()
+    )
+    if readded:
+        ids = [r["neighbor_id"] for r in readded]
+        raise ValueError(
+            f"index add would re-insert tombstoned ids {ids}: after a"
+            f" durable append old and new rows are indistinguishable, so"
+            f" the removal filter would drop the fresh vectors too."
+            f" Compact the index first (remove past the threshold with the"
+            f" index path, clearing tombstones), then add."
+        )
 
 
 def _carry_tombstones(
@@ -1105,7 +1148,10 @@ def _carry_tombstones(
     the FULL parquet table — including previously tombstoned rows — so the
     anti-join must be reapplied or the add would resurrect deletions;
     in-memory mode grows both the live view and the physical base. Counts
-    ride along stale; the next remove recomputes them from the frames."""
+    ride along stale; the next remove recomputes them from the frames.
+
+    Tombstoned-id re-adds are rejected earlier, before the append
+    (:func:`_check_no_tombstoned_readds` in each ``*_index_add``)."""
     if tombs is None:
         return grown, None
     if durable:
@@ -1134,9 +1180,13 @@ def pq_index_add(
         new_vectors, vec_col, id_col,
         codebooks=index.codebooks, persist=False,
     ).encoded
+    _check_no_tombstoned_readds(index.tombstones, fresh)
     grown = _grown(index.encoded, fresh, persist, path)
     live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
-    return PQIndex(codebooks=index.codebooks, encoded=live, tombstones=tombs)
+    return PQIndex(
+        codebooks=index.codebooks, encoded=live, tombstones=tombs,
+        path=path if path is not None else index.path,
+    )
 
 
 def ivf_index_add(
@@ -1157,12 +1207,16 @@ def ivf_index_add(
     fresh = build_ivf_index(
         new_vectors, vec_col, id_col, centroids=cents, persist=False,
     ).assigned
+    _check_no_tombstoned_readds(index.tombstones, fresh)
     grown = _grown(
         index.assigned, fresh, persist, path,
         read_path=f"{path}/assigned" if path else None,
     )
     live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
-    return IVFIndex(centroids=index.centroids, assigned=live, tombstones=tombs)
+    return IVFIndex(
+        centroids=index.centroids, assigned=live, tombstones=tombs,
+        path=path if path is not None else index.path,
+    )
 
 
 def ivfpq_index_add(
@@ -1182,10 +1236,12 @@ def ivfpq_index_add(
         m=len(index.books),
         trained=(index.coarse, index.books), persist=False,
     ).encoded
+    _check_no_tombstoned_readds(index.tombstones, fresh)
     grown = _grown(index.encoded, fresh, persist, path)
     live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
     return IVFPQIndex(
-        coarse=index.coarse, books=index.books, encoded=live, tombstones=tombs
+        coarse=index.coarse, books=index.books, encoded=live, tombstones=tombs,
+        path=path if path is not None else index.path,
     )
 
 
@@ -1224,13 +1280,16 @@ def _index_remove(
     persist: bool,
     path: str | None,
     read_path: str | None = None,
+    index_path: str | None = None,
 ) -> tuple[DataFrame, Tombstones | None]:
     """Shared removal body: fold ``remove_ids`` into the tombstone set,
     rebuild the live anti-join view over the UNCHANGED physical table
     (one broadcast anti-join total, never a chain — each call re-derives
     the view from the base), and compact only past the threshold.
-    Returns (new live/serve frame, new tombstone state — None after a
-    compaction)."""
+    ``index_path`` is the durable root the index lives at (None =
+    memory-only): a durable index never compacts in memory (see the
+    comment at the threshold check). Returns (new live/serve frame, new
+    tombstone state — None after a compaction)."""
     rem = remove_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
     base = live if tombstones is None else tombstones.base
     if tombstones is not None:
@@ -1241,33 +1300,28 @@ def _index_remove(
         tombstones.ids.unpersist()
     n_base = base.count()
     filtered = base.join(F.broadcast(rem), "neighbor_id", "left_anti")
-    if n_removed <= compact_threshold * n_base:
+    # An IN-MEMORY compaction of a DURABLE index must not clear the
+    # tombstones: the index parquet still contains the removed rows, and a
+    # later durable *_index_add would append + re-read the full table —
+    # with no tombstone record left, every removed vector would silently
+    # resurrect (the _grown path guard passes: the live view's lineage
+    # still reads the index files). Durable indexes compact durably (pass
+    # path); until then they stay tombstoned.
+    if n_removed <= compact_threshold * n_base or (
+        path is None and index_path is not None
+    ):
         return filtered, Tombstones(
             ids=rem, base=base, n_removed=n_removed, n_base=n_base
         )
     # compact: rewrite live rows only, clear tombstones
     if path is not None:
-        import os
-
-        target = read_path or path
-        target = target[len("file:"):] if target.startswith("file:") else target
-        target = os.path.abspath(target)
         # same precondition _grown validates for append: the physical table
         # must actually read from the target, or the swap would clobber an
         # unrelated directory
-        def _under(uri: str) -> bool:
-            p = uri[len("file:"):] if uri.startswith("file:") else uri
-            p = os.path.abspath(p)
-            return p == target or p.startswith(target + os.sep)
-
-        inputs = base.inputFiles()
-        if not inputs or not all(_under(f) for f in inputs):
-            raise ValueError(
-                f"index compact with path={target!r}: the index does not"
-                f" read from that path (inputFiles={inputs[:3]}...)."
-                f" Pass the path the index was built/grown with, or compact"
-                f" in memory (path=None)."
-            )
+        target = _require_reads_from(
+            base, read_path or path,
+            "the compaction swap would clobber an unrelated directory",
+        )
         tmp = target + ".compact"
         filtered.write.mode("overwrite").parquet(tmp)
         _swap_dirs(target, tmp)
@@ -1293,15 +1347,23 @@ def pq_index_remove(
     """Retire vectors from a PQ index without re-encoding anything: the ids
     join the tombstone set and ``encoded`` becomes the broadcast-anti-join
     live view (every serve function works unchanged); past
-    ``compact_threshold`` the live rows are rewritten (to ``path`` via the
-    two-rename swap when durable, or re-persisted) and tombstones clear.
-    Codebooks are untouched — removal never retrains. Invariant (pytest):
-    remove(add(X), X) serves bit-identically to the original index."""
+    ``compact_threshold`` the live rows are rewritten and tombstones
+    clear — durably via the two-rename parquet swap when the index lives
+    at ``path``, or by re-persist for a memory-only index (an index WITH
+    a durable path but called without one stays tombstoned instead: its
+    parquet still holds the removed rows, and clearing the record would
+    let a later durable add resurrect them). Re-adding a tombstoned id
+    is rejected at add time. Codebooks are untouched — removal never
+    retrains. Invariant (pytest): remove(add(X), X) serves bit-identically
+    to the original index."""
     new_enc, tombs = _index_remove(
         index.encoded, index.tombstones, remove_ids, id_col,
-        compact_threshold, persist, path,
+        compact_threshold, persist, path, index_path=index.path,
     )
-    return PQIndex(codebooks=index.codebooks, encoded=new_enc, tombstones=tombs)
+    return PQIndex(
+        codebooks=index.codebooks, encoded=new_enc, tombstones=tombs,
+        path=path if path is not None else index.path,
+    )
 
 
 def ivf_index_remove(
@@ -1319,9 +1381,11 @@ def ivf_index_remove(
         index.assigned, index.tombstones, remove_ids, id_col,
         compact_threshold, persist, path,
         read_path=f"{path}/assigned" if path else None,
+        index_path=index.path,
     )
     return IVFIndex(
-        centroids=index.centroids, assigned=new_asgn, tombstones=tombs
+        centroids=index.centroids, assigned=new_asgn, tombstones=tombs,
+        path=path if path is not None else index.path,
     )
 
 
@@ -1337,11 +1401,11 @@ def ivfpq_index_remove(
     stay; only the encoded table's live view changes."""
     new_enc, tombs = _index_remove(
         index.encoded, index.tombstones, remove_ids, id_col,
-        compact_threshold, persist, path,
+        compact_threshold, persist, path, index_path=index.path,
     )
     return IVFPQIndex(
         coarse=index.coarse, books=index.books, encoded=new_enc,
-        tombstones=tombs,
+        tombstones=tombs, path=path if path is not None else index.path,
     )
 
 

@@ -181,12 +181,24 @@ ORDER BY l.doc_id
 """
 
 
+# The pipeline's quality gate, shared by curated_corpus and its audit
+# ledger (curation_ledger) — ONE profile, so the ledger explains exactly
+# the corpus that ships. 0.7 = one failed quality heuristic drops the doc
+# (quality_score's multiplicative rubric yields 0.5/0.6 on single
+# failures); calibrated so the gate has positive fixture evidence at
+# every SF (VERDICT r5 #3 — a stage that never fires is vacuous green).
+CURATION_QUALITY_GATE = 0.7
+
+
 def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation — the pipeline this engine exists for, as ONE
-    declarative plan: quality gate (Gopher-style cheap filters) → exact-dup
-    keeper (min doc_id per text) → near-dup cluster keeper (Jaccard pairs →
-    connected components, drop non-representatives). Returns the surviving
-    corpus ledger.
+    declarative plan: quality gate (Gopher-style cheap filters, strict
+    ``CURATION_QUALITY_GATE`` profile) → exact-dup keeper (min doc_id per
+    content FINGERPRINT — md5 of the sorted distinct token set, the
+    normalized-content key production exact-dedup ships; raw-text keys
+    never collide on the fixtures) → near-dup cluster keeper (Jaccard
+    pairs → connected components, drop non-representatives). Returns the
+    surviving corpus ledger.
 
     Composition notes: dup structures are computed over the FULL corpus
     (curation must not resurrect a duplicate just because its twin failed
@@ -195,8 +207,10 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     are small — at 100 TB they stay sparse (dup ledgers, not corpora)."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    exact_keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
-        "doc_id"
+    exact_keep = (
+        docs.groupBy(ta.fingerprint(t).alias("fpk"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
     pairs = dedup.jaccard_pairs(
         docs, "text", "doc_id", threshold=0.6, max_shingle_df=JACCARD_MAX_SHINGLE_DF
@@ -207,7 +221,7 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         docs.withColumn("quality", ta.quality_score(t))
-        .filter(F.col("quality") >= 0.5)
+        .filter(F.col("quality") >= CURATION_QUALITY_GATE)
         .join(exact_keep, "doc_id", "semi")
         .join(non_keepers, "doc_id", "anti")
         .select("doc_id", "lang", "source", "n_chars", "quality")
@@ -250,12 +264,21 @@ q AS (
            * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality
   FROM qm
 ),
-exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+-- exact keeper under the content fingerprint (normalized-content key):
+-- raw-text GROUP BY never collides on the fixtures (vacuous stage)
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM (
+    SELECT doc_id,
+           md5(COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(lower(text), '[ \t\n\v\f\r]+'), t -> t <> ''))), ' '), '')) AS fpk
+    FROM documents)
+  GROUP BY fpk
+),
 nonkeep AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
 SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
 FROM documents d
 JOIN q USING (doc_id)
-WHERE q.quality >= 0.5
+WHERE q.quality >= {CURATION_QUALITY_GATE}
   AND d.doc_id IN (SELECT doc_id FROM exact_keep)
   AND d.doc_id NOT IN (SELECT doc_id FROM nonkeep)
 ORDER BY d.doc_id
@@ -965,6 +988,27 @@ ORDER BY label, pos
 """
 
 
+def _export_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of training_export / training_export_chunks — ONE source
+    of truth for the export pipeline (curation → embedding near-dup
+    anti-join with the 0.4 threshold and keep-smaller-id rule → PQ
+    encode), so the chunked export can never silently diverge from the
+    hash-pinned doc-level one. Returns (doc_id, lang, quality, embedding,
+    pq_codes), unordered."""
+    curated = curated_corpus(spark, sf_dir).select("doc_id", "lang", "quality")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4)
+    # of each near-dup pair keep the smaller id: drop every id_b
+    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    kept = emb.join(drop, "vec_id", "anti")
+    books = similarity.train_pq_codebooks(kept, "embedding", "vec_id")
+    return similarity.pq_encode(
+        curated.join(kept, curated.doc_id == kept.vec_id).drop("vec_id"),
+        books,
+        "embedding",
+    )
+
+
 def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full training-data export, composed end-to-end as ONE plan:
     text curation (quality gate + exact/near-dup text dedup =
@@ -978,20 +1022,9 @@ def training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     only Python is Arrow-batched encode/verify. Rows-only: the LSH
     candidate stage and PQ codes have no SQL mirror; pytests pin the
     invariants (subset-of-curated, no surviving near-dup pair, code
-    shape)."""
-    curated = curated_corpus(spark, sf_dir).select("doc_id", "lang", "quality")
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4)
-    # of each near-dup pair keep the smaller id: drop every id_b
-    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    kept = emb.join(drop, "vec_id", "anti")
-    books = similarity.train_pq_codebooks(kept, "embedding", "vec_id")
+    shape) and the full output value hash at sf0.001."""
     return (
-        similarity.pq_encode(
-            curated.join(kept, curated.doc_id == kept.vec_id).drop("vec_id"),
-            books,
-            "embedding",
-        )
+        _export_encoded(spark, sf_dir)
         .select("doc_id", "lang", "quality", "pq_codes")
         .orderBy("doc_id")
     )
@@ -1298,14 +1331,6 @@ ORDER BY tr.id
 """
 
 
-# The ledger's strict-audit quality gate: one failed quality heuristic
-# (score 0.6 under textanalysis.quality_score's multiplicative rubric)
-# drops the doc, where curated_corpus's 0.5 production gate needs two.
-# Calibrated so the 'quality' stage has positive fixture evidence at every
-# SF (VERDICT r5 #3) — an audit whose stages never fire audits nothing.
-CURATION_LEDGER_QUALITY_GATE = 0.7
-
-
 def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-pipeline drop-reason AUDIT LEDGER — one row per TRAINING
     candidate doc (the eval slice doc_id % 97 = 0 is excluded by
@@ -1323,23 +1348,23 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed over the FULL corpus, like curated_corpus (a duplicate must
     not resurrect because its twin was eval or failed quality).
 
-    Audit profile vs curated_corpus's production profile — two deliberate
-    divergences so EVERY stage of the audit carries positive fixture
-    evidence (VERDICT r5 #3: both were vacuous pass-throughs before):
-    the exact stage keys on the content FINGERPRINT (md5 of the sorted
-    distinct token set — the dedup_exact precedent; raw-text exact dups
-    don't exist at any fixture SF), and the quality gate is the strict
-    ``CURATION_LEDGER_QUALITY_GATE`` (0.7: one failed heuristic drops the
-    doc) rather than curated_corpus's permissive 0.5 (two failures
-    needed). At sf0.01 every reason is nonzero: quality 186 / exact_dup
-    40 / near_dup 14 / repetition 128 / contaminated 41, kept 85."""
+    The ledger audits the SHIPPED pipeline: same ``CURATION_QUALITY_GATE``
+    and same fingerprint-keyed exact stage as curated_corpus (one profile
+    — r6 review finding; an audit of a hypothetical stricter pipeline
+    explains nothing about the corpus that trains), so within the train
+    slice, kept == curated_corpus ∩ repetition-keep − contaminated
+    (invariant-pytested). Every stage carries positive fixture evidence
+    (VERDICT r5 #3: quality and exact_dup were vacuous pass-throughs
+    before the profile got its fingerprint key and strict gate). At
+    sf0.01 every reason is nonzero: quality 186 / exact_dup 40 /
+    near_dup 14 / repetition 128 / contaminated 41, kept 85."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
 
     q_ok = docs.select(
         "doc_id",
-        (ta.quality_score(F.col("text")) >= CURATION_LEDGER_QUALITY_GATE).alias(
+        (ta.quality_score(F.col("text")) >= CURATION_QUALITY_GATE).alias(
             "q_ok"
         ),
     )
@@ -1415,7 +1440,7 @@ lq AS (
          (ROUND(CAST(
            (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
            * (CASE WHEN mtl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) >= {CURATION_LEDGER_QUALITY_GATE}) AS q_ok
+           * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) >= {CURATION_QUALITY_GATE}) AS q_ok
   FROM lqm
 ),
 -- exact stage keys on the content fingerprint (dedup_exact's key): md5 of
@@ -1615,20 +1640,12 @@ def training_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes, produced as ONE declarative plan (metadata rides through
     ``carry`` — the export subtree is computed once, not re-joined).
     Rows-only (LSH + PQ codes have no SQL mirror); invariants pytested
-    with training_export's."""
-    curated = curated_corpus(spark, sf_dir).select("doc_id", "lang", "quality")
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4)
-    drop = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    kept = emb.join(drop, "vec_id", "anti")
-    books = similarity.train_pq_codebooks(kept, "embedding", "vec_id")
+    with training_export's. The export pipeline itself is
+    :func:`_export_encoded` — literally the same plan the hash-pinned
+    doc-level export reads, not a copy."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exported = (
-        similarity.pq_encode(
-            curated.join(kept, curated.doc_id == kept.vec_id).drop("vec_id"),
-            books,
-            "embedding",
-        )
+        _export_encoded(spark, sf_dir)
         .join(docs, "doc_id")
         .select("doc_id", "text", "lang", "quality", "pq_codes")
     )

@@ -281,13 +281,13 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
     train_ids = set(led)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # the ledger's audit profile: strict quality gate + fingerprint-keyed
-    # exact stage (see CURATION_LEDGER_QUALITY_GATE rationale)
+    # exact stage (see CURATION_QUALITY_GATE rationale)
     strict_q = {
         r["doc_id"]
         for r in docs.select(
             "doc_id", ta.quality_score(F.col("text")).alias("q")
         ).collect()
-        if r["q"] >= llmdata.CURATION_LEDGER_QUALITY_GATE
+        if r["q"] >= llmdata.CURATION_QUALITY_GATE
     }
     fp_keep = {
         r["doc_id"]
@@ -305,6 +305,11 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
 
     kept = {d for d, reason in led.items() if reason is None}
     assert kept == (train_ids & strict_q & fp_keep & rep_keep) - near_nonkeep - contam
+    # ONE profile: the ledger's kept set is exactly the shipped corpus
+    # (curated_corpus) surviving the downstream gates - the audit explains
+    # the corpus that trains, not a hypothetical stricter pipeline
+    curated = {r["doc_id"] for r in llmdata.curated_corpus(spark, sf_dir).collect()}
+    assert kept == (curated & rep_keep & train_ids) - contam
     for d, reason in led.items():
         if reason == "quality":
             assert d not in strict_q, d

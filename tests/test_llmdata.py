@@ -288,6 +288,7 @@ def test_winnow_pairs_agg_form_matches_self_join(spark):
         "doc_id", "text"
     )
     caches: list = []
+    want = None
     for cap in (None, 3):
         agg = dedup.winnow_pairs(
             docs, "text", "doc_id", max_fp_df=cap, caches_out=caches
@@ -296,6 +297,14 @@ def test_winnow_pairs_agg_form_matches_self_join(spark):
             docs, "text", "doc_id", max_fp_df=cap, caches_out=caches, self_join=True
         )
         assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, join.collect()))
+        if cap is None:
+            want = sorted(map(tuple, agg.collect()))
+    # a tiny agg_pair_max_df forces hot groups through the big-group join
+    # leg (bounded row size) - output must not change
+    hybrid = dedup.winnow_pairs(
+        docs, "text", "doc_id", caches_out=caches, agg_pair_max_df=2
+    )
+    assert sorted(map(tuple, hybrid.collect())) == want
     for c in caches:
         c.unpersist()
 
@@ -1351,8 +1360,8 @@ def test_training_export_pinned_hash():
             for r in rows
         )
     )
-    assert len(rows) == 421
-    assert hashlib.md5(s.encode()).hexdigest() == "a09857923b93aef0101d4b25038b125c"
+    assert len(rows) == 256
+    assert hashlib.md5(s.encode()).hexdigest() == "4ae80cab85b01f57d364ce6e368fe6ca"
 
 
 def test_training_export_chunks_composition(spark, sf_dir):
@@ -1401,3 +1410,52 @@ def test_training_export_chunks_composition(spark, sf_dir):
     for r in rows:
         if r["chunk_in_shard"] != tail[r["shard"]]:
             assert fill[r["chunk_uid"]] == 512, r["chunk_uid"]
+
+
+def test_ann_index_durable_no_resurrection_and_readd_guard(spark, sf_dir, tmp_path):
+    """Review findings r6: (1) removing past the threshold from a DURABLE
+    index without passing its path must stay tombstoned (clearing the
+    record while the parquet still holds the rows would let a later
+    durable add resurrect every removed vector); the later add must then
+    serve WITHOUT the removed ids. (2) Re-adding a tombstoned id raises
+    BEFORE the append mutates the index directory."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    newer = emb.filter(F.col("vec_id") >= 400)
+    drop_ids = old.filter(F.col("vec_id") % 2 == 0).select("vec_id")  # 50% > 0.2
+    dropped = {r["vec_id"] for r in drop_ids.collect()}
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    p = str(tmp_path / "pq_durable")
+    disk = similarity.build_pq_index(old, path=p)
+    # past-threshold remove WITHOUT the path: must stay tombstoned
+    removed = similarity.pq_index_remove(disk, drop_ids)  # path=None
+    assert removed.tombstones is not None
+    assert removed.path == p
+    # parquet untouched (still holds removed rows)
+    assert spark.read.parquet(p).count() == old.count()
+
+    # (2) re-adding a tombstoned id raises, and the dir is NOT mutated
+    n_files_before = len(spark.read.parquet(p).inputFiles())
+    with pytest.raises(ValueError, match="tombstoned"):
+        similarity.pq_index_add(removed, old.limit(0).unionByName(
+            emb.filter(F.col("vec_id").isin(*list(dropped)[:2]))
+        ), path=p)
+    assert len(spark.read.parquet(p).inputFiles()) == n_files_before
+
+    # (1) durable add of genuinely new ids: removed ids must NOT serve
+    grown = similarity.pq_index_add(removed, newer, path=p)
+    got = {
+        r["neighbor_id"]
+        for r in similarity.topk_pq(probes, index=grown, k=10).collect()
+    }
+    assert not (got & dropped)
+    # and the tombstone record survived the add for future removes
+    assert grown.tombstones is not None
+    grown.unpersist()

@@ -816,9 +816,11 @@ def test_stream_curation_batch_twin_parity_both_providers(spark, tmp_path):
         q.awaitTermination(120)
         out = spark.read.parquet(sink)
         # id-free projection: the duplicate pair's surviving id is
-        # arrival-order-dependent; everything else is content-determined
+        # arrival-order-dependent; everything else is content-determined.
+        # ts rides through curation untouched, so it must be non-null and
+        # inside the source's minute window (a real check, not a tautology)
         return sorted(
-            (r["text"], r["ts"].isoformat()[:16] is not None)
+            (r["text"], r["ts"] is not None and r["ts"].year == 2024)
             for r in out.select("text", "ts").collect()
         )
 
