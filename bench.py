@@ -58,6 +58,8 @@ HEADLINE = [
     "pii_redaction",
     "docs_repetition",
     "decontaminate",
+    # packed-sequence materialization (r6)
+    "sequence_chunks",
     # event-time windows
     "events_hourly",
     "events_sliding",
