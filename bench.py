@@ -166,7 +166,7 @@ def main() -> None:
         out = fn()
         return out, round(time.perf_counter() - t0, 3)
 
-    def split(build_fn, serve_fn):
+    def split(build_fn, serve_fn, remove_fn=None):
         idx, t_build = timed(build_fn)
         t_serve = None
         for _ in range(REPS):
@@ -177,14 +177,42 @@ def main() -> None:
                 .save()
             )
             t_serve = t if t_serve is None else min(t_serve, t)
-        idx.unpersist()
+        out = {"build": t_build, "serve": t_serve}
+        if remove_fn is not None:
+            # delete half of the lifecycle (r6): tombstone 10% of ids
+            # (below the compaction threshold — the steady-state shape),
+            # then serve the tombstoned index. Proves removal cost is one
+            # small-broadcast anti-join, not a rewrite, and serve stays
+            # flat against the live view.
+            removed, t_remove = timed(lambda: remove_fn(idx))
+            t_serve_rm = None
+            for _ in range(REPS):
+                _, t = timed(
+                    lambda: serve_fn(removed)
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+                t_serve_rm = t if t_serve_rm is None else min(t_serve_rm, t)
+            out["remove_10pct"] = t_remove
+            out["serve_tombstoned"] = t_serve_rm
+            # removed.unpersist() releases the tombstone set AND the
+            # original persisted table (it is the tombstones' base)
+            removed.unpersist()
+        else:
+            idx.unpersist()
         spark.catalog.clearCache()
-        return {"build": t_build, "serve": t_serve}
+        return out
+
+    drop10 = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
 
     ann_split = {
         "similarity_topk_pq": split(
             lambda: similarity.build_pq_index(emb),
             lambda idx: similarity.topk_pq(probes, index=idx),
+            remove_fn=lambda idx: similarity.pq_index_remove(
+                idx, drop10, persist=False
+            ),
         ),
         "similarity_topk_ivfpq": split(
             lambda: similarity.build_ivfpq_index(emb),
