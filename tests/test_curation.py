@@ -488,3 +488,76 @@ def test_materialize_chunks_every_token_exactly_once(spark, sf_dir):
         for doc_id in sorted(d for d in toks if d % N_SHARDS == shard and toks[d]):
             want.extend(toks[doc_id])
         assert stream == want, shard
+
+
+def test_materialize_chunks_property_random_corpora(spark):
+    """Property-based coverage for the chunk materialization: over random
+    corpora (token counts spanning empty → multi-window docs, arbitrary
+    ids incl. negatives for the pmod shard rule, random max_len/n_shards)
+    every token lands in exactly one chunk, every non-tail chunk is full,
+    and shard streams reconstruct exactly. Hypothesis drives the shapes;
+    the invariant checker is shared logic with the fixture test."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefg", min_size=1, max_size=4)
+
+    @st.composite
+    def corpus(draw):
+        n_docs = draw(st.integers(1, 12))
+        docs = []
+        used = set()
+        for _ in range(n_docs):
+            doc_id = draw(
+                st.integers(-50, 200).filter(lambda i: i not in used)
+            )
+            used.add(doc_id)
+            n_tok = draw(st.integers(0, 40))
+            words = [draw(word) for _ in range(n_tok)]
+            docs.append((doc_id, " ".join(words)))
+        max_len = draw(st.integers(1, 16))
+        n_shards = draw(st.integers(1, 4))
+        return docs, max_len, n_shards
+
+    @given(corpus())
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(case):
+        docs_rows, max_len, n_shards = case
+        df = spark.createDataFrame(docs_rows, "doc_id long, text string")
+        rows = curation.materialize_chunks(
+            df, "text", "doc_id", max_len=max_len, n_shards=n_shards
+        ).collect()
+        toks = {d: t.split() for d, t in docs_rows}
+
+        by_doc: dict = {}
+        tail: dict = {}
+        fill: dict = {}
+        for r in rows:
+            by_doc.setdefault(r["id"], []).append(r)
+            tail[r["shard"]] = max(tail.get(r["shard"], -1), r["chunk_in_shard"])
+            fill[r["chunk_uid"]] = fill.get(r["chunk_uid"], 0) + (
+                r["token_end"] - r["token_start"]
+            )
+            assert r["shard"] == r["id"] % n_shards  # python % == pmod
+        for doc_id, tk in toks.items():
+            if not tk:
+                assert doc_id not in by_doc
+                continue
+            slices = sorted(by_doc[doc_id], key=lambda r: r["token_start"])
+            assert slices[0]["token_start"] == 0
+            assert slices[-1]["token_end"] == len(tk)
+            for a, b in zip(slices, slices[1:]):
+                assert a["token_end"] == b["token_start"]
+            for s in slices:
+                assert s["chunk_text"] == " ".join(
+                    tk[s["token_start"] : s["token_end"]]
+                )
+        for r in rows:
+            if r["chunk_in_shard"] != tail[r["shard"]]:
+                assert fill[r["chunk_uid"]] == max_len
+
+    check()
