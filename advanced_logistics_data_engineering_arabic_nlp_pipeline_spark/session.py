@@ -72,12 +72,17 @@ def get_spark(
         # janino classes to fill the JVM's default 240 MB code cache; when it
         # fills, the JIT disables itself and hot aggregate/join loops drop to
         # interpreted bytecode (measured here as a ~9x single-task slowdown
-        # late in a 30-query session). Only effective when this process
-        # launches the JVM (driver-local mode); harmless otherwise.
+        # late in a 30-query session). 512m was the r3 fix; by r6 the
+        # registry's 74 query shapes at sf1 saturate THAT too — reproduced:
+        # docs_repetition (pure codegen expressions) ran 2.7 s in a fresh
+        # session but 6.2 s after 15 assorted queries with 512m, and 3.4 s
+        # with 1g. Reserved (virtual) memory only — committed grows with
+        # use; trivial on any real driver host. Only effective when this
+        # process launches the JVM (driver-local mode); harmless otherwise.
         .config(
             "spark.driver.extraJavaOptions",
             (
-                "-XX:ReservedCodeCacheSize=512m "
+                "-XX:ReservedCodeCacheSize=1g "
                 + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
             ).strip(),
         )
