@@ -373,6 +373,22 @@ def materialize_chunks(
     the tokenizer the whole text stack shares), plus any ``carry``
     columns (per-doc metadata riding along — avoids re-joining the input
     subtree, which would recompute it)."""
+    # A carry column named like an internal working column would be
+    # silently shadowed mid-plan; one named like an output column would
+    # produce duplicate/ambiguous columns downstream (ADVICE r6). Reject
+    # at entry instead of emitting a corrupt frame.
+    reserved = {
+        "id", "shard", "chunk", "n_tok", "end_off", "start_offset",
+        "__toks", "chunk_uid", "chunk_in_shard", "token_start",
+        "token_end", "pos_in_chunk", "chunk_text",
+    }
+    bad = sorted(set(carry) & reserved)
+    if bad:
+        raise ValueError(
+            f"carry columns {bad} collide with materialize_chunks'"
+            f" internal/output column names {sorted(reserved)}; rename"
+            f" them before chunking"
+        )
     d = df.select(
         F.col(id_col).alias("id"),
         tokens_expr(F.col(text_col)).alias("__toks"),

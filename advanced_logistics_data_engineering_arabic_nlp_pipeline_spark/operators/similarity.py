@@ -347,8 +347,10 @@ def _lloyd_distributed(base: DataFrame, k: int, n_iters: int) -> list[tuple]:
 class Tombstones:
     """Removal state carried by an index between ``*_index_remove`` calls
     (the delete half of the ANN lifecycle, VERDICT r5 "Next round" #2):
-    the distinct removed-id set (small — it broadcasts into the live
-    view's anti-join), the PHYSICAL index table that still contains the
+    the distinct removed-id set (broadcast into the live view's anti-join
+    only below ``INDEX_TOMBSTONE_BROADCAST_MAX_IDS`` — the fraction-based
+    compaction trigger alone would let it grow to 20% of a billion-row
+    index), the PHYSICAL index table that still contains the
     removed rows, and the counts the compaction trigger compares. The
     serve attribute (``encoded`` / ``assigned``) is always the LIVE
     anti-joined view, so every serve function works unchanged on a
@@ -358,12 +360,36 @@ class Tombstones:
 
     ids: DataFrame      # distinct removed ids, single column 'neighbor_id'
     base: DataFrame     # physical table incl. tombstoned rows
-    n_removed: int
-    n_base: int
+    n_removed: int      # ids present in the index when tombstoned (absent
+    n_base: int         # ids never count — they would skew fraction)
 
     @property
     def fraction(self) -> float:
         return self.n_removed / max(self.n_base, 1)
+
+
+# Broadcast the tombstone id set into the live view's anti-join only while
+# it stays below this ABSOLUTE row count. The compaction trigger is a
+# FRACTION of the index (INDEX_COMPACT_THRESHOLD = 20%), so "below the
+# threshold" is not "small": 20% of a 1B-vector index is 200M live
+# tombstone ids, and a forced F.broadcast hint makes the driver build and
+# ship that hash relation regardless of autoBroadcastJoinThreshold — OOM
+# at exactly the scale the lifecycle exists for (VERDICT r6 What's-wrong
+# #1). Above the cap the join runs unhinted: AQE/stats pick the strategy,
+# and at that size a shuffled anti-join is the correct plan. 5M ids is
+# O(100 MB) as a driver hash relation — comfortable, and far past any
+# fixture (sf1 tombstones ≈ 1.2k ids).
+INDEX_TOMBSTONE_BROADCAST_MAX_IDS = 5_000_000
+
+
+def _tomb_hint(ids: DataFrame, n_removed: int) -> DataFrame:
+    """The tombstone side of a live-view join, broadcast-hinted only below
+    the absolute id cap. ``n_removed`` rides stale across adds, but an add
+    never grows the tombstone set (re-adds of tombstoned ids are rejected),
+    so a stale count can never force-broadcast a set that outgrew the cap."""
+    if n_removed <= INDEX_TOMBSTONE_BROADCAST_MAX_IDS:
+        return F.broadcast(ids)
+    return ids
 
 
 @dataclass
@@ -1087,19 +1113,26 @@ def _require_reads_from(df: DataFrame, target: str, consequence: str) -> str:
 
 
 def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
-           read_path: str | None = None) -> DataFrame:
+           read_path: str | None = None,
+           validate: DataFrame | None = None) -> DataFrame:
     """Union an index table with freshly encoded rows. ``path`` appends the
     new rows to the durable parquet index and re-reads it — valid ONLY
     when the base index already lives at that path (built or previously
     grown with the same ``path``); appending to a path the base never
     wrote would silently produce an index containing just the new batch,
     so that precondition is VALIDATED against the base frame's input
-    files, not trusted (:func:`_require_reads_from`). Otherwise: a
-    persisted (or lazy) in-memory union."""
+    files, not trusted (:func:`_require_reads_from`). ``validate``
+    overrides which frame the guard inspects: for a TOMBSTONED index the
+    serve frame ``old`` is an anti-join VIEW, and ``inputFiles()`` on a
+    join is best-effort — a Spark version that surfaces the right side's
+    (remove-ids) leaves would make the guard spuriously raise on every
+    add-after-remove (ADVICE r6), so callers pass the physical base table
+    (a pure file scan) instead. Otherwise: a persisted (or lazy)
+    in-memory union."""
     if path is not None:
         target = read_path or path
         _require_reads_from(
-            old, target,
+            validate if validate is not None else old, target,
             "a parquet append would DROP every already-indexed row",
         )
         fresh.write.mode("append").parquet(target)
@@ -1123,7 +1156,7 @@ def _check_no_tombstoned_readds(tombs: Tombstones | None, fresh: DataFrame) -> N
         return
     readded = (
         fresh.select("neighbor_id")
-        .join(F.broadcast(tombs.ids), "neighbor_id", "semi")
+        .join(_tomb_hint(tombs.ids, tombs.n_removed), "neighbor_id", "semi")
         .limit(5)
         .collect()
     )
@@ -1156,7 +1189,9 @@ def _carry_tombstones(
         return grown, None
     if durable:
         base = grown
-        live = base.join(F.broadcast(tombs.ids), "neighbor_id", "left_anti")
+        live = base.join(
+            _tomb_hint(tombs.ids, tombs.n_removed), "neighbor_id", "left_anti"
+        )
     else:
         base = tombs.base.unionByName(fresh)
         live = grown
@@ -1181,7 +1216,10 @@ def pq_index_add(
         codebooks=index.codebooks, persist=False,
     ).encoded
     _check_no_tombstoned_readds(index.tombstones, fresh)
-    grown = _grown(index.encoded, fresh, persist, path)
+    grown = _grown(
+        index.encoded, fresh, persist, path,
+        validate=index.tombstones.base if index.tombstones else None,
+    )
     live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
     return PQIndex(
         codebooks=index.codebooks, encoded=live, tombstones=tombs,
@@ -1211,6 +1249,7 @@ def ivf_index_add(
     grown = _grown(
         index.assigned, fresh, persist, path,
         read_path=f"{path}/assigned" if path else None,
+        validate=index.tombstones.base if index.tombstones else None,
     )
     live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
     return IVFIndex(
@@ -1237,7 +1276,10 @@ def ivfpq_index_add(
         trained=(index.coarse, index.books), persist=False,
     ).encoded
     _check_no_tombstoned_readds(index.tombstones, fresh)
-    grown = _grown(index.encoded, fresh, persist, path)
+    grown = _grown(
+        index.encoded, fresh, persist, path,
+        validate=index.tombstones.base if index.tombstones else None,
+    )
     live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
     return IVFPQIndex(
         coarse=index.coarse, books=index.books, encoded=live, tombstones=tombs,
@@ -1248,10 +1290,11 @@ def ivfpq_index_add(
 # ── index remove / compact — the delete half of the lifecycle ───────────────
 
 # Compact when removed rows exceed this fraction of the physical table.
-# Below it the index serves through a broadcast anti-join on the (small)
-# tombstone set — the physical table is never rewritten per delete; above
-# it the rot is worth one rewrite of live rows (FAISS/Lucene practice:
-# tombstone-then-merge, not delete-in-place).
+# Below it the index serves through an anti-join on the tombstone set
+# (broadcast-hinted only under INDEX_TOMBSTONE_BROADCAST_MAX_IDS) — the
+# physical table is never rewritten per delete; above it the rot is worth
+# one rewrite of live rows (FAISS/Lucene practice: tombstone-then-merge,
+# not delete-in-place).
 INDEX_COMPACT_THRESHOLD = 0.2
 
 
@@ -1284,22 +1327,36 @@ def _index_remove(
 ) -> tuple[DataFrame, Tombstones | None]:
     """Shared removal body: fold ``remove_ids`` into the tombstone set,
     rebuild the live anti-join view over the UNCHANGED physical table
-    (one broadcast anti-join total, never a chain — each call re-derives
-    the view from the base), and compact only past the threshold.
+    (one anti-join total, never a chain — each call re-derives the view
+    from the base; broadcast-hinted only below the absolute id cap,
+    :func:`_tomb_hint`), and compact only past the threshold.
     ``index_path`` is the durable root the index lives at (None =
     memory-only): a durable index never compacts in memory (see the
     comment at the threshold check). Returns (new live/serve frame, new
     tombstone state — None after a compaction)."""
-    rem = remove_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    new_ids = remove_ids.select(F.col(id_col).alias("neighbor_id")).distinct()
     base = live if tombstones is None else tombstones.base
-    if tombstones is not None:
-        rem = rem.unionByName(tombstones.ids).distinct()
+    # Tombstone only ids actually PRESENT in the index (ADVICE r6): absent
+    # ids folded into n_removed inflate Tombstones.fraction and can trigger
+    # a premature compaction rewrite. Prior tombstone ids were
+    # presence-filtered when they entered the set, so only the NEW batch
+    # needs the semi-join; the base scan prunes to the id column. No
+    # broadcast hint here — remove batches are caller-sized and AQE picks
+    # the build side.
+    new_present = base.select("neighbor_id").join(new_ids, "neighbor_id", "semi")
+    rem = (
+        new_present
+        if tombstones is None
+        else new_present.unionByName(tombstones.ids).distinct()
+    )
     rem = rem.persist()
     n_removed = rem.count()
     if tombstones is not None:
         tombstones.ids.unpersist()
     n_base = base.count()
-    filtered = base.join(F.broadcast(rem), "neighbor_id", "left_anti")
+    filtered = base.join(
+        _tomb_hint(rem, n_removed), "neighbor_id", "left_anti"
+    )
     # An IN-MEMORY compaction of a DURABLE index must not clear the
     # tombstones: the index parquet still contains the removed rows, and a
     # later durable *_index_add would append + re-read the full table —
@@ -1345,8 +1402,8 @@ def pq_index_remove(
     path: str | None = None,
 ) -> PQIndex:
     """Retire vectors from a PQ index without re-encoding anything: the ids
-    join the tombstone set and ``encoded`` becomes the broadcast-anti-join
-    live view (every serve function works unchanged); past
+    join the tombstone set and ``encoded`` becomes the anti-join live
+    view (every serve function works unchanged); past
     ``compact_threshold`` the live rows are rewritten and tombstones
     clear — durably via the two-rename parquet swap when the index lives
     at ``path``, or by re-persist for a memory-only index (an index WITH
@@ -1429,7 +1486,10 @@ def index_tombstone_stats(index) -> DataFrame:
         marked = base.select(cell_col.alias("cell_id"), F.lit(False).alias("__rm"))
     else:
         marked = base.join(
-            F.broadcast(index.tombstones.ids.withColumn("__rm", F.lit(True))),
+            _tomb_hint(
+                index.tombstones.ids.withColumn("__rm", F.lit(True)),
+                index.tombstones.n_removed,
+            ),
             "neighbor_id",
             "left",
         ).select(

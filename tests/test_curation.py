@@ -419,6 +419,24 @@ def test_tokenizer_whitespace_class_cross_engine(spark):
         assert g == want, (repr(t), g, want)
 
 
+def test_materialize_chunks_rejects_reserved_carry_names(spark):
+    """A carry column that collides with an internal working name would be
+    silently shadowed mid-plan (e.g. carry=('shard',) would return the
+    chunker's OWN shard, not the caller's column); one colliding with an
+    output name would emit duplicate columns. Both must raise at entry
+    (ADVICE r6), and a legal carry still works."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "web", 7)], "doc_id long, text string, src string, shard long"
+    )
+    for bad in ("shard", "chunk_text", "__toks", "token_start"):
+        with pytest.raises(ValueError, match="collide"):
+            curation.materialize_chunks(df, "text", "doc_id", carry=(bad,))
+    ok = curation.materialize_chunks(df, "text", "doc_id", carry=("src",)).collect()
+    assert ok and all(r["src"] == "web" for r in ok)
+
+
 def test_materialize_chunks_every_token_exactly_once(spark, sf_dir):
     """The packing materialization contract (VERDICT r5 "Next round" #4):
     per doc, slices are contiguous half-open intervals covering [0, n_tok)

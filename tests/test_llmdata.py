@@ -1290,6 +1290,93 @@ def test_ann_index_remove_matches_rebuild_and_add_roundtrip(spark, sf_dir):
     survivors.unpersist()
 
 
+def test_ann_tombstone_broadcast_absolute_cap(spark, sf_dir, monkeypatch):
+    """A tombstone set above INDEX_TOMBSTONE_BROADCAST_MAX_IDS must NOT be
+    force-broadcast into the live view's anti-join (VERDICT r6 What's-wrong
+    #1: 20% of a 1B-row index is ~200M ids — a forced F.broadcast hint
+    ships that as a driver hash relation regardless of
+    autoBroadcastJoinThreshold). Above the cap, with auto-broadcast
+    disabled, the anti-join plans WITHOUT a BroadcastExchange; below it the
+    hint still applies. Serve results are identical either way."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    drop_ids = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    probes = emb.filter(F.col("vec_id") < 5)
+
+    def live_plan(idx):
+        return idx.encoded._jdf.queryExecution().executedPlan().toString()
+
+    base = similarity.build_pq_index(emb)
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        for k in old:
+            spark.conf.set(k, "-1")
+        # below the cap (default): hint forces the broadcast even with
+        # auto-broadcast off
+        hinted = similarity.pq_index_remove(base, drop_ids)
+        assert "BroadcastExchange" in live_plan(hinted)
+        want = sorted(map(tuple, similarity.topk_pq(probes, index=hinted).collect()))
+        hinted.unpersist()
+        # above the cap: no forced hint -> shuffled anti-join
+        monkeypatch.setattr(similarity, "INDEX_TOMBSTONE_BROADCAST_MAX_IDS", 0)
+        unhinted = similarity.pq_index_remove(base, drop_ids)
+        assert unhinted.tombstones is not None
+        assert "BroadcastExchange" not in live_plan(unhinted)
+        got = sorted(map(tuple, similarity.topk_pq(probes, index=unhinted).collect()))
+        assert got == want
+        unhinted.unpersist()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    base.unpersist()
+
+
+def test_ann_remove_absent_ids_never_counted(spark, sf_dir):
+    """Removing ids that are not in the index must not inflate n_removed
+    (ADVICE r6): repeated absent-id removes keep fraction at 0 and never
+    trigger compaction; a mixed batch counts only the present ids."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    absent = emb.select((F.col("vec_id") + 10_000_000).alias("vec_id"))
+    present = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    n_present = present.count()
+
+    idx = similarity.build_pq_index(emb)
+    r1 = similarity.pq_index_remove(idx, absent)
+    assert r1.tombstones is not None and r1.tombstones.n_removed == 0
+    assert r1.tombstones.fraction == 0.0
+    # absent ids again (the repeated-remove inflation path), plus a real set
+    r2 = similarity.pq_index_remove(r1, absent.unionByName(present))
+    assert r2.tombstones is not None
+    assert r2.tombstones.n_removed == n_present
+    # serve matches an index over the survivors
+    surv = similarity.build_pq_index(
+        emb.filter(F.col("vec_id") % 10 != 7), codebooks=idx.codebooks
+    )
+    probes = emb.filter(F.col("vec_id") < 5)
+    assert sorted(map(tuple, similarity.topk_pq(probes, index=r2).collect())) == sorted(
+        map(tuple, similarity.topk_pq(probes, index=surv).collect())
+    )
+    r2.unpersist(); surv.unpersist(); idx.unpersist()
+
+
 def test_ann_index_compaction_and_per_cell_stats(spark, sf_dir, tmp_path):
     """Crossing the compaction threshold rewrites the physical table to
     live rows only and clears tombstones — durably (two-rename swap on the
