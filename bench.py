@@ -58,8 +58,11 @@ HEADLINE = [
     "pii_redaction",
     "docs_repetition",
     "decontaminate",
-    # packed-sequence materialization (r6)
+    # packed-sequence materialization (r6) + the shipped training artifact
+    # (r7 — VERDICT r6 bench-coverage gap: the chunked export is what a
+    # training job actually reads, so it gets a headline entry)
     "sequence_chunks",
+    "training_export_chunks",
     # event-time windows
     "events_hourly",
     "events_sliding",
@@ -128,7 +131,9 @@ def main() -> None:
     # pass 2 measures a warm JVM, not reused results; pass-1 timings are
     # reported under cold_queries so the one-time compile cost stays
     # visible.
-    REPS = 2
+    REPS = 3  # r7: ≥2 merged runs required; a third pass tightens the min
+    # against session-wide drift (the committed r6 record was a uniformly
+    # slow session — VERDICT r6 What's-wrong #4)
     present = [n for n in HEADLINE if n in queries]
     cold_timings = {n: run_once(n) for n in present}
     timings = dict(cold_timings)
@@ -217,6 +222,9 @@ def main() -> None:
         "similarity_topk_ivfpq": split(
             lambda: similarity.build_ivfpq_index(emb),
             lambda idx: similarity.topk_ivfpq(probes, index=idx),
+            remove_fn=lambda idx: similarity.ivfpq_index_remove(
+                idx, drop10, persist=False
+            ),
         ),
         "similarity_topk_ivf_kmeans": split(
             lambda: similarity.build_ivf_index(
@@ -226,6 +234,9 @@ def main() -> None:
                 ).select("centroid_id", F.col("cv").alias("embedding")),
             ),
             lambda idx: similarity.topk_ivf(probes, index=idx),
+            remove_fn=lambda idx: similarity.ivf_index_remove(
+                idx, drop10, persist=False
+            ),
         ),
     }
 
@@ -279,6 +290,13 @@ def main() -> None:
         "stress": stress,
         "ann_split": ann_split,
         "reps": REPS,
+        # Per-query number = MIN over REPS full interleaved passes (each
+        # query's reps are minutes apart, so one host stall window cannot
+        # poison both) — the same min-merge discipline tools/sf1_bench.py
+        # applies across invocations (VERDICT r6 What's-wrong #4: a single
+        # slow session must not masquerade as a regression; cross-check
+        # cold-pass timings in BENCH_DIAG.json).
+        "methodology": f"per-query min of {REPS} interleaved full passes",
         "vintage": vintage,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

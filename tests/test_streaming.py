@@ -772,14 +772,16 @@ def test_landing_mid_batch_empty_page_no_double_count(tmp_path):
 
 def test_stream_curation_batch_twin_parity_both_providers(spark, tmp_path):
     """The composed streaming curation pass (run_stream_curation: content-
-    fingerprint exact dedup → repetition gate → PII redaction) must equal
-    its batch twin — the SAME expressions over the fingerprint-deduped
-    rows — under BOTH state-store providers, and the providers must agree
-    with each other (VERDICT r5 "Next round" #7). The synthetic corpus
+    fingerprint exact dedup → repetition gate → eval decontamination → PII
+    redaction) must equal its batch twin — the SAME expressions over the
+    fingerprint-deduped rows — under BOTH state-store providers, and the
+    providers must agree with each other (VERDICT r5 "Next round" #7; the
+    decontamination stage is VERDICT r6 Missing #1). The synthetic corpus
     plants one text-identical duplicate pair (distinct ids — the kept
     representative is arrival-order-dependent, so parity compares the
-    id-free projection), one hyper-repetitive doc the gate must drop, and
-    PII the redaction must strip."""
+    id-free projection), one hyper-repetitive doc the gate must drop, one
+    doc sharing a 3-shingle with the eval set (decontamination must drop
+    it), and PII the redaction must strip."""
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import curation
 
     base1 = ("the quick brown fox jumps over a lazy dog near one wide river"
@@ -798,11 +800,22 @@ def test_stream_curation_batch_twin_parity_both_providers(spark, tmp_path):
              " covering revenue forecasts regional growth hiring plans marketing"
              " spend and product roadmap decisions made earlier"), "2024-01-01 10:04:00"),
         (6, "", "2024-01-01 10:05:00"),  # zero tokens: gate drops
+        # leaks the eval doc's "benchmark answer key follows" shingle run:
+        # decontamination must drop it even though every other gate passes
+        (7, ("this otherwise varied and perfectly acceptable training document"
+             " quietly embeds the benchmark answer key follows sequence from a"
+             " held out evaluation example among its many other unique tokens"),
+         "2024-01-01 10:06:00"),
+    ]
+    eval_docs = [
+        (900, ("benchmark answer key follows for the held out split"
+               " which training corpora must never contain verbatim"))
     ]
     src = str(tmp_path / "cur_src")
     spark.createDataFrame(docs, "doc_id long, text string, ts string").withColumn(
         "ts", F.col("ts").cast("timestamp")
     ).write.mode("overwrite").parquet(src)
+    eval_df = spark.createDataFrame(eval_docs, "doc_id long, text string")
 
     def drive(provider: str):
         sink = str(tmp_path / f"cur_sink_{provider}")
@@ -811,7 +824,7 @@ def test_stream_curation_batch_twin_parity_both_providers(spark, tmp_path):
             "doc_id long, text string, ts timestamp"
         ).parquet(src)
         q = pipeline.run_stream_curation(
-            stream, sink, ckpt, state_store=provider
+            stream, sink, ckpt, state_store=provider, eval_df=eval_df
         )
         q.awaitTermination(120)
         out = spark.read.parquet(sink)
@@ -827,22 +840,42 @@ def test_stream_curation_batch_twin_parity_both_providers(spark, tmp_path):
     results = {p: drive(p) for p in ("hdfs", "rocksdb")}
     assert results["hdfs"] == results["rocksdb"]
 
-    # batch twin: same exprs over one-row-per-fingerprint
+    # batch twin: same exprs over one-row-per-fingerprint, decontaminate
+    # in ledger order (repetition → contaminated) before redaction
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.textanalysis import fingerprint
 
-    batch = (
+    gated = (
         spark.read.parquet(src)
         .withColumn("__fp", fingerprint(F.col("text")))
         .dropDuplicates(["__fp"])
         .where(curation.repetition_keep_expr(F.col("text")))
-        .withColumn("text", curation.redact_pii_expr(F.col("text")))
+    )
+    contam = (
+        curation.decontaminate(gated, eval_df, "text", "doc_id")
+        .filter(F.col("contaminated"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    batch = gated.join(contam, "doc_id", "anti").withColumn(
+        "text", curation.redact_pii_expr(F.col("text"))
     )
     want = sorted((r["text"], True) for r in batch.select("text").collect())
     assert results["hdfs"] == want
     texts = [t for t, _ in want]
     assert any("<EMAIL>" in t for t in texts)  # redaction actually fired
     assert not any("spam" in t for t in texts)  # gate actually dropped
-    assert len(texts) == 3  # docs 1/3 collapsed, 4 and 6 gated, 2 + 5 kept
+    assert not any("answer key" in t for t in texts)  # decontam actually fired
+    assert len(texts) == 3  # 1/3 collapsed, 4+6 gated, 7 contaminated, 2+5 kept
+
+    # without an eval set the stage is absent: doc 7 survives
+    sink = str(tmp_path / "cur_sink_noeval")
+    q = pipeline.run_stream_curation(
+        spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src),
+        sink, str(tmp_path / "cur_ckpt_noeval"),
+    )
+    q.awaitTermination(120)
+    no_eval_texts = [r["text"] for r in spark.read.parquet(sink).collect()]
+    assert any("answer key" in t for t in no_eval_texts)
+    assert len(no_eval_texts) == 4
 
 
 def test_repetition_keep_expr_matches_stats_frame(spark, sf_dir):
