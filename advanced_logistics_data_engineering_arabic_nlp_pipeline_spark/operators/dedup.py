@@ -344,12 +344,19 @@ def winnow_pairs(
         # time; the count-agg form keeps the original single full-row
         # shuffle into collect_list. Same output either way
         # (parity-pytested with a tiny bound forcing both paths).
+        # tiny by construction (fps with df > bound); cached because THREE
+        # consumers reference it (anti-join, semi-join — each a separate
+        # broadcast materialization that would re-run the count aggregate
+        # over the fingerprint frame)
         hot_fps = (
             fp.groupBy("fp")
             .agg(F.count("*").alias("df_cnt"))
             .filter(F.col("df_cnt") > agg_pair_max_df)
             .select("fp")
+            .cache()
         )
+        if caches_out is not None:
+            caches_out.append(hot_fps)
         grouped = (
             fp.join(F.broadcast(hot_fps), "fp", "left_anti")
             .groupBy("fp")
