@@ -654,6 +654,50 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 3) ->
     return exploded.groupBy("id").agg(sig)
 
 
+def band_rows(sigs: DataFrame) -> DataFrame:
+    """(id, band, bucket) LSH band rows from ``(id, sig)`` MinHash
+    signatures: each signature splits into ``N_BANDS`` bands of
+    ``ROWS_PER_BAND`` components, hashed to one 64-bit bucket per band.
+    Two docs are same-bucket candidates in a band iff that band's
+    components are ALL equal (standard banding, MMDS ch.3). Shared by
+    :func:`minhash_lsh_pairs` (batch) and the streaming near-dup gate
+    (streaming/pipeline.py), so the candidate space is identical in both —
+    a pair straddling a micro-batch boundary sees the same buckets a
+    within-batch pair does."""
+    return sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda bnd: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        bnd,
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"), bnd * ROWS_PER_BAND + 1, ROWS_PER_BAND
+                            ),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def minhash_estimate_expr(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard from two MinHash signatures: the fraction of
+    equal components (the unbiased estimator the signatures exist for,
+    MMDS §3.3.3 — stderr ≈ sqrt(J(1-J)/64) ≈ 0.06 at J=0.5). Used where
+    the RAW shingle sets are out of reach by design: the streaming
+    near-dup gate verifies a new doc against historical keepers whose
+    retained state is 64 longs each, not their text."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v)
+    ) / F.lit(float(N_HASHES))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -678,24 +722,7 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col).alias("id"), shingles_expr(F.col(text_col), k).alias("sh")
     )
-    bands = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda bnd: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        bnd,
-                        F.concat_ws(
-                            ",",
-                            F.slice(F.col("sig"), bnd * ROWS_PER_BAND + 1, ROWS_PER_BAND),
-                        ),
-                    )
-                ),
-            )
-        ).alias("band", "bucket"),
-    )
+    bands = band_rows(sigs)
     cand = (
         bands.alias("x")
         .join(

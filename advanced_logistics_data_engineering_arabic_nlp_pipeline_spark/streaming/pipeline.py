@@ -366,6 +366,166 @@ def run_upsert_latest(
         )
 
 
+def _neardup_gate(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    text_col: str,
+    id_col: str,
+    ts_col: str,
+    threshold: float,
+    k: int,
+) -> tuple[DataFrame, list[DataFrame]]:
+    """One micro-batch of streaming MinHash-LSH near-dup dedup: drop batch
+    docs near-duplicate to HISTORICAL keepers, then collapse near-dup
+    clusters WITHIN the batch (earliest ``(ts, id)`` keeps), then register
+    the survivors in the durable index. Returns the filtered frame plus the
+    cached frames for the caller to unpersist after its terminal write.
+
+    State shape — the whole point: a keeper's retained state is its 64-long
+    MinHash signature plus 16 (band, bucket) rows, NOT its text or shingle
+    set, so the index grows ~0.6 KB/doc regardless of document size.
+    Candidate generation joins the SMALL batch side (broadcast) against the
+    index scan; verification is :func:`minhash_estimate_expr` over the
+    candidate pairs only. At 100 TB the per-batch parquet scan of the band
+    index is the portable fallback shape — production swaps the band index
+    for a KV/state-store point-lookup keyed by (band, bucket); the
+    semantics and the per-doc state bound are identical.
+
+    Semantics note (documented, pytested): cross-batch drops are GREEDY —
+    a doc is dropped iff it estimates ≥ ``threshold`` against an
+    already-accepted keeper — while the within-batch stage collapses whole
+    connected components. For a transitive chain A≈B≈C with A̸≈C split
+    across batches, greedy keeps C (B never became a keeper) where a batch
+    CC pass would drop it: online clustering cannot see forward. Direct
+    duplicate pairs (the overwhelming near-dup mass) get the same verdict
+    in both shapes, batch-boundary placement included, because candidates
+    and the estimator are shared with the batch operator
+    (:func:`~..operators.dedup.band_rows`).
+
+    Idempotence: index writes land under ``batch=<id>`` with overwrite,
+    and history reads filter ``batch < batch_id`` — a re-delivered batch
+    neither doubles its keepers nor collides with its own index entries."""
+    import os
+
+    from ..operators.dedup import (
+        band_rows,
+        connected_components,
+        minhash_estimate_expr,
+        minhash_signatures,
+    )
+
+    spark = batch_df.sparkSession
+    bands_dir = os.path.join(index_dir, "bands")
+    sigs_dir = os.path.join(index_dir, "sigs")
+
+    sigs = minhash_signatures(batch_df, text_col, id_col, k).persist()
+    caches = [sigs]
+
+    def _past(base: str) -> DataFrame | None:
+        if not os.path.isdir(base):
+            return None
+        parts = [d for d in os.listdir(base) if d.startswith("batch=")]
+        if not any(int(d.split("=", 1)[1]) < batch_id for d in parts):
+            return None
+        return (
+            spark.read.option("basePath", base)
+            .parquet(base)
+            .filter(F.col("batch") < batch_id)
+        )
+
+    hist_bands = _past(bands_dir)
+    live = batch_df
+    sigs_live = sigs
+    if hist_bands is not None:
+        hist_sigs = _past(sigs_dir)
+        cand = (
+            hist_bands.join(
+                F.broadcast(
+                    band_rows(sigs).withColumnRenamed("id", "new_id")
+                ),
+                ["band", "bucket"],
+            )
+            .select("id", "new_id")
+            .distinct()
+        )
+        dropped = (
+            cand.join(hist_sigs.withColumnRenamed("sig", "sig_k"), "id")
+            .join(
+                F.broadcast(
+                    sigs.select(
+                        F.col("id").alias("new_id"), F.col("sig").alias("sig_n")
+                    )
+                ),
+                "new_id",
+            )
+            .filter(
+                minhash_estimate_expr(F.col("sig_k"), F.col("sig_n"))
+                >= threshold
+            )
+            .select(F.col("new_id").alias("id"))
+            .distinct()
+            .persist()
+        )
+        caches.append(dropped)
+        live = batch_df.join(
+            dropped.withColumnRenamed("id", id_col), id_col, "anti"
+        )
+        sigs_live = sigs.join(dropped, "id", "anti")
+
+    # within-batch: same candidates + estimator, whole clusters collapse
+    # to the earliest (ts, id) member (the batch pipeline's CC semantics)
+    b_live = band_rows(sigs_live)
+    cand_in = (
+        b_live.alias("x")
+        .join(
+            b_live.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = (
+        cand_in.join(
+            sigs_live.select(F.col("id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sigs_live.select(F.col("id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .filter(minhash_estimate_expr(F.col("sa"), F.col("sb")) >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(pairs)
+    keep = (
+        live.select(F.col(id_col).alias("id"), F.col(ts_col).alias("__ts"))
+        .join(comps, "id")
+        .groupBy("cluster_id")
+        .agg(F.min_by("id", F.struct("__ts", "id")).alias("keep_id"))
+    )
+    drop_in = (
+        comps.join(keep, "cluster_id")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    live = live.join(drop_in, id_col, "anti")
+
+    # register this batch's near-dup survivors (overwrite: idempotent)
+    surv_sigs = sigs_live.join(
+        live.select(F.col(id_col).alias("id")), "id", "semi"
+    )
+    surv_sigs.select("id", "sig").write.mode("overwrite").parquet(
+        f"{sigs_dir}/batch={batch_id}"
+    )
+    band_rows(surv_sigs).write.mode("overwrite").parquet(
+        f"{bands_dir}/batch={batch_id}"
+    )
+    return live, caches
+
+
 def run_stream_curation(
     stream: DataFrame,
     sink_dir: str,
@@ -377,11 +537,15 @@ def run_stream_curation(
     state_store: str | None = None,
     eval_df: DataFrame | None = None,
     decontam_k: int = 3,
+    neardup_threshold: float | None = None,
+    neardup_index_dir: str | None = None,
+    neardup_k: int = 3,
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
-    curation pass composed over a stream — exact dedup, repetition gate,
-    eval-set decontamination, PII redaction — so a 100 TB pipeline curates
-    documents on ARRIVAL instead of in monthly batch sweeps.
+    curation pass composed over a stream — exact dedup, near-dup dedup
+    (opt-in), repetition gate, eval-set decontamination, PII redaction —
+    so a 100 TB pipeline curates documents on ARRIVAL instead of in
+    monthly batch sweeps.
 
     Stage map, and where each runs:
 
@@ -391,12 +555,19 @@ def run_stream_curation(
        stage, ``dropDuplicatesWithinWatermark`` so key state is bounded by
        the watermark horizon, honoring the session's ``state_store``
        provider (hdfs/rocksdb — output parity pytested under both).
-    2. foreachBatch: repetition gate via ``repetition_keep_expr`` (a
+    2. foreachBatch: when ``neardup_threshold`` is given, the streaming
+       MinHash-LSH near-dup gate first (ledger order — near_dup sits
+       between exact and repetition), via :func:`_neardup_gate`: batch
+       docs are checked against a durable band/signature index of every
+       keeper accepted so far (0.6 KB of state per keeper, never the
+       text), then within-batch clusters collapse to their earliest
+       member. Then the repetition gate via ``repetition_keep_expr`` (a
        single Column — the micro-batch frame is scanned ONCE; gating on
        the RAW text, like the batch pipeline), then — when ``eval_df`` is
        given — eval-set decontamination (VERDICT r6 Missing #1: a
        continuously-ingested corpus is exactly where eval contamination
-       sneaks in), then PII redaction of the survivors' text. All
+       sneaks in), then PII redaction of the survivors' text. Beyond the
+       near-dup index (append-only, per-batch idempotent) these are
        stateless expressions/joins, so running them per micro-batch is
        definitionally the batch semantics — the parity twin is literally
        the same exprs over the same rows.
@@ -415,9 +586,17 @@ def run_stream_curation(
     re-delivered batch after a crash overwrites its own directory, making
     the at-least-once foreachBatch side effect idempotent (exactly-once
     sink contents without a merge pass; readers just read ``sink_dir``)."""
+    import os
+
     from ..operators.curation import redact_pii_expr, repetition_keep_expr
     from ..operators.dedup import shingle_rows, shingles_expr
     from ..operators.textanalysis import fingerprint
+
+    nd_index_dir = None
+    if neardup_threshold is not None:
+        nd_index_dir = neardup_index_dir or os.path.join(
+            sink_dir, ".neardup_index"
+        )
 
     ev_dict = None
     if eval_df is not None:
@@ -437,19 +616,35 @@ def run_stream_curation(
     )
 
     def _curate(batch_df: DataFrame, batch_id: int) -> None:
-        out = batch_df.where(repetition_keep_expr(F.col(text_col)))
-        if ev_dict is not None:
-            contaminated = (
-                shingle_rows(out, text_col, id_col, decontam_k)
-                .join(F.broadcast(ev_dict), "sh", "semi")
-                .select(F.col("id").alias(id_col))
-                .distinct()
-            )
-            out = out.join(contaminated, id_col, "anti")
-        out = out.withColumn(text_col, redact_pii_expr(F.col(text_col))).drop(
-            "__fp"
-        )
-        out.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
+        caches: list[DataFrame] = []
+        try:
+            if nd_index_dir is not None:
+                batch_df, caches = _neardup_gate(
+                    batch_df,
+                    batch_id,
+                    nd_index_dir,
+                    text_col,
+                    id_col,
+                    ts_col,
+                    neardup_threshold,
+                    neardup_k,
+                )
+            out = batch_df.where(repetition_keep_expr(F.col(text_col)))
+            if ev_dict is not None:
+                contaminated = (
+                    shingle_rows(out, text_col, id_col, decontam_k)
+                    .join(F.broadcast(ev_dict), "sh", "semi")
+                    .select(F.col("id").alias(id_col))
+                    .distinct()
+                )
+                out = out.join(contaminated, id_col, "anti")
+            out = out.withColumn(
+                text_col, redact_pii_expr(F.col(text_col))
+            ).drop("__fp")
+            out.write.mode("overwrite").parquet(f"{sink_dir}/batch={batch_id}")
+        finally:
+            for c in caches:
+                c.unpersist()
 
     with _state_store_conf(stream.sparkSession, state_store):
         return (

@@ -906,3 +906,205 @@ def test_repetition_keep_expr_matches_stats_frame(spark, sf_dir):
         else:
             assert k is False, doc_id  # dropped by frame == gated by expr
     assert expr_keep[100002] is False and expr_keep[100003] is False
+
+
+# ---------------------------------------------------------------------------
+# streaming near-dup gate (r7): MinHash-LSH dedup against a durable
+# band/signature index — state per keeper is 64 longs + 16 band rows,
+# never the text.
+
+
+def _block(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i:02d}" for i in range(n))
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """The signature estimator (fraction of equal components) must track
+    exact shingle Jaccard within the 64-hash error bound on planted pairs:
+    identical → 1.0 exactly, ~84%-overlap near-dup within ±0.15, disjoint
+    → below 0.2 (deterministic given the fixed MINHASH_COEFFS seed)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    a = _block("w", 40)
+    near = " ".join(a.split()[:-2] + ["zzz1", "zzz2"])
+    other = _block("q", 40)
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (3, near), (4, other)], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        dedup.shingles_expr(F.col("text"), 3).alias("sh"),
+    )
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    pdf = spark.createDataFrame(pairs, "ia long, ib long")
+    both = (
+        pdf.join(sigs.select(F.col("id").alias("ia"), F.col("sig").alias("sa")), "ia")
+        .join(sigs.select(F.col("id").alias("ib"), F.col("sig").alias("sb")), "ib")
+        .join(sh.select(F.col("id").alias("ia"), F.col("sh").alias("ha")), "ia")
+        .join(sh.select(F.col("id").alias("ib"), F.col("sh").alias("hb")), "ib")
+        .select(
+            "ia", "ib",
+            dedup.minhash_estimate_expr(F.col("sa"), F.col("sb")).alias("est"),
+            (
+                F.size(F.array_intersect("ha", "hb"))
+                / F.size(F.array_union("ha", "hb"))
+            ).alias("exact"),
+        )
+    )
+    got = {(r["ia"], r["ib"]): (r["est"], r["exact"]) for r in both.collect()}
+    assert got[(1, 2)][0] == 1.0 and got[(1, 2)][1] == 1.0
+    est13, exact13 = got[(1, 3)]
+    assert exact13 > 0.7 and abs(est13 - exact13) <= 0.15
+    assert got[(1, 4)][0] < 0.2 and got[(1, 4)][1] == 0.0
+
+
+def test_stream_neardup_gate_cross_and_within_batch(spark, tmp_path):
+    """Driving _neardup_gate directly with controlled batches: a within-
+    batch near-dup collapses to the earliest (ts, id); a later batch's
+    near-dup of an accepted keeper is dropped via the durable index; a
+    re-delivered batch (at-least-once) overwrites its own index entries
+    instead of doubling them and reproduces the same survivors."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.streaming.pipeline import _neardup_gate
+
+    idx = str(tmp_path / "nd_idx")
+    a = _block("a", 40)
+    a_near = " ".join(a.split()[:-2] + ["tail1", "tail2"])  # ~84% Jaccard
+    c = _block("c", 40)
+    d_near = " ".join(a.split()[:-3] + ["oth1", "oth2", "oth3"])
+    e = _block("e", 40)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    b0 = frame([
+        (1, a, "2024-01-01 10:00:00"),
+        (2, a_near, "2024-01-01 10:01:00"),  # within-batch dup of 1: drop
+        (3, c, "2024-01-01 10:02:00"),
+    ])
+    live0, caches = _neardup_gate(b0, 0, idx, "text", "doc_id", "ts", 0.6, 3)
+    kept0 = sorted(r["doc_id"] for r in live0.select("doc_id").collect())
+    for cc in caches:
+        cc.unpersist()
+    assert kept0 == [1, 3]
+    assert os.path.isdir(f"{idx}/bands/batch=0")
+    assert os.path.isdir(f"{idx}/sigs/batch=0")
+    n_sig0 = spark.read.parquet(f"{idx}/sigs/batch=0").count()
+    assert n_sig0 == 2  # survivors only — the dropped doc never registers
+
+    b1 = frame([
+        (4, d_near, "2024-01-01 11:00:00"),  # cross-batch dup of keeper 1
+        (5, e, "2024-01-01 11:01:00"),
+    ])
+    live1, caches = _neardup_gate(b1, 1, idx, "text", "doc_id", "ts", 0.6, 3)
+    kept1 = sorted(r["doc_id"] for r in live1.select("doc_id").collect())
+    for cc in caches:
+        cc.unpersist()
+    assert kept1 == [5]
+
+    # at-least-once re-delivery of batch 1: same survivors, index batch=1
+    # overwritten (still exactly one keeper registered), history untouched
+    live1r, caches = _neardup_gate(b1, 1, idx, "text", "doc_id", "ts", 0.6, 3)
+    keptr = sorted(r["doc_id"] for r in live1r.select("doc_id").collect())
+    for cc in caches:
+        cc.unpersist()
+    assert keptr == [5]
+    assert spark.read.parquet(f"{idx}/sigs/batch=1").count() == 1
+    all_sigs = spark.read.option("basePath", f"{idx}/sigs").parquet(f"{idx}/sigs")
+    assert all_sigs.count() == 3  # keepers 1, 3, 5 — nothing doubled
+
+
+def test_stream_neardup_greedy_vs_batch_cc_divergence_documented(spark, tmp_path):
+    """DOCUMENTED semantics gap between online (streaming) and offline
+    (batch CC) near-dup for transitive chains: A≈B, B≈C, A̸≈C, one doc per
+    batch. Greedy-vs-keepers keeps C (B was rejected, so C is only ever
+    compared against A); a batch CC pass over the same pairs collapses the
+    whole chain to A. Direct pairs — the overwhelming near-dup mass — get
+    identical verdicts (test_stream_neardup_gate_cross_and_within_batch);
+    this pins the one shape where the two disagree so the difference stays
+    a decision, not a surprise."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.streaming.pipeline import _neardup_gate
+
+    x, y, z = _block("x", 12), _block("y", 16), _block("z", 12)
+    A, B, C = f"{x} {y}", f"{x} {y} {z}", f"{y} {z}"
+    idx = str(tmp_path / "nd_chain")
+
+    def frame(i, text):
+        return spark.createDataFrame(
+            [(i, text, f"2024-01-01 10:0{i}:00")],
+            "doc_id long, text string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    kept = []
+    for i, text in enumerate([A, B, C], start=1):
+        live, caches = _neardup_gate(
+            frame(i, text), i, idx, "text", "doc_id", "ts", 0.5, 3
+        )
+        kept.extend(r["doc_id"] for r in live.select("doc_id").collect())
+        for cc in caches:
+            cc.unpersist()
+    assert kept == [1, 3]  # greedy: B dropped against A; C survives
+
+    # batch twin over the same three docs: one CC cluster, keep min only
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, A), (2, B), (3, C)], "doc_id long, text string"
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (2, 3)}  # the planted chain, no (1, 3) edge
+    comps = dedup.connected_components(pairs)
+    keepers = {
+        r["cluster_id"] for r in comps.select("cluster_id").distinct().collect()
+    }
+    assert keepers == {1}  # offline collapses the chain to A alone
+
+
+def test_stream_curation_with_neardup_end_to_end(spark, tmp_path):
+    """run_stream_curation with neardup_threshold: the composed pipeline
+    (exact dedup → near-dup gate → repetition → redaction) over a multi-
+    file source with maxFilesPerTrigger=1, so the near-dup pair lands in
+    SEPARATE micro-batches and the drop exercises the durable-index path.
+    File order is mtime-dependent, so the assertion is order-proof:
+    exactly one of the two near-dup texts survives, everything distinct
+    survives, and the sink saw multiple batches."""
+    a = _block("g", 40)
+    a_near = " ".join(a.split()[:-2] + ["varia1", "varia2"])
+    c = _block("h", 40)
+    e = _block("k", 40)
+    src = str(tmp_path / "nde_src")
+    os.makedirs(src)
+
+    def write_one(rows, name):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    write_one([(1, a, "2024-01-01 10:00:00"), (3, c, "2024-01-01 10:02:00")], "f0")
+    write_one([(4, a_near, "2024-01-01 11:00:00"), (5, e, "2024-01-01 11:01:00")], "f1")
+
+    sink = str(tmp_path / "nde_sink")
+    ckpt = str(tmp_path / "nde_ckpt")
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipeline.run_stream_curation(
+        stream, sink, ckpt, neardup_threshold=0.6
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(sink)
+    texts = sorted(r["text"] for r in out.select("text").collect())
+    assert len(texts) == 3
+    assert sum(t in (a, a_near) for t in texts) == 1  # pair collapsed
+    assert c in texts and e in texts
+    batches = [d for d in os.listdir(sink) if d.startswith("batch=")]
+    assert len(batches) >= 2  # the near-dup drop crossed a batch boundary
+    assert os.path.isdir(os.path.join(sink, ".neardup_index", "sigs"))
