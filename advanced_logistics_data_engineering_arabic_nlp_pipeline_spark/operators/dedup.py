@@ -345,9 +345,10 @@ def winnow_pairs(
         # shuffle into collect_list. Same output either way
         # (parity-pytested with a tiny bound forcing both paths).
         # tiny by construction (fps with df > bound); cached because THREE
-        # consumers reference it (anti-join, semi-join — each a separate
-        # broadcast materialization that would re-run the count aggregate
-        # over the fingerprint frame)
+        # consumers reference it: the left_anti routing join plus BOTH
+        # sides of the hot-pair self-join (the semi-join subtree is
+        # aliased twice) — each a separate broadcast materialization that
+        # would re-run the count aggregate over the fingerprint frame
         hot_fps = (
             fp.groupBy("fp")
             .agg(F.count("*").alias("df_cnt"))
