@@ -469,14 +469,17 @@ def _neardup_gate(
     cached frames for the caller to unpersist after its terminal write.
 
     State shape — the whole point: a keeper's retained state is its 64-long
-    MinHash signature plus 16 (band, bucket) rows, NOT its text or shingle
-    set, so the index grows ~0.6 KB/doc regardless of document size.
-    Candidate generation joins the SMALL batch side (broadcast) against the
-    index scan; verification is :func:`minhash_estimate_expr` over the
-    candidate pairs only. At 100 TB the per-batch parquet scan of the band
-    index is the portable fallback shape — production swaps the band index
-    for a KV/state-store point-lookup keyed by (band, bucket); the
-    semantics and the per-doc state bound are identical.
+    MinHash signature, NOT its text or shingle set, so the index grows
+    ~0.5 KB/doc regardless of document size. Band rows are DERIVED from
+    the stored signatures at read time (a narrow posexplode, no shuffle) —
+    one durable dataset, one write job per batch, half the file count of
+    a sigs+bands layout. Candidate generation joins the SMALL batch side
+    (broadcast) against the index scan; verification is
+    :func:`minhash_estimate_expr` over the candidate pairs only. At
+    100 TB the per-batch parquet scan of the signature index is the
+    portable fallback shape — production swaps it for a KV/state-store
+    point-lookup keyed by (band, bucket); the semantics and the per-doc
+    state bound are identical.
 
     Semantics note (documented, pytested): cross-batch drops are GREEDY —
     a doc is dropped iff it estimates ≥ ``threshold`` against an
@@ -506,7 +509,6 @@ def _neardup_gate(
     )
 
     spark = batch_df.sparkSession
-    bands_dir = index_dir.rstrip("/") + "/bands"
     sigs_dir = index_dir.rstrip("/") + "/sigs"
     if caches is None:
         caches = []
@@ -523,11 +525,16 @@ def _neardup_gate(
             .filter(F.col("batch") < batch_id)
         )
 
-    hist_bands = _past(bands_dir)
+    hist_sigs = _past(sigs_dir)
     live = batch_df
     sigs_live = sigs
-    if hist_bands is not None:
-        hist_sigs = _past(sigs_dir)
+    if hist_sigs is not None:
+        # band rows are DERIVED from the stored signatures at read time
+        # (band_rows is a narrow posexplode — no shuffle): the index
+        # stores one dataset, not two, which halves the per-batch write
+        # jobs and file count (r8: each extra job inside foreachBatch
+        # costs ~0.5-1 s of fixed scheduling overhead at any batch size)
+        hist_bands = band_rows(hist_sigs)
         cand = (
             hist_bands.join(
                 F.broadcast(
@@ -608,9 +615,6 @@ def _neardup_gate(
     )
     surv_sigs.select("id", "sig").write.mode("overwrite").parquet(
         f"{sigs_dir}/batch={batch_id}"
-    )
-    band_rows(surv_sigs).write.mode("overwrite").parquet(
-        f"{bands_dir}/batch={batch_id}"
     )
     return live, caches
 
@@ -712,6 +716,22 @@ def run_stream_curation(
         caches: list[DataFrame] = []
         try:
             if nd_index_dir is not None:
+                # Re-root the micro-batch on a clean RDD leaf BEFORE
+                # deriving the gate's plans from it. batch_df's logical
+                # plan is the whole state-store-backed dedup subtree, and
+                # frames persisted ON TOP of it (the gate's sigs/dropped)
+                # are never matched by the cache manager when they appear
+                # inside larger derived plans — every join/CC/write
+                # action re-executed the full upstream from the stateful
+                # scan (measured: the IDENTICAL gate 36-40 s on the
+                # micro-batch frame vs 2.6 s on a static frame in the
+                # SAME foreachBatch; plain .persist() on batch_df
+                # measurably does NOT fix it). Only worth it for the
+                # gate's ~10 actions — the gate-less path is a single
+                # sink write, where an extra materialization pass is pure
+                # overhead. Checkpointed blocks are released by the
+                # ContextCleaner once the batch's frames go out of scope.
+                batch_df = batch_df.localCheckpoint()
                 batch_df, _ = _neardup_gate(
                     batch_df,
                     batch_id,

