@@ -1,0 +1,248 @@
+"""Deterministic training-data mixture operators: seeded hash sampling,
+epoch shuffle-shards, token-budget mixing (SURVEY.md §2 M6 adjunct — the
+"compose the training set" step between curation and export).
+
+Why hash-seeded instead of ``rand()`` / ``sampleBy()``: a 100 TB mixture
+must be REPRODUCIBLE — re-running the job (resume after failure, audit of
+what a model trained on, ablation with one knob changed) has to select the
+exact same documents regardless of cluster size, partition count, or task
+scheduling order. Spark's ``rand(seed)`` is seeded PER PARTITION, so the
+sample changes whenever the input layout does. Every operator here derives
+its randomness as a pure projection of the ROW ITSELF::
+
+    h60 = int(hex(md5("<salt>:<seed>:<id>"))[:15], 16)   # uniform 60-bit
+
+which makes the sample (a) layout-independent, (b) re-runnable, and
+(c) cross-engine checkable — the DuckDB oracles reproduce the arithmetic
+bit-for-bit (integer thresholds precomputed in Python; no float crosses
+the engine boundary on any keep/drop or ordering decision).
+
+Scale shapes (100 TB):
+- :func:`sample_mixture` is a FILTER — no shuffle, no sort, no state; it
+  composes with partition pruning and pushes nothing to the driver.
+  Contrast the systematic ``stratified_sample`` plan (row_number per
+  stratum = per-stratum sort) — correct for small eval carve-outs,
+  wasteful as the main mixture mechanism.
+- :func:`epoch_shards` is ONE hash-partition shuffle + shard-local sort
+  (never a global orderBy); shard count is the parallelism knob, and a new
+  epoch = a new seed = a metadata-only recompute, not a materialized
+  shuffled copy of the corpus.
+- :func:`token_budget_mix` never sorts a whole mixture group in one
+  partition (a dominant language is tens of TB at 100 TB): the running
+  sum decomposes into per-hash-bucket offsets (a groups × 2^16 frame,
+  broadcast) + within-bucket windows, bit-identical to the flat window
+  (the DuckDB oracle mirrors the flat form and proves it). The greedy
+  hash-order prefix makes the budget cut deterministic and incrementally
+  extendable (raising a budget only ADDS documents — seed-stable).
+
+Reference scope note: the reference pipeline (Main.py, cleaner_v6.py) has
+no sampling/mixing stage — this family is part of the beyond-reference
+LLM-training-data surface the build mandate lists alongside dedup and
+similarity search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textanalysis import token_count
+
+# 60-bit hash space: 15 hex chars fit signed 64-bit exactly (2^60 - 1 max)
+# and both Spark's conv(.,16,10) and DuckDB's ('0x'||.)::BIGINT decode them
+# losslessly as integers — thresholds stay integral end to end.
+HASH_SPACE = 16 ** 15
+
+
+def hash60_expr(id_col: Column | str, seed: int, salt: str = "mix") -> Column:
+    """Uniform deterministic 60-bit integer from ``(salt, seed, id)``.
+
+    A pure projection (md5 + substring + base-16 decode): the same row
+    always draws the same value, on any executor, any partition layout,
+    any engine. Compare against ``int(rate * HASH_SPACE)`` for a seeded
+    Bernoulli keep at ``rate`` — integer arithmetic only, so the DuckDB
+    mirror ``('0x' || substr(md5(...), 1, 15))::BIGINT`` agrees exactly
+    (parity pinned in tests/test_mixture.py and the LOCAL_ORACLES hash
+    checks)."""
+    key = F.concat_ws(
+        ":", F.lit(salt), F.lit(str(int(seed))), F.col(id_col) if isinstance(id_col, str) else id_col
+    )
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+
+
+def _rate_threshold_expr(group_col: str, rates: dict[str, float], default_rate: float) -> Column:
+    """Per-group integer keep-threshold as a literal CASE cascade (a tiny
+    dict — broadcast-free, codegen-folded constants)."""
+    expr = F.lit(int(default_rate * HASH_SPACE))
+    for g, r in sorted(rates.items()):
+        expr = F.when(F.col(group_col) == g, F.lit(int(r * HASH_SPACE))).otherwise(expr)
+    return expr
+
+
+def sample_mixture(
+    df: DataFrame,
+    group_col: str,
+    rates: dict[str, float],
+    seed: int,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Seeded per-group Bernoulli sample: keep a row iff its 60-bit hash
+    falls below ``rate(group) * HASH_SPACE``.
+
+    The workhorse of training-data mixing ("2 parts web, 1 part code,
+    0.1 part forums"): one pass, zero shuffles, layout-independent, and
+    NESTED by construction — the keep set at rate 0.25 is a strict subset
+    of the keep set at rate 0.5 under the same seed, so mixture ablations
+    share documents instead of resampling the world. Groups absent from
+    ``rates`` keep at ``default_rate`` (0 = drop, 1.0 = passthrough)."""
+    h = hash60_expr(id_col, seed, salt="mixsample")
+    return df.filter(h < _rate_threshold_expr(group_col, rates, default_rate))
+
+
+def epoch_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic epoch shuffle: assign every row a shard and a dense
+    position within its shard, both pure functions of ``(seed, id)``.
+
+    A training run reads shard files in ``(shard, pos_in_shard)`` order and
+    gets a reproducible global permutation WITHOUT a global sort: shard
+    assignment is ``h % n_shards`` (hash-uniform, so shards balance to
+    ~N/n_shards ± sqrt), and position is a shard-LOCAL rank over
+    ``(h, id)`` — Spark executes one hash shuffle on ``shard`` plus an
+    in-partition sort, never a total order over the corpus. A new epoch is
+    a new seed: no shuffled copy of the data is ever materialized.
+
+    Output: input columns + ``shard`` (int), ``pos_in_shard`` (0-based
+    bigint). The ``(h, id)`` sort key is collision-proof: equal hashes
+    (birthday-bound ~N²/2^61) fall back to the unique id, so the
+    permutation is total and engine-independent."""
+    h = hash60_expr(id_col, seed, salt="epoch")
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    budgets: dict[str, int],
+    seed: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    default_budget: int = 0,
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Fill each mixture group to a TOKEN budget instead of a rate: order
+    the group's documents by seeded hash and keep the longest prefix whose
+    running token total stays within ``budgets[group]``.
+
+    Rates under-deliver when document lengths differ across groups (0.5 of
+    a short-doc group is far fewer tokens than 0.5 of a book corpus);
+    training mixtures are specified in tokens. The greedy hash-order
+    prefix is deterministic, layout-independent, and monotone in the
+    budget (a bigger budget strictly extends the kept set under the same
+    seed). One shuffle (partition by group), one running-sum window.
+
+    Keep rule: a document is kept iff the running total INCLUDING it is
+    ≤ the group budget — the first over-budget document and everything
+    after it in hash order are dropped (no partial documents; groups with
+    no budget entry get ``default_budget``).
+
+    Scale shape — the naive plan is a running-sum window partitioned by
+    ``group_col``, which at 100 TB puts an ENTIRE mixture group (tens of
+    TB for a dominant language) into one partition for a single-executor
+    sort. This implementation decomposes the identical cumulative sum in
+    two levels instead:
+
+    1. bucket every row by the TOP ``bucket_bits`` of its hash (monotone
+       in hash order, so bucket order ≡ hash order), and aggregate
+       per-(group, bucket) token sums — a frame of at most
+       ``groups × 2^bucket_bits`` rows;
+    2. a running sum over THAT tiny frame gives each bucket its
+       tokens-before offset (broadcast back), and the within-bucket
+       running sum windows over ``(group, bucket)`` — 2^bucket_bits times
+       more partitions than the group alone, ~N/2^bucket_bits rows each.
+
+    ``cum_tok`` decomposes exactly (bucket boundaries never split a hash
+    tie: distinct buckets ⇒ distinct hashes), so the output is
+    bit-identical to the flat window — the DuckDB oracle mirrors the FLAT
+    formulation and the hash-parity check proves the decomposition.
+
+    Output: ``id, group, n_tok, cum_tok`` (cum_tok = running total through
+    this document, in hash order)."""
+    h = hash60_expr(id_col, seed, salt="tokbudget")
+    budget = F.lit(int(default_budget))
+    for g, b in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget)
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(F.col(text_col)).alias("n_tok"),
+        h.alias("__h"),
+    ).withColumn(
+        "__bkt", F.shiftright(F.col("__h"), 60 - bucket_bits).cast("int")
+    )
+    # level 1: per-(group, bucket) sums → tokens BEFORE each bucket.
+    # The window partitions by group, but over ≤ 2^bucket_bits rows per
+    # group, not the corpus — driver-scale-free and executor-tiny.
+    wb = (
+        Window.partitionBy(group_col)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        base.groupBy(group_col, "__bkt")
+        .agg(F.sum("n_tok").alias("__bsum"))
+        .withColumn("__before", F.coalesce(F.sum("__bsum").over(wb), F.lit(0)))
+        .drop("__bsum")
+    )
+    # level 2: within-bucket running sum + the broadcast bucket offset
+    wr = (
+        Window.partitionBy(group_col, "__bkt")
+        .orderBy("__h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(offsets), [group_col, "__bkt"])
+        .withColumn(
+            "cum_tok",
+            (F.col("__before") + F.sum("n_tok").over(wr)).cast("bigint"),
+        )
+        .filter(F.col("cum_tok") <= budget)
+        .drop("__h", "__bkt", "__before")
+    )
+
+
+def dataset_split(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` column from
+    the seeded hash, integer-threshold semantics (test = lowest hashes,
+    then val, rest train — so growing ``test_frac`` only MOVES documents
+    from train/val into test, never reshuffles existing membership).
+
+    The hash is salted differently from :func:`sample_mixture`, so
+    sampling a mixture and splitting it are independent draws — a 10%
+    mixture sample still splits 90/5/5, not correlated slices."""
+    h = hash60_expr(id_col, seed, salt="split")
+    t_test = int(test_frac * HASH_SPACE)
+    t_val = int((test_frac + val_frac) * HASH_SPACE)
+    return df.withColumn(
+        "split",
+        F.when(h < t_test, F.lit("test"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )

@@ -1,0 +1,182 @@
+"""Mixture-composition queries: deterministic sampling, epoch sharding,
+token-budget mixing, dataset splitting over the ``documents`` table.
+
+All four are pure-expression plans over :mod:`..operators.mixture`; the
+DuckDB mirrors are BUILT from the same Python-computed integer thresholds
+the Spark plans use (``int(rate * HASH_SPACE)``), so no float-rounding
+discrepancy can open between the engines — every keep/drop decision both
+sides make is an integer comparison on the same 60-bit md5-prefix hash.
+
+All oracles are LOCAL (pytest full-hash tier): the driver's 50-entry
+correctness window is at its mandated 48-oracle capacity, and these
+queries append to the registry tail by module order (tests/test_registry.py
+pins the window invariant)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mixture import (
+    HASH_SPACE,
+    dataset_split as _dataset_split,
+    epoch_shards as _epoch_shards,
+    sample_mixture,
+    token_budget_mix as _token_budget_mix,
+)
+from ..sources.tables import load_table
+
+# --- shared fixture parameters (Spark plan and SQL mirror both read these) --
+
+MIX_SEED = 7
+# en kept at half, zh fully, fr quarter, de a tenth; es deliberately absent
+# so the default_rate=0 leg (drop unlisted groups) is exercised by the oracle
+MIX_RATES = {"en": 0.5, "zh": 1.0, "fr": 0.25, "de": 0.1}
+
+SHARD_SEED = 3
+N_SHARDS = 16
+
+BUDGET_SEED = 5
+# binds (cuts mid-group) already at sf0.001 (~2k whitespace tokens total,
+# ~43% en) and therefore at every larger SF too; es exercises default 0
+TOKEN_BUDGETS = {"en": 400, "zh": 150, "fr": 100, "de": 100}
+
+SPLIT_SEED = 11
+VAL_FRAC = 0.05
+TEST_FRAC = 0.05
+
+
+def _h60_sql(salt: str, seed: int) -> str:
+    """DuckDB mirror of :func:`..operators.mixture.hash60_expr` — identical
+    string key, identical 15-hex-char decode (integer, lossless)."""
+    return (
+        f"('0x' || substr(md5('{salt}:{seed}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    )
+
+
+def _rate_case_sql(rates: dict[str, float]) -> str:
+    whens = " ".join(
+        f"WHEN '{g}' THEN {int(r * HASH_SPACE)}" for g, r in sorted(rates.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-lang Bernoulli mixture over documents — zero-shuffle
+    filter, layout-independent, rate-nested (see operators/mixture.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sample_mixture(docs, "lang", MIX_RATES, MIX_SEED)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_h60_sql("mixsample", MIX_SEED)} < {_rate_case_sql(MIX_RATES)}
+ORDER BY doc_id
+"""
+
+
+def epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle-shard assignment: hash-mod shard + dense
+    shard-local position; one hash shuffle, no global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return _epoch_shards(docs, N_SHARDS, SHARD_SEED).orderBy(
+        "shard", "pos_in_shard"
+    )
+
+
+EPOCH_SHARDS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_h60_sql("epoch", SHARD_SEED)} AS h60
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(h60 % {N_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY h60 % {N_SHARDS}
+                               ORDER BY h60, doc_id) - 1 AS BIGINT) AS pos_in_shard
+FROM h
+ORDER BY shard, pos_in_shard
+"""
+
+
+def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang token-budget fill: greedy hash-order prefix per group until
+    the whitespace-token budget is exhausted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _token_budget_mix(docs, "lang", TOKEN_BUDGETS, BUDGET_SEED).orderBy(
+        "doc_id"
+    )
+
+
+def _budget_case_sql(budgets: dict[str, int]) -> str:
+    whens = " ".join(f"WHEN '{g}' THEN {int(b)}" for g, b in sorted(budgets.items()))
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+# token count mirror matches SEQUENCE_PACKING_SQL's proven shape: Java \s+
+# spelled as the ASCII class, empty tokens filtered, COALESCE for all-space
+TOKEN_BUDGET_MIX_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(COALESCE(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'),
+                                       tk -> tk <> '')), 0) AS BIGINT) AS n_tok,
+         {_h60_sql("tokbudget", BUDGET_SEED)} AS h60
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY h60, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+  FROM t
+)
+SELECT doc_id, lang, n_tok, cum_tok
+FROM c
+WHERE cum_tok <= {_budget_case_sql(TOKEN_BUDGETS)}
+ORDER BY doc_id
+"""
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test labels (90/5/5 by integer hash
+    thresholds; growing a split only moves docs, never reshuffles)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return _dataset_split(
+        docs, SPLIT_SEED, val_frac=VAL_FRAC, test_frac=TEST_FRAC
+    ).orderBy("doc_id")
+
+
+_T_TEST = int(TEST_FRAC * HASH_SPACE)
+_T_VAL = int((TEST_FRAC + VAL_FRAC) * HASH_SPACE)
+
+DATASET_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_h60_sql("split", SPLIT_SEED)} < {_T_TEST} THEN 'test'
+            WHEN {_h60_sql("split", SPLIT_SEED)} < {_T_VAL} THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "mixture_sample": mixture_sample,
+    "epoch_shards": epoch_shards,
+    "token_budget_mix": token_budget_mix,
+    "dataset_split": dataset_split,
+}
+
+ORACLES: dict[str, str] = {}
+
+# Full DuckDB hash parity in pytest; driver sees rows-only (the 50-entry
+# driver window is at its 48-oracle cap — window invariant pinned in
+# tests/test_registry.py).
+LOCAL_ORACLES = {
+    "mixture_sample": MIXTURE_SAMPLE_SQL,
+    "epoch_shards": EPOCH_SHARDS_SQL,
+    "token_budget_mix": TOKEN_BUDGET_MIX_SQL,
+    "dataset_split": DATASET_SPLIT_SQL,
+}

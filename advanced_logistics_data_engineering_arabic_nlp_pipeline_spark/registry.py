@@ -10,9 +10,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import llmdata, relational, showcase, trips, windows
+from .plans import llmdata, mixture, relational, showcase, trips, windows
 
-_PLAN_MODULES = [relational, trips, llmdata, windows, showcase]
+# mixture LAST: its queries are all LOCAL_ORACLES (rows-only to the driver),
+# and trailing module order keeps them at the registry tail — the driver's
+# 50-entry window (48 oracles + the first 2 rows-only entries) is unchanged.
+_PLAN_MODULES = [relational, trips, llmdata, windows, showcase, mixture]
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -63,6 +63,11 @@ HEADLINE = [
     # training job actually reads, so it gets a headline entry)
     "sequence_chunks",
     "training_export_chunks",
+    # mixture composition (r8): deterministic sampling / sharding / budgets
+    "mixture_sample",
+    "epoch_shards",
+    "token_budget_mix",
+    "dataset_split",
     # event-time windows
     "events_hourly",
     "events_sliding",

@@ -1,0 +1,220 @@
+"""Properties of the deterministic mixture operators (operators/mixture.py)
+that the DuckDB hash-parity checks can't express: layout independence,
+seed nesting, budget monotonicity, maximality, and the zero-shuffle plan
+shape of the sampling filter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+    HASH_SPACE,
+    dataset_split,
+    epoch_shards,
+    hash60_expr,
+    sample_mixture,
+    token_budget_mix,
+)
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import (
+    load_table,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_sample_layout_independent(docs):
+    """THE core property: the sample must not change with partition layout
+    (Spark's rand(seed) fails this — it is seeded per partition)."""
+    rates = {"en": 0.5, "zh": 0.3}
+    a = _ids(sample_mixture(docs.repartition(3), "lang", rates, seed=42))
+    b = _ids(sample_mixture(docs.repartition(11), "lang", rates, seed=42))
+    c = _ids(sample_mixture(docs.coalesce(1), "lang", rates, seed=42))
+    assert a == b == c and a, "sample varies with partition layout"
+
+
+def test_sample_seed_sensitivity(docs):
+    a = set(_ids(sample_mixture(docs, "lang", {"en": 0.5}, seed=1)))
+    b = set(_ids(sample_mixture(docs, "lang", {"en": 0.5}, seed=2)))
+    assert a != b, "different seeds drew the same sample"
+
+
+def test_sample_rates_nest(docs):
+    """Ablation property: under one seed, a lower rate's keep set is a
+    strict subset of a higher rate's (shared-documents ablations)."""
+    lo = set(_ids(sample_mixture(docs, "lang", {"en": 0.2}, seed=9)))
+    hi = set(_ids(sample_mixture(docs, "lang", {"en": 0.6}, seed=9)))
+    assert lo < hi
+
+
+def test_sample_rate_accuracy_and_default_drop(docs):
+    n_en = docs.filter(F.col("lang") == "en").count()
+    kept = sample_mixture(docs, "lang", {"en": 0.5}, seed=4)
+    n_kept = kept.count()
+    assert kept.filter(F.col("lang") != "en").count() == 0, "default_rate=0 leaked"
+    # binomial: mean n*p, sd sqrt(n*p*(1-p)); allow 4 sd
+    mean, sd = n_en * 0.5, (n_en * 0.25) ** 0.5
+    assert abs(n_kept - mean) <= 4 * sd, (n_kept, mean, sd)
+
+
+def test_sample_plan_has_no_shuffle(docs):
+    plan = sample_mixture(docs, "lang", {"en": 0.5}, seed=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_hash60_range(docs):
+    row = docs.select(hash60_expr("doc_id", seed=1).alias("h")).agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    ).collect()[0]
+    assert 0 <= row["lo"] <= row["hi"] < HASH_SPACE
+
+
+# ------------------------------------------------------------ epoch shards
+
+
+def test_epoch_shards_partition_cover_and_dense_positions(docs):
+    out = epoch_shards(docs.select("doc_id"), n_shards=8, seed=3).collect()
+    n = docs.count()
+    assert len(out) == n and len({r["doc_id"] for r in out}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < 8
+        by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} positions not dense"
+
+
+def test_epoch_shards_new_seed_new_permutation(docs):
+    base = docs.select("doc_id")
+    a = {(r["doc_id"], r["shard"], r["pos_in_shard"]) for r in epoch_shards(base, 8, seed=1).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos_in_shard"]) for r in epoch_shards(base, 8, seed=2).collect()}
+    assert a != b
+
+
+def test_epoch_shards_layout_independent(docs):
+    base = docs.select("doc_id")
+    a = sorted(map(tuple, epoch_shards(base.repartition(3), 8, seed=5).collect()))
+    b = sorted(map(tuple, epoch_shards(base.repartition(13), 8, seed=5).collect()))
+    assert a == b
+
+
+def test_epoch_shards_no_global_sort(docs):
+    """The plan may sort WITHIN shard partitions but must not contain a
+    global (total-order) sort — that is the whole scale point."""
+    plan = (
+        epoch_shards(docs.select("doc_id"), 8, seed=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+# -------------------------------------------------------- token budget mix
+
+
+def test_token_budget_respected_and_maximal(docs):
+    budgets = {"en": 300, "zh": 120}
+    out = token_budget_mix(docs, "lang", budgets, seed=5)
+    rows = out.collect()
+    assert rows, "budget kept nothing — budgets too small for fixture"
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r["lang"]] = max(by_lang.get(r["lang"], 0), r["cum_tok"])
+    for lang, cum in by_lang.items():
+        assert cum <= budgets[lang], (lang, cum)
+    # maximality: for each budgeted lang, the FIRST dropped doc in hash
+    # order (if any doc was dropped) would have pushed cum past the budget
+    h = hash60_expr("doc_id", 5, salt="tokbudget")
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.textanalysis import (
+        token_count,
+    )
+
+    full = (
+        docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_tok"), h.alias("h"))
+        .filter(F.col("lang").isin(*budgets))
+        .collect()
+    )
+    kept_ids = {r["doc_id"] for r in rows}
+    for lang, budget in budgets.items():
+        ordered = sorted((r for r in full if r["lang"] == lang), key=lambda r: (r["h"], r["doc_id"]))
+        cum = 0
+        for r in ordered:
+            cum += r["n_tok"]
+            if cum <= budget:
+                assert r["doc_id"] in kept_ids, (lang, r["doc_id"])
+            else:
+                assert r["doc_id"] not in kept_ids, (lang, r["doc_id"])
+                break  # greedy prefix: everything after is dropped too
+
+
+def test_token_budget_plan_shape(docs):
+    """The scale contract: no mixture group ever sorts in one partition.
+    The plan must contain NO global (range) sort, and the bucket-offset
+    frame must come back as a broadcast, not a shuffled join."""
+    plan = (
+        token_budget_mix(docs, "lang", {"en": 300}, seed=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_token_budget_bucket_bits_invariant(docs):
+    """The two-level decomposition is exact for ANY bucket width: coarse
+    (4-bit) and fine (16-bit) bucketing must produce identical output."""
+    a = sorted(map(tuple, token_budget_mix(docs, "lang", {"en": 300, "zh": 120}, seed=5, bucket_bits=4).collect()))
+    b = sorted(map(tuple, token_budget_mix(docs, "lang", {"en": 300, "zh": 120}, seed=5, bucket_bits=16).collect()))
+    assert a == b
+
+
+def test_token_budget_monotone_in_budget(docs):
+    lo = {r["doc_id"] for r in token_budget_mix(docs, "lang", {"en": 200}, seed=5).collect()}
+    hi = {r["doc_id"] for r in token_budget_mix(docs, "lang", {"en": 500}, seed=5).collect()}
+    assert lo <= hi and lo != hi, "raising the budget must only ADD documents"
+
+
+# ------------------------------------------------------------ dataset split
+
+
+def test_dataset_split_partitions_corpus(docs):
+    out = dataset_split(docs.select("doc_id"), seed=11)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    assert counts.get("train", 0) > counts.get("val", 0)
+
+
+def test_dataset_split_growth_is_monotone(docs):
+    """Growing test_frac MOVES docs into test without reshuffling the rest:
+    the test set at 5% is a subset of the test set at 10%."""
+    base = docs.select("doc_id")
+    t5 = {r["doc_id"] for r in dataset_split(base, 11, test_frac=0.05).filter("split = 'test'").collect()}
+    t10 = {r["doc_id"] for r in dataset_split(base, 11, test_frac=0.10).filter("split = 'test'").collect()}
+    assert t5 <= t10
+
+
+def test_split_independent_of_sampling(docs):
+    """Different salts: sampling at 50% then splitting must not correlate —
+    the sampled subset's split fractions stay ~90/5/5, not degenerate."""
+    sampled = sample_mixture(docs, "lang", {"en": 1.0, "zh": 1.0, "es": 1.0, "de": 1.0, "fr": 1.0}, seed=11)
+    # same seed as the split on purpose: only the salt differs
+    out = dataset_split(sampled, seed=11)
+    n = out.count()
+    n_test = out.filter("split = 'test'").count()
+    assert n == docs.count()
+    # 5% +- generous binomial slack at fixture size
+    mean, sd = n * 0.05, (n * 0.05 * 0.95) ** 0.5
+    assert abs(n_test - mean) <= 4 * sd, (n_test, mean)
