@@ -162,11 +162,49 @@ ORDER BY doc_id
 """
 
 
+EXPORT_SHARD_SEED = 17
+EXPORT_SHARDS = 8
+
+
+def training_export_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-cap of the whole pipeline: the chunked training export
+    (curation → embedding near-dup anti-join → PQ encode → 512-token
+    windows) laid out for an actual training run — every chunk assigned a
+    seeded epoch shard and a dense read position within it. A trainer
+    reads shards in ``(epoch_shard, epoch_pos)`` order and gets a
+    reproducible global permutation of the packed corpus; the next epoch
+    is a new seed, no re-materialization.
+
+    Scale shape: shard/position are computed over the DISTINCT chunk ids
+    (one row per chunk, not per slice) and joined back on ``chunk_uid`` —
+    an equi-join AQE can plan either side of; nothing corpus-sized is
+    broadcast and nothing globally sorts. Rows-only (the export subtree
+    has LSH + PQ codes, no SQL mirror); composition invariants pytested
+    in tests/test_mixture.py."""
+    from .llmdata import training_export_chunks
+
+    chunks = training_export_chunks(spark, sf_dir)
+    assign = (
+        _epoch_shards(
+            chunks.select("chunk_uid").distinct(),
+            n_shards=EXPORT_SHARDS,
+            seed=EXPORT_SHARD_SEED,
+            id_col="chunk_uid",
+        )
+        .withColumnRenamed("shard", "epoch_shard")
+        .withColumnRenamed("pos_in_shard", "epoch_pos")
+    )
+    return chunks.join(assign, "chunk_uid").orderBy(
+        "epoch_shard", "epoch_pos", "pos_in_chunk"
+    )
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
     "epoch_shards": epoch_shards,
     "token_budget_mix": token_budget_mix,
     "dataset_split": dataset_split,
+    "training_export_sharded": training_export_sharded,
 }
 
 ORACLES: dict[str, str] = {}

@@ -186,6 +186,37 @@ def test_token_budget_monotone_in_budget(docs):
     assert lo <= hi and lo != hi, "raising the budget must only ADD documents"
 
 
+# ----------------------------------------------------- sharded export end-cap
+
+
+def test_training_export_sharded_composition(spark, sf_dir):
+    """Every chunk of the chunked export gets exactly one (epoch_shard,
+    epoch_pos); positions are dense per shard at CHUNK granularity; no
+    slice rows are gained or lost by the shard join."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.llmdata import (
+        training_export_chunks,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.mixture import (
+        EXPORT_SHARDS,
+        training_export_sharded,
+    )
+
+    base_n = training_export_chunks(spark, sf_dir).count()
+    out = training_export_sharded(spark, sf_dir).collect()
+    assert len(out) == base_n, "shard join changed the slice-row count"
+    per_chunk = {}
+    for r in out:
+        key = r["chunk_uid"]
+        val = (r["epoch_shard"], r["epoch_pos"])
+        assert per_chunk.setdefault(key, val) == val, f"chunk {key} got two assignments"
+        assert 0 <= r["epoch_shard"] < EXPORT_SHARDS
+    by_shard: dict[int, set[int]] = {}
+    for shard, pos in per_chunk.values():
+        by_shard.setdefault(shard, set()).add(pos)
+    for shard, poss in by_shard.items():
+        assert poss == set(range(len(poss))), f"shard {shard} positions not dense"
+
+
 # ------------------------------------------------------------ dataset split
 
 
