@@ -1096,3 +1096,64 @@ def cluster_summary(components: DataFrame) -> DataFrame:
             (F.col("id") == F.col("cluster_id")).alias("is_keeper"),
         )
     )
+
+
+def neardup_increment(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    threshold: float = 0.6,
+    k: int = 3,
+    batch_id: int | None = None,
+) -> DataFrame:
+    """Batch increment against the durable MinHash-LSH keeper index — the
+    production "nightly delta" path: dedup NEW documents against every
+    keeper accepted so far without re-scanning (or even reading) the
+    historical corpus, then register the survivors.
+
+    This is the BATCH twin of the streaming near-dup gate and shares its
+    exact durable layout (``<index_dir>/sigs/batch=<id>``, signature-only
+    rows, ~0.5 KB per keeper — see streaming/pipeline._neardup_gate), so
+    the two interoperate: bootstrap the index from a historical corpus
+    with one batch call, then hand the SAME ``index_dir`` to
+    ``run_stream_curation(neardup_index_dir=...)`` and the stream keeps
+    deduplicating against the batch keepers — or run nightly increments
+    forever without ever starting a stream. Semantics are the gate's,
+    documented there: greedy against historical keepers + within-increment
+    connected-component collapse.
+
+    ``batch_id`` defaults to one past the highest id already in the index
+    (0 for a fresh index); passing an explicit id makes a re-run of the
+    same delta idempotent (the gate's per-batch overwrite + ``batch <
+    batch_id`` history filter). ``ts_col=None`` orders within-increment
+    clusters by ``id_col`` — keep-smallest-id, the batch dedup family's
+    convention; pass a real timestamp column to keep earliest-by-time.
+
+    Returns the surviving rows of ``df`` (original columns), MATERIALIZED
+    before return — the gate's internal caches are released eagerly, so
+    the result does not depend on them and the index write has already
+    happened when this returns."""
+    from ..streaming.pipeline import _fs_batch_ids, _neardup_gate
+
+    spark = df.sparkSession
+    sigs_dir = index_dir.rstrip("/") + "/sigs"
+    if batch_id is None:
+        batch_id = max(_fs_batch_ids(spark, sigs_dir), default=-1) + 1
+
+    work = df
+    ts = ts_col
+    if ts is None:
+        ts = "__inc_ts"
+        work = df.withColumn(ts, F.col(id_col))
+    live, caches = _neardup_gate(
+        work, batch_id, index_dir, text_col, id_col, ts, threshold, k
+    )
+    if ts_col is None:
+        live = live.drop(ts)
+    out = live.persist()
+    out.count()  # pin result + flush the index write before cache release
+    for c in caches:
+        c.unpersist()
+    return out

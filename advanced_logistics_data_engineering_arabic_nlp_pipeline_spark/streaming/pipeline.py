@@ -451,6 +451,45 @@ def _fs_batch_ids(spark: SparkSession, base: str) -> list[int]:
     return out
 
 
+def _stream_gate_base(spark: SparkSession, sigs_dir: str, token: str) -> int:
+    """Pinned offset mapping a stream's micro-batch epoch ids onto the
+    near-dup index's ``batch=<id>`` space.
+
+    Streaming epochs start at 0 for every new checkpoint, but the index
+    may already hold batches — a corpus bootstrapped with
+    :func:`..operators.dedup.neardup_increment` (the batch twin) writes
+    ``batch=0..K-1``, and an earlier RETIRED stream (old checkpoint) may
+    have written its own generation. Without an offset the new stream's
+    first epoch would BOTH overwrite ``batch=0`` and, because history
+    reads filter ``batch < batch_id``, never see the existing keepers.
+
+    The base is computed ONCE PER CHECKPOINT GENERATION — max existing
+    batch id + 1 — and pinned as a dot-prefixed marker directory
+    ``.stream_base_<token>=<K>`` inside the sigs dir, where ``token``
+    identifies the stream's checkpoint (dot prefix: invisible to Spark's
+    partition discovery, so the parquet reads of the index never see a
+    conflicting partition column; created via the Hadoop FileSystem API,
+    so it works on any scheme the index itself works on). A driver
+    restart re-delivering epoch 0 finds its own marker and reuses it
+    (idempotent overwrite); a NEW stream over a fresh checkpoint mints a
+    fresh base past everything already written, so generations never
+    collide. Single writer at a time per index (same contract as the
+    checkpoint itself); batch increments interleave safely BETWEEN
+    streams, not during one."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(sigs_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    prefix = f".stream_base_{token}="
+    if fs.exists(path):
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith(prefix):
+                return int(name.split("=", 1)[1])
+    base = max(_fs_batch_ids(spark, sigs_dir), default=-1) + 1
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{sigs_dir}/{prefix}{base}"))
+    return base
+
+
 def _neardup_gate(
     batch_df: DataFrame,
     batch_id: int,
@@ -690,10 +729,19 @@ def run_stream_curation(
     from ..operators.textanalysis import fingerprint
 
     nd_index_dir = None
+    _ckpt_token = None
     if neardup_threshold is not None:
         nd_index_dir = neardup_index_dir or (
             sink_dir.rstrip("/") + "/.neardup_index"
         )
+        # checkpoint identity keys the index's stream-base marker: a
+        # restart (same checkpoint) reuses its base, a NEW stream over a
+        # fresh checkpoint mints one past all existing batches
+        import hashlib
+
+        _ckpt_token = hashlib.md5(
+            checkpoint_dir.rstrip("/").encode()
+        ).hexdigest()[:8]
 
     ev_dict = None
     if eval_df is not None:
@@ -732,9 +780,18 @@ def run_stream_curation(
                 # overhead. Checkpointed blocks are released by the
                 # ContextCleaner once the batch's frames go out of scope.
                 batch_df = batch_df.localCheckpoint()
+                # epoch ids restart at 0 per checkpoint; the index may be
+                # pre-populated (neardup_increment bootstrap, or an
+                # earlier retired stream) — map epochs into the index's
+                # batch space via the per-checkpoint pinned base marker
+                gate_id = batch_id + _stream_gate_base(
+                    batch_df.sparkSession,
+                    nd_index_dir.rstrip("/") + "/sigs",
+                    _ckpt_token,
+                )
                 batch_df, _ = _neardup_gate(
                     batch_df,
-                    batch_id,
+                    gate_id,
                     nd_index_dir,
                     text_col,
                     id_col,
