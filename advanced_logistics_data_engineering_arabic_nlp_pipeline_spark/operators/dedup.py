@@ -1124,23 +1124,32 @@ def neardup_increment(
     documented there: greedy against historical keepers + within-increment
     connected-component collapse.
 
-    ``batch_id`` defaults to one past the highest id already in the index
-    (0 for a fresh index); passing an explicit id makes a re-run of the
-    same delta idempotent (the gate's per-batch overwrite + ``batch <
-    batch_id`` history filter). ``ts_col=None`` orders within-increment
-    clusters by ``id_col`` — keep-smallest-id, the batch dedup family's
-    convention; pass a real timestamp column to keep earliest-by-time.
+    ``batch_id`` defaults to one past the highest id already WRITTEN OR
+    RESERVED in the index (0 for a fresh index) — stream epochs reserve
+    their ids with durable markers (streaming/pipeline._gate_batch_id),
+    so an increment slotted between stream runs can never collide with a
+    crashed-but-reserved stream batch. Passing an explicit id makes a
+    re-run of the same delta idempotent (the gate's per-batch overwrite +
+    ``batch < batch_id`` history filter). ``ts_col=None`` orders
+    within-increment clusters by ``id_col`` — keep-smallest-id, the batch
+    dedup family's convention; pass a real timestamp column to keep
+    earliest-by-time.
 
     Returns the surviving rows of ``df`` (original columns), MATERIALIZED
     before return — the gate's internal caches are released eagerly, so
     the result does not depend on them and the index write has already
-    happened when this returns."""
-    from ..streaming.pipeline import _fs_batch_ids, _neardup_gate
+    happened when this returns. The returned frame itself is left
+    PERSISTED (it pins the survivors against recomputation through the
+    already-released gate plans): a caller that loops increments — the
+    nightly-delta use — must ``.unpersist()`` (or write out and drop)
+    each result once consumed, or cached survivor frames accumulate for
+    the driver's lifetime."""
+    from ..streaming.pipeline import _index_allocated_ids, _neardup_gate
 
     spark = df.sparkSession
     sigs_dir = index_dir.rstrip("/") + "/sigs"
     if batch_id is None:
-        batch_id = max(_fs_batch_ids(spark, sigs_dir), default=-1) + 1
+        batch_id = max(_index_allocated_ids(spark, sigs_dir), default=-1) + 1
 
     work = df
     ts = ts_col

@@ -231,8 +231,15 @@ def dataset_split(
 ) -> DataFrame:
     """Deterministic train/val/test assignment: one ``split`` column from
     the seeded hash, integer-threshold semantics (test = lowest hashes,
-    then val, rest train — so growing ``test_frac`` only MOVES documents
-    from train/val into test, never reshuffles existing membership).
+    then val, rest train). Stability contract, stated precisely: with
+    FIXED fractions the assignment is permanent (any re-run, any layout).
+    Growing ``test_frac`` is monotone for TEST ONLY — a doc once in test
+    stays in test, and the additions come from the old val band and the
+    train docs just above it. The val band itself SHIFTS upward (its new
+    members are former TRAIN docs the model may already have trained on),
+    so freeze the fractions for the lifetime of a model line; grow
+    ``test_frac`` only where former-train contamination of val is
+    acceptable or val is re-carved anyway.
 
     The hash is salted differently from :func:`sample_mixture`, so
     sampling a mixture and splitting it are independent draws — a 10%

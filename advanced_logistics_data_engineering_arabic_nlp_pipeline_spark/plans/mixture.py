@@ -142,7 +142,8 @@ ORDER BY doc_id
 
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test labels (90/5/5 by integer hash
-    thresholds; growing a split only moves docs, never reshuffles)."""
+    thresholds; stable under fixed fractions — test grows monotonically
+    with test_frac, val shifts; see operators/mixture.dataset_split)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return _dataset_split(
         docs, SPLIT_SEED, val_frac=VAL_FRAC, test_frac=TEST_FRAC
@@ -183,7 +184,13 @@ def training_export_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_mixture.py."""
     from .llmdata import training_export_chunks
 
-    chunks = training_export_chunks(spark, sf_dir)
+    # persist: the shard assignment derives from this frame AND the final
+    # join reads it again — without the cut point the most expensive
+    # subtree in the repo (curation → LSH anti-join → PQ encode → chunk
+    # explode) executes twice in one plan (r8 self-review). Same
+    # cache-cut-point contract as _export_encoded's kept frame: the query
+    # is self-contained and the bench/driver clearCache() between queries.
+    chunks = training_export_chunks(spark, sf_dir).persist()
     assign = (
         _epoch_shards(
             chunks.select("chunk_uid").distinct(),

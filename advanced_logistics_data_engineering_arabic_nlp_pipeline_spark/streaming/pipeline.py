@@ -451,43 +451,74 @@ def _fs_batch_ids(spark: SparkSession, base: str) -> list[int]:
     return out
 
 
-def _stream_gate_base(spark: SparkSession, sigs_dir: str, token: str) -> int:
-    """Pinned offset mapping a stream's micro-batch epoch ids onto the
-    near-dup index's ``batch=<id>`` space.
-
-    Streaming epochs start at 0 for every new checkpoint, but the index
-    may already hold batches — a corpus bootstrapped with
-    :func:`..operators.dedup.neardup_increment` (the batch twin) writes
-    ``batch=0..K-1``, and an earlier RETIRED stream (old checkpoint) may
-    have written its own generation. Without an offset the new stream's
-    first epoch would BOTH overwrite ``batch=0`` and, because history
-    reads filter ``batch < batch_id``, never see the existing keepers.
-
-    The base is computed ONCE PER CHECKPOINT GENERATION — max existing
-    batch id + 1 — and pinned as a dot-prefixed marker directory
-    ``.stream_base_<token>=<K>`` inside the sigs dir, where ``token``
-    identifies the stream's checkpoint (dot prefix: invisible to Spark's
-    partition discovery, so the parquet reads of the index never see a
-    conflicting partition column; created via the Hadoop FileSystem API,
-    so it works on any scheme the index itself works on). A driver
-    restart re-delivering epoch 0 finds its own marker and reuses it
-    (idempotent overwrite); a NEW stream over a fresh checkpoint mints a
-    fresh base past everything already written, so generations never
-    collide. Single writer at a time per index (same contract as the
-    checkpoint itself); batch increments interleave safely BETWEEN
-    streams, not during one."""
+def _index_allocated_ids(spark: SparkSession, sigs_dir: str) -> list[int]:
+    """Every batch id the index considers TAKEN: written ``batch=<id>``
+    partition dirs plus ``.epoch_<token>_<e>=<id>`` reservation markers
+    (an id reserved by a stream epoch that crashed before its index write
+    is still taken — a later allocator must not hand it out again). One
+    listStatus covers both kinds."""
     jvm = spark.sparkContext._jvm
     path = jvm.org.apache.hadoop.fs.Path(sigs_dir)
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    prefix = f".stream_base_{token}="
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        name = st.getPath().getName()
+        if st.isDirectory() and (
+            name.startswith("batch=") or name.startswith(".epoch_")
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return out
+
+
+def _gate_batch_id(spark: SparkSession, sigs_dir: str, token: str, epoch: int) -> int:
+    """Durable, collision-free mapping of a stream micro-batch epoch onto
+    the near-dup index's ``batch=<id>`` space.
+
+    Why a mapping at all: epoch ids are checkpoint-relative (a new
+    checkpoint starts at 0; a resumed one CONTINUES), while the index is a
+    shared, append-ordered space that batch increments
+    (:func:`..operators.dedup.neardup_increment`) and earlier stream
+    generations also write into. Using the epoch directly would overwrite
+    or hide existing batches.
+
+    Protocol, one tiny reservation marker per epoch:
+
+    - RE-DELIVERY (at-least-once restart): a marker
+      ``.epoch_<token>_<epoch>=<id>`` already exists for this checkpoint
+      — reuse its id, so the gate's per-batch overwrite + strict
+      ``batch < id`` history filter reproduce the original run exactly.
+    - NEW EPOCH: allocate ``max(all taken ids) + 1``
+      (:func:`_index_allocated_ids` — written batches AND outstanding
+      reservations), write the marker, then proceed. Anything an
+      interleaved increment or a previous generation wrote is below the
+      allocated id, so it is VISIBLE as history and never overwritten —
+      including the resume-after-increment case (stream epochs 0..2,
+      stopped; increment writes batch=3; resumed epoch 3 allocates 4, so
+      the increment's keepers are deduped against, not destroyed).
+
+    Markers are dot-prefixed directories: invisible to Spark partition
+    discovery (the parquet reads of the index never see a conflicting
+    partition column), created via the Hadoop FileSystem API so every
+    scheme the index works on works here. One marker per epoch — the same
+    growth rate as the batch dirs themselves; the per-batch listStatus
+    matches the one the gate's history discovery already pays (the
+    documented portable-fallback cost — production swaps the whole index
+    for a KV store). Single WRITER at a time per index; increments may
+    interleave between stream runs."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(sigs_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    prefix = f".epoch_{token}_{epoch}="
     if fs.exists(path):
         for st in fs.listStatus(path):
             name = st.getPath().getName()
             if name.startswith(prefix):
                 return int(name.split("=", 1)[1])
-    base = max(_fs_batch_ids(spark, sigs_dir), default=-1) + 1
-    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{sigs_dir}/{prefix}{base}"))
-    return base
+    gate_id = max(_index_allocated_ids(spark, sigs_dir), default=-1) + 1
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{sigs_dir}/{prefix}{gate_id}"))
+    return gate_id
 
 
 def _neardup_gate(
@@ -780,14 +811,17 @@ def run_stream_curation(
                 # overhead. Checkpointed blocks are released by the
                 # ContextCleaner once the batch's frames go out of scope.
                 batch_df = batch_df.localCheckpoint()
-                # epoch ids restart at 0 per checkpoint; the index may be
-                # pre-populated (neardup_increment bootstrap, or an
-                # earlier retired stream) — map epochs into the index's
-                # batch space via the per-checkpoint pinned base marker
-                gate_id = batch_id + _stream_gate_base(
+                # epoch ids are checkpoint-relative and the index is a
+                # shared space (neardup_increment bootstraps/deltas,
+                # earlier stream generations) — map each epoch onto a
+                # durable reserved index id (_gate_batch_id: re-delivery
+                # reuses its reservation, a new epoch allocates past
+                # everything written or reserved)
+                gate_id = _gate_batch_id(
                     batch_df.sparkSession,
                     nd_index_dir.rstrip("/") + "/sigs",
                     _ckpt_token,
+                    batch_id,
                 )
                 batch_df, _ = _neardup_gate(
                     batch_df,
@@ -822,8 +856,12 @@ def run_stream_curation(
     if ev_dict is not None:
         reaper = _UnpersistOnTermination(spark, [ev_dict])
         spark.streams.addListener(reaper)
-    with _state_store_conf(spark, state_store):
-        try:
+    # the except must also cover _state_store_conf's __enter__ (an invalid
+    # state_store raises ValueError there) — with the guard inside the
+    # context manager, that path leaked the persisted eval dictionary AND
+    # the registered listener on every failed call (r8 self-review)
+    try:
+        with _state_store_conf(spark, state_store):
             query = (
                 deduped.writeStream.foreachBatch(_curate)
                 .option("checkpointLocation", checkpoint_dir)
@@ -831,10 +869,10 @@ def run_stream_curation(
                 .trigger(availableNow=True)
                 .start()
             )
-        except Exception:
-            if reaper is not None:
-                reaper.release_now()
-            raise
+    except Exception:
+        if reaper is not None:
+            reaper.release_now()
+        raise
     if reaper is not None:
         reaper.bind(str(query.id))
     return query

@@ -39,3 +39,5 @@ def test_rows_only(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+    # release per-query persisted cut points (same contract as compare())
+    spark.catalog.clearCache()

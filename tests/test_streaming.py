@@ -1386,10 +1386,12 @@ def test_neardup_gate_fixture_scale_direct_pair_recall(spark, sf_dir, tmp_path):
     assert both_kept == set()
 
     # divergence vs batch CC, printed + bounded: batch keeps one per
-    # cluster (500 - members + clusters); greedy may keep extras, each a
-    # chain endpoint whose middle was dropped before it arrived — never
-    # more than the non-representative cluster mass
-    batch_keep_count = 500 - n_members + n_clusters
+    # cluster (corpus - members + clusters); greedy may keep extras, each
+    # a chain endpoint whose middle was dropped before it arrived — never
+    # more than the non-representative cluster mass. Corpus size COUNTED,
+    # not hardcoded, so a regenerated fixture can't silently skew the
+    # bound (r8 self-review).
+    batch_keep_count = docs.count() - n_members + n_clusters
     extras = len(kept) - batch_keep_count
     print(f"stream kept {len(kept)}, batch-CC would keep {batch_keep_count}, "
           f"divergence extras={extras} of {n_members - n_clusters} droppable")
@@ -1492,7 +1494,7 @@ def test_neardup_index_survives_stream_generations(spark, tmp_path):
     second stream must see the first generation's keepers (drop an
     arriving near-dup of one) and must NOT overwrite the first
     generation's index batches — each checkpoint pins its own
-    .stream_base marker past everything already written."""
+    per-epoch reservation marker past everything already written."""
     g1_a = _block("v", 40)
     g1_b = _block("w", 40)
     g2_near = " ".join(g1_a.split()[:-2] + ["gen2a", "gen2b"])
@@ -1537,4 +1539,89 @@ def test_neardup_index_survives_stream_generations(spark, tmp_path):
     assert set(gen1_batches) < set(gen2_batches)
     all_sigs = spark.read.option("basePath", sigs).parquet(sigs)
     assert all_sigs.count() == 3  # gen1's 2 keepers + gen2's 1 (near-dup dropped)
-    assert len([d for d in os.listdir(sigs) if d.startswith(".stream_base_")]) == 2
+    # one reservation marker PER EPOCH (incl. availableNow's trailing
+    # empty epoch), under exactly two checkpoint tokens — one per
+    # generation; every marker id is unique (no reservation collisions)
+    markers = [d for d in os.listdir(sigs) if d.startswith(".epoch_")]
+    tokens = {m[len(".epoch_"):].rsplit("_", 1)[0] for m in markers}
+    ids = [int(m.split("=", 1)[1]) for m in markers]
+    assert len(tokens) == 2
+    assert len(set(ids)) == len(ids)
+
+
+def test_stream_resume_after_increment_no_collision(spark, tmp_path):
+    """r8 self-review finding #1: epoch ids CONTINUE under one checkpoint,
+    so a resumed stream's next epoch can numerically collide with a batch
+    id that neardup_increment wrote while the stream was stopped. The
+    per-epoch reservation protocol must allocate PAST the increment: its
+    keepers stay in the index (not overwritten) and are deduped against
+    (an arriving near-dup of an increment keeper is dropped)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.dedup import (
+        neardup_increment,
+    )
+
+    s_a = _block("ya", 40)
+    s_b = _block("yb", 40)
+    inc_doc = _block("yc", 40)
+    near_inc = " ".join(inc_doc.split()[:-2] + ["resu1", "resu2"])
+
+    sink = str(tmp_path / "res_sink")
+    ckpt = str(tmp_path / "res_ckpt")
+    idx = os.path.join(sink, ".neardup_index")
+    sigs = f"{idx}/sigs"
+    src = str(tmp_path / "res_src")
+    os.makedirs(src)
+
+    def add_file(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = pipeline.run_stream_curation(stream, sink, ckpt, neardup_threshold=0.6)
+        q.awaitTermination(120)
+
+    # stream run 1: two files -> epochs 0 and 1, index batches 0 and 1
+    add_file([(1, s_a, "2024-01-01 10:00:00")])
+    add_file([(2, s_b, "2024-01-01 10:01:00")])
+    run_stream()
+    ids_before = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(sigs)
+        if d.startswith("batch=")
+    }
+    assert {0, 1} <= ids_before  # one batch per file (+ maybe a trailing empty epoch)
+
+    # stream stopped; a nightly increment lands at max+1
+    inc = spark.createDataFrame([(50, inc_doc)], "doc_id long, text string")
+    kept = neardup_increment(inc, idx)
+    assert kept.count() == 1
+    kept.unpersist()
+    inc_id = max(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(sigs)
+        if d.startswith("batch=")
+    )
+    assert inc_id not in ids_before
+    inc_dir = f"{sigs}/batch={inc_id}"
+    assert spark.read.parquet(inc_dir).count() == 1
+
+    # stream resumes (same checkpoint): its next epoch id numerically
+    # equals inc_id's neighborhood — the reservation protocol must
+    # allocate PAST the increment, never onto it
+    add_file([(60, near_inc, "2024-01-01 12:00:00")])
+    run_stream()
+
+    # increment's index entry intact (not overwritten by the resumed epoch)
+    assert spark.read.parquet(inc_dir).count() == 1
+    assert {r["id"] for r in spark.read.parquet(inc_dir).select("id").collect()} == {50}
+    # and the near-dup of the increment keeper was dropped by the stream
+    sink_ids = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    assert 60 not in sink_ids and {1, 2} <= sink_ids
