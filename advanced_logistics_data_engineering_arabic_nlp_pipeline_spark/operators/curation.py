@@ -491,3 +491,105 @@ def decontaminate(
         F.round(F.col("n_contam") / F.col("n_shingles"), 6).alias("contam_frac"),
         (F.col("n_contam") > 0).alias("contaminated"),
     )
+
+
+# ── boilerplate scrub (corpus-frequency segment removal) ────────────────────
+# CCNet / RefinedWeb-style line-level dedup: a line (nav menu, cookie
+# banner, footer) that appears in a large fraction of DOCUMENTS is template
+# boilerplate, not content — remove the line, keep the document. This is
+# the segment-granularity complement of the doc-level dedup family: exact
+# dedup drops whole duplicate documents; this drops the duplicated PARTS
+# of otherwise-unique documents.
+
+
+def scrub_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    delim: str = "\n+",
+    join_sep: str = "\n",
+    min_doc_frac: float = 0.01,
+    min_docs: int = 2,
+    min_seg_chars: int = 1,
+) -> DataFrame:
+    """Remove segments (lines/paragraphs) that occur in too many documents.
+
+    A segment is dropped from every document when its normalized form
+    (lower, trim, whitespace-squeeze) appears in at least
+    ``max(min_docs, ceil(min_doc_frac * n_docs))`` DISTINCT documents;
+    segments shorter than ``min_seg_chars`` after normalization are never
+    counted and never dropped (an empty or one-char line is structure, not
+    boilerplate — and because equal norms have equal length, a short
+    segment can never collide with a dropped one, so the rebuild join
+    needs no eligibility predicate). Surviving segments are rejoined in
+    original order with ``join_sep`` (canonical separator: a ``\\n+`` run
+    in the input becomes one ``\\n`` — documented normalization, mirrored
+    by the oracle).
+
+    Output: ``id_col``, scrubbed ``text_col`` (empty string when every
+    segment was boilerplate — the quality gate downstream kills those),
+    ``n_segs``, ``n_dropped``. Other input columns are not carried — join
+    back on ``id_col`` (the frame is one row per input document, pinned
+    by pytest).
+
+    100 TB shape: segment occurrences shuffle as 16-byte md5 fingerprints,
+    never as text — one (fp, doc) distinct + one map-side-combined count
+    per fp; a boilerplate fp appearing in half the corpus is ONE count
+    key (combiner-friendly), not a collected group. The corpus size
+    reaches the threshold comparison as a broadcast one-row frame (no
+    driver collect in the plan). The drop set joins back unhinted — it is
+    data-dependent (#segments with df ≥ threshold is bounded by
+    occurrences/threshold), so AQE picks broadcast when it is small and a
+    shuffled join when it is not, the same discipline as the winnow hot
+    set. Per-document segment reassembly is a collect_list bounded by the
+    longest single document (the materialize_chunks bound), not by any
+    corpus-wide key."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("_seg"))), "[ \t\n\r]+", " ")
+    segs = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(text, delim)).alias("_pos", "_seg"),
+        )
+        .withColumn("_fp", F.md5(norm))
+        .withColumn("_elig", F.length(norm) >= min_seg_chars)
+    )
+    total = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    threshold = F.greatest(
+        F.lit(min_docs).cast("bigint"),
+        F.ceil(F.lit(min_doc_frac) * F.col("_n_docs")).cast("bigint"),
+    )
+    drop_set = (
+        segs.filter(F.col("_elig"))
+        .select("_fp", id_col)
+        .distinct()
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_df") >= threshold)
+        .select("_fp", F.lit(True).alias("_drop"))
+    )
+    kept_struct = F.when(
+        F.col("_drop").isNull(), F.struct(F.col("_pos"), F.col("_seg"))
+    )
+    return (
+        segs.join(drop_set, "_fp", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        # collect_list skips the null (dropped) entries;
+                        # array_sort orders by _pos (first struct field)
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["_seg"],
+                    ),
+                    join_sep,
+                ),
+                F.lit(""),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_dropped"),
+        )
+    )

@@ -1694,6 +1694,84 @@ def training_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic 2-word segmentation shared by the Spark plan and the SQL
+# mirror: the synthetic corpus has no newlines, so the query derives
+# "lines" by breaking the single-spaced word stream every BOILER_SEG_WORDS
+# words — short segments repeat across documents at fixture scale (a
+# ~40-word vocabulary), which makes the scrub non-vacuous at every SF.
+BOILER_SEG_WORDS = 2
+BOILER_MIN_DOC_FRAC = 0.04
+BOILER_MIN_DOCS = 2
+
+
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate-line removal over ``documents``: drop every
+    segment whose normalized form occurs in ≥ max(2, ceil(4% · n_docs))
+    distinct documents, keep the rest of each document in order.
+
+    The segmenter (2-word pseudo-lines) is a fixture adaptation — on a
+    real corpus :func:`...operators.curation.scrub_boilerplate` splits on
+    its default ``\\n+``. Plan shape: segment fingerprints shuffle as md5
+    hex (never text), the corpus count arrives as a broadcast one-row
+    frame, the drop set joins back unhinted (AQE)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seg_text = F.expr(
+        "array_join(transform("
+        f"  sequence(0, cast(ceil(size(split(coalesce(text, ''), ' ')) / {BOILER_SEG_WORDS}) as int) - 1),"
+        f"  i -> array_join(slice(split(coalesce(text, ''), ' '), i * {BOILER_SEG_WORDS} + 1, {BOILER_SEG_WORDS}), ' ')"
+        "), '\n')"
+    )
+    segmented = docs.withColumn("text", seg_text)
+    return curation.scrub_boilerplate(
+        segmented,
+        min_doc_frac=BOILER_MIN_DOC_FRAC,
+        min_docs=BOILER_MIN_DOCS,
+    ).orderBy("doc_id")
+
+
+BOILERPLATE_SCRUB_SQL = f"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(string_split(coalesce(text, ''), ' ')) AS word,
+           generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS wi
+    FROM documents
+),
+segs AS (
+    SELECT doc_id,
+           ((wi - 1) // {BOILER_SEG_WORDS}) AS pos,
+           string_agg(word, ' ' ORDER BY wi) AS seg
+    FROM words
+    GROUP BY doc_id, ((wi - 1) // {BOILER_SEG_WORDS})
+),
+normed AS (
+    SELECT doc_id, pos, seg,
+           lower(trim(regexp_replace(seg, '[ \t\n\r]+', ' ', 'g'))) AS norm
+    FROM segs
+),
+freq AS (
+    SELECT norm, count(DISTINCT doc_id) AS df
+    FROM normed WHERE length(norm) >= 1
+    GROUP BY norm
+),
+tot AS (SELECT count(*) AS n_docs FROM documents),
+drop_set AS (
+    SELECT norm FROM freq, tot
+    WHERE df >= greatest({BOILER_MIN_DOCS}, CAST(ceil({BOILER_MIN_DOC_FRAC} * n_docs) AS BIGINT))
+),
+marked AS (
+    SELECT n.doc_id, n.pos, n.seg, (d.norm IS NOT NULL) AS dropped
+    FROM normed n LEFT JOIN drop_set d ON n.norm = d.norm
+)
+SELECT doc_id,
+       coalesce(string_agg(seg, chr(10) ORDER BY pos) FILTER (WHERE NOT dropped), '') AS text,
+       count(*) AS n_segs,
+       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_jaccard": dedup_jaccard,
@@ -1740,6 +1818,7 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "sequence_chunks": sequence_chunks,
     "training_export_chunks": training_export_chunks,
+    "boilerplate_scrub": boilerplate_scrub,
 }
 
 ORACLES = {
@@ -1794,4 +1873,8 @@ LOCAL_ORACLES = {
     # The materialized windows (r6): same headroom rule; the DuckDB mirror
     # reproduces the explode + token slicing bit-for-bit.
     "sequence_chunks": SEQUENCE_CHUNKS_SQL,
+    # Segment-level boilerplate removal (r8): same headroom rule — the
+    # driver window is at its 48-oracle cap; the full mirror (2-word
+    # segmentation, df threshold, ordered reassembly) hashes in pytest.
+    "boilerplate_scrub": BOILERPLATE_SCRUB_SQL,
 }

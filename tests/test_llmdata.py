@@ -1627,3 +1627,79 @@ def test_ann_index_durable_no_resurrection_and_readd_guard(spark, sf_dir, tmp_pa
     # and the tombstone record survived the add for future removes
     assert grown.tombstones is not None
     grown.unpersist()
+
+
+# ── boilerplate scrub (r8) ──────────────────────────────────────────────────
+
+
+def _scrub(spark, rows, **kw):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.curation import (
+        scrub_boilerplate,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = scrub_boilerplate(df, **kw).orderBy("doc_id").collect()
+    return {r["doc_id"]: (r["text"], r["n_segs"], r["n_dropped"]) for r in out}
+
+
+def test_scrub_boilerplate_semantics(spark):
+    """Normalization-matched frequent segments drop everywhere; rare ones
+    stay; order preserved; null/all-boilerplate docs survive as ''."""
+    got = _scrub(
+        spark,
+        [
+            (1, "COOKIE BANNER\nreal content one\nfooter text"),
+            (2, "cookie   banner\nreal content two\nfooter text"),
+            (3, "cookie banner\nunique stuff\nfooter text\nx"),
+            (4, None),
+            (5, "cookie banner"),
+        ],
+        min_doc_frac=0.5,
+        min_docs=2,
+    )
+    # threshold = max(2, ceil(0.5*5)) = 3: 'cookie banner' df=4, 'footer
+    # text' df=3 -> dropped; every doc keeps exactly its unique content
+    assert got[1] == ("real content one", 3, 2)
+    assert got[2] == ("real content two", 3, 2)
+    # order preserved around a dropped middle segment; 1-char 'x' immune
+    assert got[3] == ("unique stuff\nx", 4, 2)
+    # null text -> one empty (ineligible) segment, kept, rebuilt as ''
+    assert got[4] == ("", 1, 0)
+    # all segments boilerplate -> row SURVIVES with empty text
+    assert got[5] == ("", 1, 1)
+
+
+def test_scrub_boilerplate_min_seg_chars_immunity(spark):
+    """Segments shorter than min_seg_chars are never counted or dropped,
+    even when their df clears the threshold."""
+    rows = [(i, "ok\nthis segment is long enough to count") for i in range(5)]
+    got = _scrub(spark, rows, min_doc_frac=0.2, min_docs=2, min_seg_chars=3)
+    for i in range(5):
+        text, n_segs, n_dropped = got[i]
+        assert text == "ok"  # long segment (df=5) dropped, short one immune
+        assert (n_segs, n_dropped) == (2, 1)
+
+
+def test_scrub_boilerplate_one_row_per_doc_and_df_is_distinct_docs(spark):
+    """Repeating a segment within ONE document counts once toward its df
+    (distinct-doc frequency), and the output stays one row per input."""
+    rows = [
+        (1, "dup seg\ndup seg\ndup seg\nkeep one"),
+        (2, "keep two\nother line"),
+        (3, "keep three\nthird thing"),
+    ]
+    # 'dup seg' df = 1 (one document) < max(2, ceil(0.5*3)=2) -> kept
+    got = _scrub(spark, rows, min_doc_frac=0.5, min_docs=2)
+    assert len(got) == 3
+    assert got[1] == ("dup seg\ndup seg\ndup seg\nkeep one", 4, 0)
+
+
+def test_scrub_boilerplate_threshold_is_greatest_of_both(spark):
+    """min_docs floors the frac threshold: with 3 docs and frac=0.01 the
+    effective threshold is still min_docs."""
+    rows = [(1, "shared\na one"), (2, "shared\nb two"), (3, "only three")]
+    got = _scrub(spark, rows, min_doc_frac=0.01, min_docs=3)
+    # 'shared' df=2 < min_docs=3 -> kept
+    assert got[1][2] == 0 and got[2][2] == 0
+    got2 = _scrub(spark, rows, min_doc_frac=0.01, min_docs=2)
+    assert got2[1] == ("a one", 2, 1) and got2[2] == ("b two", 2, 1)
