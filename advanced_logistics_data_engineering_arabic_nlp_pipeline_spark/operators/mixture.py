@@ -100,6 +100,73 @@ def sample_mixture(
     return df.filter(h < _rate_threshold_expr(group_col, rates, default_rate))
 
 
+def temperature_rates(
+    weights: dict[str, float], alpha: float
+) -> dict[str, float]:
+    """Per-group keep-rates implementing temperature (``p^alpha``)
+    resampling, the standard multilingual/domain reweighting: flatten a
+    skewed corpus distribution toward uniform as ``alpha`` falls from 1.
+
+    Given group weights ``w_g`` (docs, tokens, chars — the caller's
+    choice of mass), the target distribution is ``q_g ∝ p_g^alpha`` with
+    ``p_g = w_g / W``; a FILTER realizes it with per-group keep-rate
+    ``r_g ∝ q_g / p_g = p_g^(alpha-1)``, max-normalized so the smallest
+    group keeps everything (a filter can only DOWNSAMPLE — no duplication;
+    upsampling is the trainer's epoch knob, not the corpus builder's).
+    ``alpha=1`` → every rate 1 (identity); ``alpha=0`` → expected kept
+    mass EQUAL per group (``w_min`` each). Rates are monotone in alpha
+    (``r_g = (p_g/p_min)^(alpha-1)`` with ``p_g/p_min ≥ 1``), so keep
+    sets under one seed are NESTED across alpha — ablations at several
+    temperatures share documents by construction. Groups with weight 0
+    are omitted (nothing to keep)."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    pos = {g: float(w) for g, w in weights.items() if w > 0}
+    if not pos:
+        return {}
+    total = sum(pos.values())
+    raw = {g: (w / total) ** (alpha - 1.0) for g, w in pos.items()}
+    top = max(raw.values())
+    return {g: r / top for g, r in raw.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    alpha: float,
+    seed: int,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+    max_groups: int = 10_000,
+) -> DataFrame:
+    """Temperature-resample a corpus: aggregate per-group mass, derive
+    :func:`temperature_rates`, apply :func:`sample_mixture` (same salt —
+    ``temperature_mix`` IS ``sample_mixture`` with computed rates, so a
+    manual ``sample_mixture`` call with the same rates/seed selects the
+    identical documents).
+
+    ``weight_col=None`` weights by document count; pass a column (chars,
+    tokens) to flatten by that mass instead. The group-weight aggregate
+    is collected to the driver — BOUNDED: groups are languages/domains/
+    sources, O(100) at 100 TB; ``max_groups`` guards the collect and
+    raises past it (the similarity-family collect discipline). The
+    resample itself stays a zero-shuffle integer-hash filter."""
+    agg = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    ).alias("_w")
+    grouped = df.groupBy(group_col).agg(agg)
+    rows = grouped.limit(max_groups + 1).collect()
+    if len(rows) > max_groups:
+        raise ValueError(
+            f"temperature_mix: > {max_groups} groups in {group_col!r}; "
+            "this operator flattens coarse strata (languages, domains) — "
+            "a high-cardinality column here is almost certainly a mistake"
+        )
+    weights = {r[group_col]: float(r["_w"]) for r in rows if r["_w"] is not None}
+    rates = temperature_rates(weights, alpha)
+    return sample_mixture(df, group_col, rates, seed, id_col=id_col, default_rate=0.0)
+
+
 def epoch_shards(
     df: DataFrame,
     n_shards: int,

@@ -22,6 +22,7 @@ from ..operators.mixture import (
     dataset_split as _dataset_split,
     epoch_shards as _epoch_shards,
     sample_mixture,
+    temperature_mix as _temperature_mix,
     token_budget_mix as _token_budget_mix,
 )
 from ..sources.tables import load_table
@@ -40,6 +41,9 @@ BUDGET_SEED = 5
 # binds (cuts mid-group) already at sf0.001 (~2k whitespace tokens total,
 # ~43% en) and therefore at every larger SF too; es exercises default 0
 TOKEN_BUDGETS = {"en": 400, "zh": 150, "fr": 100, "de": 100}
+
+TEMP_SEED = 13
+TEMP_ALPHA = 0.5
 
 SPLIT_SEED = 11
 VAL_FRAC = 0.05
@@ -206,11 +210,32 @@ def training_export_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (p^0.5) resampling by lang, char-weighted: the skewed
+    per-language char mass is flattened toward uniform; the dominant
+    language downsamples hardest, the smallest keeps everything.
+
+    Driver-tier rows-only BY NECESSITY, not thinness: the keep thresholds
+    are computed from DATA (per-group aggregate → temperature_rates), so
+    no static SQL string can mirror them without floats crossing the
+    engine boundary. The full oracle runs in pytest instead — DuckDB
+    aggregates the same weights, the same Python computes the same
+    integer thresholds, and the result hash-compares exactly
+    (tests/test_mixture.py::test_temperature_mix_duckdb_parity)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return _temperature_mix(
+        docs, "lang", TEMP_ALPHA, TEMP_SEED, weight_col="n_chars"
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
     "epoch_shards": epoch_shards,
     "token_budget_mix": token_budget_mix,
     "dataset_split": dataset_split,
+    "temperature_mix": temperature_mix,
     "training_export_sharded": training_export_sharded,
 }
 

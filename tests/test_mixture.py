@@ -249,3 +249,135 @@ def test_split_independent_of_sampling(docs):
     # 5% +- generous binomial slack at fixture size
     mean, sd = n * 0.05, (n * 0.05 * 0.95) ** 0.5
     assert abs(n_test - mean) <= 4 * sd, (n_test, mean)
+
+
+# ------------------------------------------------------- temperature mix
+
+
+def test_temperature_rates_shape():
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_rates,
+    )
+
+    w = {"en": 900.0, "fr": 90.0, "zh": 10.0}
+    # alpha=1: identity
+    assert temperature_rates(w, 1.0) == {"en": 1.0, "fr": 1.0, "zh": 1.0}
+    # alpha=0: expected kept mass EQUAL per group (w_min each)
+    r0 = temperature_rates(w, 0.0)
+    masses = {g: w[g] * r0[g] for g in w}
+    assert all(abs(m - 10.0) < 1e-9 for m in masses.values()), masses
+    # alpha=0.5: proportional to sqrt(p) -> kept mass ratio sqrt(w)-shaped
+    r5 = temperature_rates(w, 0.5)
+    assert abs((w["en"] * r5["en"]) / (w["zh"] * r5["zh"]) - (900 / 10) ** 0.5) < 1e-9
+    # zero-weight groups omitted; out-of-range alpha raises
+    assert "x" not in temperature_rates({"x": 0.0, "y": 5.0}, 0.5)
+    with pytest.raises(ValueError):
+        temperature_rates(w, 1.5)
+
+
+def test_temperature_mix_alpha1_identity(docs):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_mix,
+    )
+
+    kept = temperature_mix(docs, "lang", 1.0, seed=7)
+    assert _ids(kept) == _ids(docs)
+
+
+def test_temperature_mix_alpha0_uniform_mass(docs):
+    """At alpha=0 every group's EXPECTED kept char mass equals the
+    smallest group's total; check within binomial-ish slack."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_mix,
+    )
+
+    w = {
+        r["lang"]: r["w"]
+        for r in docs.groupBy("lang").agg(F.sum("n_chars").alias("w")).collect()
+    }
+    w_min = min(w.values())
+    kept = temperature_mix(docs, "lang", 0.0, seed=7, weight_col="n_chars")
+    got = {
+        r["lang"]: r["w"]
+        for r in kept.groupBy("lang").agg(F.sum("n_chars").alias("w")).collect()
+    }
+    for g, target in w.items():
+        # expected w_min; slack: 4 * sqrt(rate*(1-rate)*n_docs_g) * avg_chars
+        # collapsed to a generous 60% relative band at fixture size
+        assert abs(got.get(g, 0) - w_min) <= 0.6 * w_min + 4 * 300, (g, got.get(g), w_min)
+
+
+def test_temperature_mix_nested_in_alpha(docs):
+    """Rates are monotone in alpha, so keep sets under one seed nest:
+    ablations at several temperatures share documents."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_mix,
+    )
+
+    k3 = set(_ids(temperature_mix(docs, "lang", 0.3, seed=7, weight_col="n_chars")))
+    k7 = set(_ids(temperature_mix(docs, "lang", 0.7, seed=7, weight_col="n_chars")))
+    k10 = set(_ids(temperature_mix(docs, "lang", 1.0, seed=7, weight_col="n_chars")))
+    assert k3 <= k7 <= k10
+    assert len(k3) < len(k7) < len(k10)  # non-vacuous at fixture scale
+
+
+def test_temperature_mix_layout_independent(docs):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_mix,
+    )
+
+    a = _ids(temperature_mix(docs.repartition(7), "lang", 0.5, seed=9))
+    b = _ids(temperature_mix(docs.coalesce(1), "lang", 0.5, seed=9))
+    assert a == b
+
+
+def test_temperature_mix_max_groups_guard(docs):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_mix,
+    )
+
+    with pytest.raises(ValueError, match="groups"):
+        temperature_mix(docs, "doc_id", 0.5, seed=7, max_groups=10)
+
+
+def test_temperature_mix_duckdb_parity(spark, sf_dir):
+    """The full cross-engine oracle, with the thresholds computed the way
+    the operator computes them: DuckDB aggregates the group weights, the
+    SAME temperature_rates turns them into integer thresholds, and the
+    keep decision is the same 60-bit integer comparison on both engines —
+    no float crosses the engine boundary (registry docstring contract:
+    this test IS temperature_mix's oracle; the driver sees rows-only)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_rates,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.mixture import (
+        TEMP_ALPHA,
+        TEMP_SEED,
+        temperature_mix as temperature_mix_query,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        HASH_SPACE as HS,
+    )
+    from tests.oracle_util import compare, duckdb_conn
+
+    con = duckdb_conn(sf_dir)
+    try:
+        w = {
+            g: float(x)
+            for g, x in con.execute(
+                "SELECT lang, SUM(n_chars) FROM documents GROUP BY lang"
+            ).fetchall()
+        }
+        rates = temperature_rates(w, TEMP_ALPHA)
+        whens = " ".join(
+            f"WHEN '{g}' THEN {int(r * HS)}" for g, r in sorted(rates.items())
+        )
+        sql = f"""
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE ('0x' || substr(md5('mixsample:{TEMP_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              < CASE lang {whens} ELSE 0 END
+        ORDER BY doc_id
+        """
+        compare(temperature_mix_query(spark, sf_dir), con, sql)
+    finally:
+        con.close()
