@@ -58,6 +58,8 @@ HEADLINE = [
     "pii_redaction",
     "docs_repetition",
     "decontaminate",
+    # segment-level boilerplate removal (r8)
+    "boilerplate_scrub",
     # packed-sequence materialization (r6) + the shipped training artifact
     # (r7 — VERDICT r6 bench-coverage gap: the chunked export is what a
     # training job actually reads, so it gets a headline entry)
@@ -68,6 +70,7 @@ HEADLINE = [
     "epoch_shards",
     "token_budget_mix",
     "dataset_split",
+    "temperature_mix",
     # event-time windows
     "events_hourly",
     "events_sliding",
