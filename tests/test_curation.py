@@ -579,3 +579,85 @@ def test_materialize_chunks_property_random_corpora(spark):
                 assert fill[r["chunk_uid"]] == max_len
 
     check()
+
+
+def test_scrub_boilerplate_property_random_corpora(spark):
+    """Property-based coverage for the boilerplate scrub against a direct
+    Python reference: over random corpora (docs spanning empty → many
+    segments, messy case/whitespace, duplicate segments within one doc,
+    random thresholds) every document survives as exactly one row whose
+    scrubbed text, segment count, and drop count match the reference's
+    distinct-doc-frequency computation."""
+    import math as _math
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abC ", min_size=1, max_size=6)
+
+    @st.composite
+    def corpus(draw):
+        n_docs = draw(st.integers(1, 10))
+        # a small segment pool forces cross-doc repeats
+        pool = [draw(word) for _ in range(draw(st.integers(1, 6)))]
+        docs = []
+        for i in range(n_docs):
+            n_seg = draw(st.integers(0, 6))
+            segs = [draw(st.sampled_from(pool + ["uniq%d_%d" % (i, j)])) for j in range(n_seg)]
+            docs.append((i, "\n".join(segs) if segs else draw(st.sampled_from(["", None]))))
+        frac = draw(st.floats(0.1, 0.9))
+        min_docs = draw(st.integers(1, 4))
+        min_chars = draw(st.integers(1, 3))
+        return docs, frac, min_docs, min_chars
+
+    def ref(docs, frac, min_docs, min_chars):
+        import re
+
+        def segments(t):
+            return re.split(r"\n+", t if t is not None else "")
+
+        def norm(seg):
+            return re.sub(r"[ \t\n\r]+", " ", seg.strip().lower())
+
+        n_docs = len(docs)
+        thr = max(min_docs, _math.ceil(frac * n_docs))
+        df: dict = {}
+        for _i, t in docs:
+            seen = set()
+            for seg in segments(t):
+                n = norm(seg)
+                if len(n) >= min_chars and n not in seen:
+                    seen.add(n)
+                    df[n] = df.get(n, 0) + 1
+        out = {}
+        for i, t in docs:
+            segs = segments(t)
+            kept = [
+                s
+                for s in segs
+                if not (len(norm(s)) >= min_chars and df.get(norm(s), 0) >= thr)
+            ]
+            out[i] = ("\n".join(kept), len(segs), len(segs) - len(kept))
+        return out
+
+    @given(corpus())
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(case):
+        docs, frac, min_docs, min_chars = case
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["text"], r["n_segs"], r["n_dropped"])
+            for r in curation.scrub_boilerplate(
+                df,
+                min_doc_frac=frac,
+                min_docs=min_docs,
+                min_seg_chars=min_chars,
+            ).collect()
+        }
+        assert got == ref(docs, frac, min_docs, min_chars)
+
+    check()
