@@ -545,9 +545,25 @@ def scrub_boilerplate(
     set. Per-document segment reassembly is a collect_list bounded by the
     longest single document (the materialize_chunks bound), not by any
     corpus-wide key."""
+    segs = _segment_frame(df, text_col, id_col, delim, min_seg_chars)
+    total = df.select(F.count(F.lit(1)).alias("_n_docs"))
+    drop_set = (
+        _seg_df_counts(segs, id_col)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("_df") >= _boiler_threshold(min_docs, min_doc_frac, "_n_docs"))
+        .select("_fp", F.lit(True).alias("_drop"))
+    )
+    return _reassemble(segs.join(drop_set, "_fp", "left"), text_col, id_col, join_sep)
+
+
+def _segment_frame(
+    df: DataFrame, text_col: str, id_col: str, delim: str, min_seg_chars: int
+) -> DataFrame:
+    """(id, _pos, _seg, _fp, _elig): one row per segment, fingerprinted on
+    the normalized form (lower/trim/squeeze), eligibility by norm length."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     norm = F.regexp_replace(F.lower(F.trim(F.col("_seg"))), "[ \t\n\r]+", " ")
-    segs = (
+    return (
         df.select(
             F.col(id_col),
             F.posexplode(F.split(text, delim)).alias("_pos", "_seg"),
@@ -555,41 +571,147 @@ def scrub_boilerplate(
         .withColumn("_fp", F.md5(norm))
         .withColumn("_elig", F.length(norm) >= min_seg_chars)
     )
-    total = df.select(F.count(F.lit(1)).alias("_n_docs"))
-    threshold = F.greatest(
-        F.lit(min_docs).cast("bigint"),
-        F.ceil(F.lit(min_doc_frac) * F.col("_n_docs")).cast("bigint"),
-    )
-    drop_set = (
+
+
+def _seg_df_counts(segs: DataFrame, id_col: str) -> DataFrame:
+    """(_fp, _df): distinct-document frequency per eligible segment."""
+    return (
         segs.filter(F.col("_elig"))
         .select("_fp", id_col)
         .distinct()
         .groupBy("_fp")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("_df") >= threshold)
-        .select("_fp", F.lit(True).alias("_drop"))
     )
+
+
+def _boiler_threshold(min_docs: int, min_doc_frac: float, n_docs_col: str):
+    return F.greatest(
+        F.lit(min_docs).cast("bigint"),
+        F.ceil(F.lit(min_doc_frac) * F.col(n_docs_col)).cast("bigint"),
+    )
+
+
+def _reassemble(
+    marked: DataFrame, text_col: str, id_col: str, join_sep: str
+) -> DataFrame:
+    """Rebuild one row per document from a segment frame carrying a
+    nullable ``_drop`` flag: kept segments rejoin in original order."""
     kept_struct = F.when(
         F.col("_drop").isNull(), F.struct(F.col("_pos"), F.col("_seg"))
     )
-    return (
-        segs.join(drop_set, "_fp", "left")
-        .groupBy(id_col)
-        .agg(
-            F.coalesce(
-                F.array_join(
-                    F.transform(
-                        # collect_list skips the null (dropped) entries;
-                        # array_sort orders by _pos (first struct field)
-                        F.array_sort(F.collect_list(kept_struct)),
-                        lambda x: x["_seg"],
-                    ),
-                    join_sep,
+    return marked.groupBy(id_col).agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    # collect_list skips the null (dropped) entries;
+                    # array_sort orders by _pos (first struct field)
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["_seg"],
                 ),
-                F.lit(""),
-            ).alias(text_col),
-            F.count(F.lit(1)).alias("n_segs"),
-            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_dropped"),
-        )
+                join_sep,
+            ),
+            F.lit(""),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("n_dropped"),
     )
+
+
+def scrub_boilerplate_increment(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    batch_id: int | None = None,
+    delim: str = "\n+",
+    join_sep: str = "\n",
+    min_doc_frac: float = 0.01,
+    min_docs: int = 2,
+    min_seg_chars: int = 1,
+) -> DataFrame:
+    """The "nightly delta" twin of :func:`scrub_boilerplate` over a durable
+    segment-frequency index — scrub NEW documents against the document
+    frequencies of everything processed so far, without re-reading the
+    historical corpus, then register the delta's frequencies.
+
+    Index layout (same partition discipline as the near-dup signature
+    index, :func:`..operators.dedup.neardup_increment`):
+    ``<index_dir>/segdf/batch=<id>`` holds the delta's (fingerprint,
+    distinct-doc count) rows; ``<index_dir>/segmeta/batch=<id>`` one row
+    with the delta's document count. Effective df for a delta segment =
+    its delta count + the summed history counts; the threshold applies to
+    the TOTAL document count (history + delta), so the frac semantics
+    match a batch scrub over the accumulated corpus. Only O(distinct
+    segments) count rows persist per batch — never text.
+
+    SEMANTICS DIVERGENCE, by construction: already-returned documents are
+    immutable, so a segment that crosses the threshold only starts
+    dropping from LATER deltas — early documents keep boilerplate a
+    whole-corpus batch re-scrub would remove (the greedy-vs-batch trade
+    the streaming near-dup gate documents; pinned by
+    test_scrub_increment_early_batch_divergence_documented). Run the
+    batch scrub over the union when retroactive removal matters.
+
+    ``batch_id`` defaults to one past the highest id in the index;
+    passing it explicitly makes a re-run of the same delta idempotent
+    (per-batch overwrite + strict ``batch < batch_id`` history reads).
+    Single writer at a time per index. Returns one row per delta document
+    (``id_col``, scrubbed ``text_col``, ``n_segs``, ``n_dropped``),
+    MATERIALIZED and left PERSISTED — loop callers must ``.unpersist()``
+    each consumed result (the :func:`neardup_increment` contract)."""
+    from ..streaming.pipeline import _fs_batch_ids
+
+    spark = df.sparkSession
+    seg_dir = index_dir.rstrip("/") + "/segdf"
+    meta_dir = index_dir.rstrip("/") + "/segmeta"
+    known = set(_fs_batch_ids(spark, seg_dir)) | set(_fs_batch_ids(spark, meta_dir))
+    if batch_id is None:
+        batch_id = max(known, default=-1) + 1
+
+    segs = _segment_frame(df, text_col, id_col, delim, min_seg_chars)
+    delta_counts = _seg_df_counts(segs, id_col).persist()
+
+    hist_ids = [b for b in _fs_batch_ids(spark, seg_dir) if b < batch_id]
+    if hist_ids:
+        hist_df = (
+            spark.read.option("basePath", seg_dir)
+            .parquet(seg_dir)
+            .filter(F.col("batch") < batch_id)
+            .groupBy("_fp")
+            .agg(F.sum("_df").alias("_hdf"))
+        )
+        hist_docs = (
+            spark.read.option("basePath", meta_dir)
+            .parquet(meta_dir)
+            .filter(F.col("batch") < batch_id)
+            .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("_n_hist"))
+        )
+        combined = delta_counts.join(hist_df, "_fp", "left").withColumn(
+            "_tdf", F.col("_df") + F.coalesce(F.col("_hdf"), F.lit(0))
+        )
+    else:
+        hist_docs = spark.range(1).select(F.lit(0).cast("bigint").alias("_n_hist"))
+        combined = delta_counts.withColumn("_tdf", F.col("_df"))
+
+    total = (
+        df.select(F.count(F.lit(1)).alias("_n_delta"))
+        .crossJoin(F.broadcast(hist_docs))
+        .select((F.col("_n_delta") + F.col("_n_hist")).alias("_n_docs"))
+    )
+    drop_set = (
+        combined.crossJoin(F.broadcast(total))
+        .filter(F.col("_tdf") >= _boiler_threshold(min_docs, min_doc_frac, "_n_docs"))
+        .select("_fp", F.lit(True).alias("_drop"))
+    )
+    out = _reassemble(
+        segs.join(drop_set, "_fp", "left"), text_col, id_col, join_sep
+    ).persist()
+    n_delta = out.count()  # materialize BEFORE the index write mutates history
+
+    delta_counts.write.mode("overwrite").parquet(f"{seg_dir}/batch={batch_id}")
+    spark.createDataFrame([(n_delta,)], "n_docs long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{meta_dir}/batch={batch_id}")
+    delta_counts.unpersist()
+    return out

@@ -661,3 +661,121 @@ def test_scrub_boilerplate_property_random_corpora(spark):
         assert got == ref(docs, frac, min_docs, min_chars)
 
     check()
+
+
+# ── boilerplate scrub increment (r8) ────────────────────────────────────────
+
+
+def _inc_scrub(spark, rows, idx, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.scrub_boilerplate_increment(df, idx, **kw)
+    got = {
+        r["doc_id"]: (r["text"], r["n_segs"], r["n_dropped"])
+        for r in out.collect()
+    }
+    out.unpersist()
+    return got
+
+
+def test_scrub_increment_fresh_index_equals_batch(spark, tmp_path):
+    """One increment over a whole corpus on an empty index must reproduce
+    the batch scrub exactly (history df 0, same total-docs threshold)."""
+    rows = [
+        (1, "cookie banner\nreal one\nfooter"),
+        (2, "cookie banner\nreal two\nfooter"),
+        (3, "cookie banner\nreal three"),
+    ]
+    idx = str(tmp_path / "bp_idx")
+    got = _inc_scrub(spark, rows, idx, min_doc_frac=0.5, min_docs=2)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["text"], r["n_segs"], r["n_dropped"])
+        for r in curation.scrub_boilerplate(
+            df, min_doc_frac=0.5, min_docs=2
+        ).collect()
+    }
+    assert got == want
+    assert got[3] == ("real three", 2, 1)  # 'cookie banner' df=3 >= 2
+
+
+def test_scrub_increment_history_accumulates(spark, tmp_path):
+    """A segment below threshold within one delta drops once HISTORY
+    pushes its combined df over; the frac threshold applies to the
+    accumulated doc total."""
+    idx = str(tmp_path / "bp_idx2")
+    # batch 0: 'promo line' df=1 — kept everywhere (threshold max(2, ...))
+    g0 = _inc_scrub(
+        spark,
+        [(1, "promo line\nalpha"), (2, "beta only")],
+        idx,
+        min_doc_frac=0.1,
+        min_docs=2,
+    )
+    assert g0[1] == ("promo line\nalpha", 2, 0)
+    # batch 1: one more 'promo line' doc -> combined df = 2 >= min_docs
+    g1 = _inc_scrub(
+        spark,
+        [(3, "promo line\ngamma"), (4, "delta only")],
+        idx,
+        min_doc_frac=0.1,
+        min_docs=2,
+    )
+    assert g1[3] == ("gamma", 2, 1)
+    assert g1[4] == ("delta only", 1, 0)
+    # batch 0's output was already returned unscathed — immutable history
+    # (divergence from a batch re-scrub, pinned separately below)
+
+
+def test_scrub_increment_idempotent_rerun(spark, tmp_path):
+    """Re-running the same delta with an explicit batch_id reproduces the
+    output and does NOT double-count its frequencies in the index."""
+    idx = str(tmp_path / "bp_idx3")
+    rows0 = [(1, "shared seg\none"), (2, "shared seg\ntwo")]
+    a = _inc_scrub(spark, rows0, idx, batch_id=0, min_doc_frac=0.1, min_docs=3)
+    b = _inc_scrub(spark, rows0, idx, batch_id=0, min_doc_frac=0.1, min_docs=3)
+    assert a == b
+    # a third doc: 'shared seg' df must be 2 (not 4) + 1 = 3 -> dropped;
+    # if the rerun had double-counted, n_docs would also be 6 and the
+    # min_docs=3 threshold would still hold — check the meta count too
+    import glob
+
+    meta = spark.read.parquet(*glob.glob(f"{idx}/segmeta/batch=*")).agg(
+        {"n_docs": "sum"}
+    ).collect()[0][0]
+    assert meta == 2
+    c = _inc_scrub(spark, [(5, "shared seg\nthree")], idx, min_doc_frac=0.1, min_docs=3)
+    assert c[5] == ("three", 2, 1)
+
+
+def test_scrub_increment_early_batch_divergence_documented(spark, tmp_path):
+    """The documented greedy-vs-batch divergence: early documents keep a
+    segment that a whole-corpus batch scrub would remove, because they
+    shipped before it crossed the threshold; later deltas drop it."""
+    idx = str(tmp_path / "bp_idx4")
+    early = _inc_scrub(
+        spark, [(1, "late boiler\nearly unique")], idx, min_doc_frac=0.1, min_docs=2
+    )
+    assert early[1][2] == 0  # df=1 at ship time: kept
+    late = _inc_scrub(
+        spark,
+        [(2, "late boiler\nlater unique"), (3, "late boiler\nthird unique")],
+        idx,
+        min_doc_frac=0.1,
+        min_docs=2,
+    )
+    # combined df = 1 (history) + 2 (delta) = 3 >= 2: dropped from the delta
+    assert late[2] == ("later unique", 2, 1)
+    assert late[3] == ("third unique", 2, 1)
+    # batch over the union WOULD have dropped it from doc 1 as well
+    union = spark.createDataFrame(
+        [(1, "late boiler\nearly unique"), (2, "late boiler\nlater unique"),
+         (3, "late boiler\nthird unique")],
+        "doc_id long, text string",
+    )
+    batch = {
+        r["doc_id"]: r["n_dropped"]
+        for r in curation.scrub_boilerplate(
+            union, min_doc_frac=0.1, min_docs=2
+        ).collect()
+    }
+    assert batch[1] == 1  # the divergence, stated
