@@ -515,8 +515,12 @@ def scrub_boilerplate(
 ) -> DataFrame:
     """Remove segments (lines/paragraphs) that occur in too many documents.
 
+    ``delim`` is a JAVA REGEX, not a literal (deliberate: the default
+    ``\n+`` collapses blank-line runs; pass ``[.!?]\s*`` for a crude
+    sentence-level scrub) — escape metacharacters for literal delimiters.
+
     A segment is dropped from every document when its normalized form
-    (lower, trim, whitespace-squeeze) appears in at least
+    (lower, whitespace-squeeze, trim) appears in at least
     ``max(min_docs, ceil(min_doc_frac * n_docs))`` DISTINCT documents;
     segments shorter than ``min_seg_chars`` after normalization are never
     counted and never dropped (an empty or one-char line is structure, not
@@ -562,7 +566,15 @@ def _segment_frame(
     """(id, _pos, _seg, _fp, _elig): one row per segment, fingerprinted on
     the normalized form (lower/trim/squeeze), eligibility by norm length."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    norm = F.regexp_replace(F.lower(F.trim(F.col("_seg"))), "[ \t\n\r]+", " ")
+    # squeeze FIRST (tab/CR/newline runs become one space), then the
+    # space-only trim — trim-before-squeeze leaves a residual edge space
+    # when a segment ends in \r (CRLF corpora) or \t, and the norm would
+    # diverge from the DuckDB mirror and the documented contract (r8
+    # review finding). The class is the ASCII subset shared by Java, RE2
+    # and Python (\v\f deliberately excluded — Java \s ⊃ RE2 \s).
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("_seg")), "[ \t\n\r]+", " ")
+    )
     return (
         df.select(
             F.col(id_col),
@@ -653,9 +665,14 @@ def scrub_boilerplate_increment(
     test_scrub_increment_early_batch_divergence_documented). Run the
     batch scrub over the union when retroactive removal matters.
 
-    ``batch_id`` defaults to one past the highest id in the index;
-    passing it explicitly makes a re-run of the same delta idempotent
-    (per-batch overwrite + strict ``batch < batch_id`` history reads).
+    ``batch_id`` defaults to one past the highest id in EITHER index dir
+    (a half-written batch is still taken); passing it explicitly makes a
+    re-run of the same delta idempotent (per-batch overwrite + strict
+    below-``batch_id`` history reads). The two index writes are not
+    atomic: a crash between them leaves a batch that later increments
+    EXCLUDE from history (complete-in-both-dirs discipline — they keep
+    working, slightly under-dropping) until the delta is re-run with the
+    same ``batch_id``, which completes both dirs.
     Single writer at a time per index. Returns one row per delta document
     (``id_col``, scrubbed ``text_col``, ``n_segs``, ``n_dropped``),
     MATERIALIZED and left PERSISTED — loop callers must ``.unpersist()``
@@ -665,26 +682,37 @@ def scrub_boilerplate_increment(
     spark = df.sparkSession
     seg_dir = index_dir.rstrip("/") + "/segdf"
     meta_dir = index_dir.rstrip("/") + "/segmeta"
-    known = set(_fs_batch_ids(spark, seg_dir)) | set(_fs_batch_ids(spark, meta_dir))
+    seg_ids = set(_fs_batch_ids(spark, seg_dir))
+    meta_ids = set(_fs_batch_ids(spark, meta_dir))
     if batch_id is None:
-        batch_id = max(known, default=-1) + 1
+        # allocate past every batch either dir knows — a half-written
+        # batch is still TAKEN (re-run it explicitly to repair)
+        batch_id = max(seg_ids | meta_ids, default=-1) + 1
 
     segs = _segment_frame(df, text_col, id_col, delim, min_seg_chars)
     delta_counts = _seg_df_counts(segs, id_col).persist()
 
-    hist_ids = [b for b in _fs_batch_ids(spark, seg_dir) if b < batch_id]
+    # History = batches COMPLETE in both dirs (the two writes are not
+    # atomic; a crash between them leaves a half-written batch whose
+    # counts and doc total would disagree — reading it would either raise
+    # on the missing dir or silently skew the frac threshold, r8 review
+    # finding). Incomplete batches are excluded from history entirely —
+    # the safe, under-dropping direction — and repaired by re-running the
+    # same delta with the same batch_id (idempotent overwrite completes
+    # both dirs).
+    hist_ids = sorted(b for b in seg_ids & meta_ids if b < batch_id)
     if hist_ids:
         hist_df = (
             spark.read.option("basePath", seg_dir)
             .parquet(seg_dir)
-            .filter(F.col("batch") < batch_id)
+            .filter(F.col("batch").isin(hist_ids))
             .groupBy("_fp")
             .agg(F.sum("_df").alias("_hdf"))
         )
         hist_docs = (
             spark.read.option("basePath", meta_dir)
             .parquet(meta_dir)
-            .filter(F.col("batch") < batch_id)
+            .filter(F.col("batch").isin(hist_ids))
             .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("_n_hist"))
         )
         combined = delta_counts.join(hist_df, "_fp", "left").withColumn(

@@ -162,6 +162,17 @@ def temperature_mix(
             "this operator flattens coarse strata (languages, domains) — "
             "a high-cardinality column here is almost certainly a mistake"
         )
+    if any(r[group_col] is None for r in rows):
+        # a NULL group cannot be expressed by the rate cascade
+        # (F.col == lit(g) never matches NULL): silently dropping unlabeled
+        # documents at alpha=1 would break the identity contract, and a
+        # None key crashes the threshold sort — make the preprocessing
+        # decision explicit instead (r8 review finding, verified live)
+        raise ValueError(
+            f"temperature_mix: NULL values in group column {group_col!r}; "
+            "fill unlabeled documents (e.g. F.coalesce(col, lit('unknown'))) "
+            "or filter them before resampling"
+        )
     weights = {r[group_col]: float(r["_w"]) for r in rows if r["_w"] is not None}
     rates = temperature_rates(weights, alpha)
     return sample_mixture(df, group_col, rates, seed, id_col=id_col, default_rate=0.0)

@@ -1711,14 +1711,21 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The segmenter (2-word pseudo-lines) is a fixture adaptation — on a
     real corpus :func:`...operators.curation.scrub_boilerplate` splits on
-    its default ``\\n+``. Plan shape: segment fingerprints shuffle as md5
-    hex (never text), the corpus count arrives as a broadcast one-row
-    frame, the drop set joins back unhinted (AQE)."""
+    its default ``\\n+``. Words are tokens of trim(text) split on SPACE
+    RUNS (' +'), so consecutive/edge spaces cannot produce empty words —
+    an empty word pair would become an empty segment that the operator's
+    ``\\n+`` re-split absorbs while the SQL mirror counts it as a
+    position, silently diverging n_segs on messier fixtures (r8 review
+    finding; both engines tokenize identically now). Plan shape: segment
+    fingerprints shuffle as md5 hex (never text), the corpus count
+    arrives as a broadcast one-row frame, the drop set joins back
+    unhinted (AQE)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = "split(trim(coalesce(text, '')), ' +')"
     seg_text = F.expr(
         "array_join(transform("
-        f"  sequence(0, cast(ceil(size(split(coalesce(text, ''), ' ')) / {BOILER_SEG_WORDS}) as int) - 1),"
-        f"  i -> array_join(slice(split(coalesce(text, ''), ' '), i * {BOILER_SEG_WORDS} + 1, {BOILER_SEG_WORDS}), ' ')"
+        f"  sequence(0, cast(ceil(size({words}) / {BOILER_SEG_WORDS}) as int) - 1),"
+        f"  i -> array_join(slice({words}, i * {BOILER_SEG_WORDS} + 1, {BOILER_SEG_WORDS}), ' ')"
         "), '\n')"
     )
     segmented = docs.withColumn("text", seg_text)
@@ -1732,8 +1739,8 @@ def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 BOILERPLATE_SCRUB_SQL = f"""
 WITH words AS (
     SELECT doc_id,
-           unnest(string_split(coalesce(text, ''), ' ')) AS word,
-           generate_subscripts(string_split(coalesce(text, ''), ' '), 1) AS wi
+           unnest(regexp_split_to_array(trim(coalesce(text, '')), ' +')) AS word,
+           generate_subscripts(regexp_split_to_array(trim(coalesce(text, '')), ' +'), 1) AS wi
     FROM documents
 ),
 segs AS (

@@ -593,7 +593,7 @@ def test_scrub_boilerplate_property_random_corpora(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
-    word = st.text(alphabet="abC ", min_size=1, max_size=6)
+    word = st.text(alphabet="abC \t\r", min_size=1, max_size=6)
 
     @st.composite
     def corpus(draw):
@@ -617,7 +617,10 @@ def test_scrub_boilerplate_property_random_corpora(spark):
             return re.split(r"\n+", t if t is not None else "")
 
         def norm(seg):
-            return re.sub(r"[ \t\n\r]+", " ", seg.strip().lower())
+            # squeeze-then-trim, space-only trim: the operator's exact
+            # order (str.strip() would also eat \v\f, which the ASCII
+            # class deliberately leaves alone)
+            return re.sub(r"[ \t\n\r]+", " ", seg.lower()).strip(" ")
 
         n_docs = len(docs)
         thr = max(min_docs, _math.ceil(frac * n_docs))
@@ -779,3 +782,51 @@ def test_scrub_increment_early_batch_divergence_documented(spark, tmp_path):
         ).collect()
     }
     assert batch[1] == 1  # the divergence, stated
+
+
+def test_scrub_boilerplate_crlf_normalization(spark):
+    """CRLF corpora: a segment edged by \r (or \t) must normalize equal to
+    its clean twin — trim-before-squeeze left a residual edge space and
+    the boilerplate escaped removal (r8 review finding, verified live)."""
+    rows = [
+        (1, "cookie banner\r\nreal one"),
+        (2, "cookie banner\nreal two"),
+        (3, "\tcookie banner\nreal three"),
+    ]
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped"])
+        for r in curation.scrub_boilerplate(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            min_doc_frac=0.5,
+            min_docs=2,
+        ).collect()
+    }
+    assert got == {
+        1: ("real one", 1),
+        2: ("real two", 1),
+        3: ("real three", 1),
+    }
+
+
+def test_scrub_increment_survives_half_written_batch(spark, tmp_path):
+    """Crash between the two index writes (segdf written, segmeta not):
+    later increments must keep working, exclude the incomplete batch from
+    history, and a re-run of the crashed delta repairs the index."""
+    import shutil
+
+    idx = str(tmp_path / "bp_idx5")
+    rows0 = [(1, "banner line\none"), (2, "banner line\ntwo")]
+    _inc_scrub(spark, rows0, idx, batch_id=0, min_doc_frac=0.1, min_docs=3)
+    # simulate the crash: segmeta for batch 0 vanishes
+    shutil.rmtree(f"{idx}/segmeta/batch=0")
+
+    # next increment: no PATH_NOT_FOUND, allocates past the half batch,
+    # and 'banner line' history df does NOT count (incomplete excluded)
+    g = _inc_scrub(spark, [(3, "banner line\nthree")], idx, min_doc_frac=0.1, min_docs=3)
+    assert g[3] == ("banner line\nthree", 2, 0)  # df 1 < 3: kept
+
+    # repair: re-run the crashed delta with its batch_id, then the counts
+    # participate again (df = 2 history + 1 delta = 3 -> dropped)
+    _inc_scrub(spark, rows0, idx, batch_id=0, min_doc_frac=0.1, min_docs=3)
+    g2 = _inc_scrub(spark, [(4, "banner line\nfour")], idx, min_doc_frac=0.1, min_docs=3)
+    assert g2[4] == ("four", 2, 1)

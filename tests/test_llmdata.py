@@ -1703,3 +1703,42 @@ def test_scrub_boilerplate_threshold_is_greatest_of_both(spark):
     assert got[1][2] == 0 and got[2][2] == 0
     got2 = _scrub(spark, rows, min_doc_frac=0.01, min_docs=2)
     assert got2[1] == ("a one", 2, 1) and got2[2] == ("b two", 2, 1)
+
+
+def test_boilerplate_scrub_oracle_parity_on_messy_text(spark, tmp_path):
+    """The registry segmenter must tokenize identically to the SQL mirror
+    on text the standard fixture never contains: consecutive spaces, edge
+    spaces, empty and NULL docs (r8 review finding — empty word pairs
+    became empty segments the operator's re-split absorbed while the
+    mirror counted them; both sides now split trim(text) on space runs)."""
+    import duckdb
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.llmdata import (
+        BOILERPLATE_SCRUB_SQL,
+        boilerplate_scrub,
+    )
+    from tests.oracle_util import compare
+
+    tmp = str(tmp_path / "messy")
+    rows = [
+        (1, "a  b c   d"),
+        (2, "  lead and trail  "),
+        (3, ""),
+        (4, None),
+        (5, "x y x y x y"),
+        (6, "x y x y"),
+        (7, "single"),
+        (8, "a  b c   d"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{tmp}/documents.parquet"
+    )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+        )
+        compare(boilerplate_scrub(spark, tmp), con, BOILERPLATE_SCRUB_SQL)
+    finally:
+        con.close()

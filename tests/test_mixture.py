@@ -381,3 +381,18 @@ def test_temperature_mix_duckdb_parity(spark, sf_dir):
         compare(temperature_mix_query(spark, sf_dir), con, sql)
     finally:
         con.close()
+
+
+def test_temperature_mix_null_group_raises(spark):
+    """NULL group labels can't ride the rate cascade (col == lit never
+    matches NULL) — the operator must fail loudly with guidance instead
+    of crashing on the threshold sort or silently dropping the rows."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        temperature_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en"), (2, None), (3, "fr")], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        temperature_mix(df, "lang", 1.0, seed=7)
