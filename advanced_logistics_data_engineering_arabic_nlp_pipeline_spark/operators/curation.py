@@ -677,7 +677,7 @@ def scrub_boilerplate_increment(
     (``id_col``, scrubbed ``text_col``, ``n_segs``, ``n_dropped``),
     MATERIALIZED and left PERSISTED — loop callers must ``.unpersist()``
     each consumed result (the :func:`neardup_increment` contract)."""
-    from ..streaming.pipeline import _fs_batch_ids
+    from ..streaming.pipeline import _fs_batch_ids, _index_allocated_ids
 
     spark = df.sparkSession
     seg_dir = index_dir.rstrip("/") + "/segdf"
@@ -685,9 +685,15 @@ def scrub_boilerplate_increment(
     seg_ids = set(_fs_batch_ids(spark, seg_dir))
     meta_ids = set(_fs_batch_ids(spark, meta_dir))
     if batch_id is None:
-        # allocate past every batch either dir knows — a half-written
-        # batch is still TAKEN (re-run it explicitly to repair)
-        batch_id = max(seg_ids | meta_ids, default=-1) + 1
+        # allocate past every id written in EITHER dir (a half-written
+        # batch is still taken — re-run it explicitly to repair) AND past
+        # stream-epoch reservations (the run_stream_curation boilerplate
+        # stage reserves its ids with durable markers in segdf, exactly
+        # the neardup_increment interop contract)
+        batch_id = (
+            max(set(_index_allocated_ids(spark, seg_dir)) | meta_ids, default=-1)
+            + 1
+        )
 
     segs = _segment_frame(df, text_col, id_col, delim, min_seg_chars)
     delta_counts = _seg_df_counts(segs, id_col).persist()

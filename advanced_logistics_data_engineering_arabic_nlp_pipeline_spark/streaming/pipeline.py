@@ -703,6 +703,9 @@ def run_stream_curation(
     neardup_threshold: float | None = None,
     neardup_index_dir: str | None = None,
     neardup_k: int = 3,
+    boilerplate_min_doc_frac: float | None = None,
+    boilerplate_min_docs: int = 2,
+    boilerplate_index_dir: str | None = None,
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
     curation pass composed over a stream — exact dedup, near-dup dedup
@@ -724,7 +727,22 @@ def run_stream_curation(
        docs are checked against a durable band/signature index of every
        keeper accepted so far (0.6 KB of state per keeper, never the
        text), then within-batch clusters collapse to their earliest
-       member. Then the repetition gate via ``repetition_keep_expr`` (a
+       member. Then — when ``boilerplate_min_doc_frac`` is given — the
+       line-level boilerplate stage via
+       :func:`..operators.curation.scrub_boilerplate_increment` over its
+       own durable segment-frequency index (``segdf``/``segmeta`` under
+       ``boilerplate_index_dir``, default ``<sink>/.boilerplate_index``):
+       each batch's segments are scrubbed against the accumulated
+       document frequencies, the batch's counts are registered, and
+       documents whose every segment was boilerplate are DROPPED; the
+       same greedy semantics as the near-dup gate (already-shipped docs
+       keep boilerplate that crosses the threshold later), the same
+       per-epoch id reservation markers (re-delivery re-runs its batch
+       idempotently — the overwrite repairs a half-written index), and
+       the same interop with the batch increment between stream runs.
+       Cost: ~4 extra per-batch actions (count + two index writes + the
+       join back), so enable it where line dedup matters, not by
+       default. Then the repetition gate via ``repetition_keep_expr`` (a
        single Column — the micro-batch frame is scanned ONCE; gating on
        the RAW text, like the batch pipeline), then — when ``eval_df`` is
        given — eval-set decontamination (VERDICT r6 Missing #1: a
@@ -760,14 +778,20 @@ def run_stream_curation(
     from ..operators.textanalysis import fingerprint
 
     nd_index_dir = None
+    bp_index_dir = None
     _ckpt_token = None
     if neardup_threshold is not None:
         nd_index_dir = neardup_index_dir or (
             sink_dir.rstrip("/") + "/.neardup_index"
         )
-        # checkpoint identity keys the index's stream-base marker: a
-        # restart (same checkpoint) reuses its base, a NEW stream over a
-        # fresh checkpoint mints one past all existing batches
+    if boilerplate_min_doc_frac is not None:
+        bp_index_dir = boilerplate_index_dir or (
+            sink_dir.rstrip("/") + "/.boilerplate_index"
+        )
+    if nd_index_dir is not None or bp_index_dir is not None:
+        # checkpoint identity keys the indexes' epoch-reservation markers:
+        # a restart (same checkpoint) reuses its reservations, a NEW
+        # stream over a fresh checkpoint allocates past all existing ids
         import hashlib
 
         _ckpt_token = hashlib.md5(
@@ -794,7 +818,7 @@ def run_stream_curation(
     def _curate(batch_df: DataFrame, batch_id: int) -> None:
         caches: list[DataFrame] = []
         try:
-            if nd_index_dir is not None:
+            if nd_index_dir is not None or bp_index_dir is not None:
                 # Re-root the micro-batch on a clean RDD leaf BEFORE
                 # deriving the gate's plans from it. batch_df's logical
                 # plan is the whole state-store-backed dedup subtree, and
@@ -811,6 +835,7 @@ def run_stream_curation(
                 # overhead. Checkpointed blocks are released by the
                 # ContextCleaner once the batch's frames go out of scope.
                 batch_df = batch_df.localCheckpoint()
+            if nd_index_dir is not None:
                 # epoch ids are checkpoint-relative and the index is a
                 # shared space (neardup_increment bootstraps/deltas,
                 # earlier stream generations) — map each epoch onto a
@@ -833,6 +858,40 @@ def run_stream_curation(
                     neardup_threshold,
                     neardup_k,
                     caches=caches,
+                )
+            if bp_index_dir is not None:
+                from ..operators.curation import scrub_boilerplate_increment
+
+                # own reservation space: markers live in segdf, the same
+                # protocol the near-dup sigs dir uses (the two indexes
+                # reserve independently — their batch histories differ
+                # when one gate is enabled mid-life)
+                bp_id = _gate_batch_id(
+                    batch_df.sparkSession,
+                    bp_index_dir.rstrip("/") + "/segdf",
+                    _ckpt_token,
+                    batch_id,
+                )
+                scrubbed = scrub_boilerplate_increment(
+                    batch_df,
+                    bp_index_dir,
+                    text_col,
+                    id_col,
+                    batch_id=bp_id,
+                    min_doc_frac=boilerplate_min_doc_frac,
+                    min_docs=boilerplate_min_docs,
+                )
+                caches.append(scrubbed)
+                # replace text with the scrubbed form, keep the sink
+                # schema stable (n_segs/n_dropped stay in the index
+                # derivation, not the shipped rows); documents whose
+                # EVERY segment was boilerplate have nothing left — drop
+                batch_df = batch_df.drop(text_col).join(
+                    scrubbed.filter(F.length(F.col(text_col)) > 0).select(
+                        id_col, text_col
+                    ),
+                    id_col,
+                    "inner",
                 )
             out = batch_df.where(repetition_keep_expr(F.col(text_col)))
             if ev_dict is not None:

@@ -1625,3 +1625,159 @@ def test_stream_resume_after_increment_no_collision(spark, tmp_path):
     # and the near-dup of the increment keeper was dropped by the stream
     sink_ids = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
     assert 60 not in sink_ids and {1, 2} <= sink_ids
+
+
+def test_stream_boilerplate_stage_accumulates_and_drops(spark, tmp_path):
+    """Opt-in streaming boilerplate stage: segment frequencies accumulate
+    in the durable index across micro-batches; a line crossing the
+    threshold is scrubbed from LATER batches (greedy semantics — earlier
+    docs already shipped), and a doc left empty by the scrub is dropped."""
+    sink = str(tmp_path / "bp_sink")
+    ckpt = str(tmp_path / "bp_ckpt")
+    src = str(tmp_path / "bp_src")
+    os.makedirs(src)
+
+    def add_file(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = pipeline.run_stream_curation(
+            stream, sink, ckpt,
+            boilerplate_min_doc_frac=0.1, boilerplate_min_docs=2,
+        )
+        q.awaitTermination(120)
+
+    body = _block("bp", 40)
+    body2 = _block("bq", 40)
+    body3 = _block("br", 40)
+    # batch 0: one doc with the promo line; df=1 < 2 -> kept verbatim
+    add_file([(1, "promo banner\n" + body, "2024-01-01 10:00:00")])
+    # batch 1: two more docs with the line -> combined df crosses 2;
+    # doc 3 is ONLY the promo line -> fully scrubbed -> dropped
+    add_file([
+        (2, "promo banner\n" + body2, "2024-01-01 10:01:00"),
+        (3, "promo banner", "2024-01-01 10:02:00"),
+        (4, body3, "2024-01-01 10:03:00"),
+    ])
+    run_stream()
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    }
+    assert "promo banner" in got[1]       # shipped before the threshold
+    assert "promo banner" not in got[2]   # scrubbed in batch 1
+    assert got[2].strip() != ""
+    assert 3 not in got                   # nothing left after the scrub
+    assert got[4] == body3
+
+    # the index accumulated one complete batch per epoch
+    seg = f"{sink}/.boilerplate_index/segdf"
+    meta = f"{sink}/.boilerplate_index/segmeta"
+    seg_ids = {d for d in os.listdir(seg) if d.startswith("batch=")}
+    meta_ids = {d for d in os.listdir(meta) if d.startswith("batch=")}
+    assert seg_ids == meta_ids and len(seg_ids) >= 2
+    # epoch reservation markers present (re-delivery idempotence protocol)
+    assert any(d.startswith(".epoch_") for d in os.listdir(seg))
+
+
+def test_stream_boilerplate_interop_with_batch_increment(spark, tmp_path):
+    """Bootstrap the segment-frequency index with the BATCH increment,
+    then stream against it: the stream's first batch already sees the
+    bootstrap's frequencies and scrubs a line the bootstrap made hot."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.curation import (
+        scrub_boilerplate_increment,
+    )
+
+    sink = str(tmp_path / "bpi_sink")
+    idx = sink + "/.boilerplate_index"
+    # batch bootstrap: two docs with the hot line -> df 2 registered
+    boot = spark.createDataFrame(
+        [(100, "hot footer\n" + _block("bx", 40)),
+         (101, "hot footer\n" + _block("by", 40))],
+        "doc_id long, text string",
+    )
+    out = scrub_boilerplate_increment(boot, idx, min_doc_frac=0.1, min_docs=3)
+    out.count(); out.unpersist()
+
+    src = str(tmp_path / "bpi_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "hot footer\n" + _block("bz", 40), "2024-01-02 10:00:00")],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+    )
+    q = pipeline.run_stream_curation(
+        stream, sink, str(tmp_path / "bpi_ckpt"),
+        boilerplate_min_doc_frac=0.1, boilerplate_min_docs=3,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    }
+    # df = 2 (bootstrap) + 1 (stream) = 3 >= min_docs -> scrubbed
+    assert "hot footer" not in got[1] and got[1].strip() != ""
+    # the stream allocated PAST the bootstrap's batch (not overwriting it)
+    seg_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{idx}/segdf")
+        if d.startswith("batch=")
+    )
+    assert seg_ids[0] == 0 and len(seg_ids) >= 2
+
+
+def test_stream_boilerplate_composes_with_neardup_gate(spark, tmp_path):
+    """Both opt-in gates enabled: the near-dup gate drops a near-copy,
+    the boilerplate stage scrubs the hot line from survivors, and the two
+    durable indexes reserve epoch ids independently (same checkpoint
+    token, disjoint marker dirs)."""
+    sink = str(tmp_path / "combo_sink")
+    src = str(tmp_path / "combo_src")
+    base = _block("cw", 40)
+    near = " ".join(base.split()[:-2] + ["combo1", "combo2"])
+    rows = [
+        (1, "shared banner\n" + base, "2024-01-01 10:00:00"),
+        (2, "shared banner\n" + near, "2024-01-01 10:01:00"),
+        (3, "shared banner\n" + _block("cx", 40), "2024-01-01 10:02:00"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+    )
+    q = pipeline.run_stream_curation(
+        stream, sink, str(tmp_path / "combo_ckpt"),
+        neardup_threshold=0.6,
+        boilerplate_min_doc_frac=0.1, boilerplate_min_docs=2,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    }
+    assert 2 not in got  # near-dup of doc 1, dropped by the gate
+    # 'shared banner' df counts SURVIVORS (1 and 3) within one batch -> 2
+    assert set(got) == {1, 3}
+    for d in got.values():
+        assert "shared banner" not in d and d.strip() != ""
+    assert os.path.isdir(f"{sink}/.neardup_index/sigs")
+    assert os.path.isdir(f"{sink}/.boilerplate_index/segdf")
