@@ -641,6 +641,7 @@ def scrub_boilerplate_increment(
     min_doc_frac: float = 0.01,
     min_docs: int = 2,
     min_seg_chars: int = 1,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The "nightly delta" twin of :func:`scrub_boilerplate` over a durable
     segment-frequency index — scrub NEW documents against the document
@@ -665,8 +666,11 @@ def scrub_boilerplate_increment(
     test_scrub_increment_early_batch_divergence_documented). Run the
     batch scrub over the union when retroactive removal matters.
 
-    ``batch_id`` defaults to one past the highest id in EITHER index dir
-    (a half-written batch is still taken); passing it explicitly makes a
+    ``batch_id`` defaults to one past every id the index considers taken
+    — written batches in EITHER dir (a half-written batch is still taken)
+    AND outstanding stream-epoch reservation markers in ``segdf`` (the
+    run_stream_curation boilerplate stage's protocol — an id reserved by
+    a crashed epoch must not be reallocated); passing it explicitly makes a
     re-run of the same delta idempotent (per-batch overwrite + strict
     below-``batch_id`` history reads). The two index writes are not
     atomic: a crash between them leaves a batch that later increments
@@ -676,27 +680,33 @@ def scrub_boilerplate_increment(
     Single writer at a time per index. Returns one row per delta document
     (``id_col``, scrubbed ``text_col``, ``n_segs``, ``n_dropped``),
     MATERIALIZED and left PERSISTED — loop callers must ``.unpersist()``
-    each consumed result (the :func:`neardup_increment` contract)."""
-    from ..streaming.pipeline import _fs_batch_ids, _index_allocated_ids
+    each consumed result (the :func:`neardup_increment` contract).
+    ``caches``: a caller-provided list the internally persisted frames
+    are appended to AS they persist, so a failed call (index-write error,
+    micro-batch retry) can never strand a cached frame — the streaming
+    ``_curate`` discipline; without it, failures release the frames
+    internally before re-raising."""
+    from ..streaming.pipeline import _fs_batch_ids, _fs_index_listing
 
     spark = df.sparkSession
     seg_dir = index_dir.rstrip("/") + "/segdf"
     meta_dir = index_dir.rstrip("/") + "/segmeta"
-    seg_ids = set(_fs_batch_ids(spark, seg_dir))
+    seg_batches, seg_markers = _fs_index_listing(spark, seg_dir)
+    seg_ids = set(seg_batches)
     meta_ids = set(_fs_batch_ids(spark, meta_dir))
     if batch_id is None:
         # allocate past every id written in EITHER dir (a half-written
         # batch is still taken — re-run it explicitly to repair) AND past
-        # stream-epoch reservations (the run_stream_curation boilerplate
-        # stage reserves its ids with durable markers in segdf, exactly
-        # the neardup_increment interop contract)
-        batch_id = (
-            max(set(_index_allocated_ids(spark, seg_dir)) | meta_ids, default=-1)
-            + 1
-        )
+        # stream-epoch reservations in segdf (the run_stream_curation
+        # boilerplate stage's markers, exactly the neardup_increment
+        # interop contract); one listing serves both needs
+        batch_id = max(seg_ids | set(seg_markers) | meta_ids, default=-1) + 1
 
+    own: list[DataFrame] = []
+    track = caches if caches is not None else own
     segs = _segment_frame(df, text_col, id_col, delim, min_seg_chars)
     delta_counts = _seg_df_counts(segs, id_col).persist()
+    track.append(delta_counts)
 
     # History = batches COMPLETE in both dirs (the two writes are not
     # atomic; a crash between them leaves a half-written batch whose
@@ -741,11 +751,21 @@ def scrub_boilerplate_increment(
     out = _reassemble(
         segs.join(drop_set, "_fp", "left"), text_col, id_col, join_sep
     ).persist()
-    n_delta = out.count()  # materialize BEFORE the index write mutates history
+    track.append(out)
+    try:
+        n_delta = out.count()  # materialize BEFORE the index write mutates history
 
-    delta_counts.write.mode("overwrite").parquet(f"{seg_dir}/batch={batch_id}")
-    spark.createDataFrame([(n_delta,)], "n_docs long").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{meta_dir}/batch={batch_id}")
+        delta_counts.write.mode("overwrite").parquet(f"{seg_dir}/batch={batch_id}")
+        spark.createDataFrame([(n_delta,)], "n_docs long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{meta_dir}/batch={batch_id}")
+    except BaseException:
+        # standalone path: never strand a cached frame on a failed
+        # increment (r8 review finding); caller-provided caches release
+        # in the caller's finally instead
+        if caches is None:
+            for c in own:
+                c.unpersist()
+        raise
     delta_counts.unpersist()
     return out

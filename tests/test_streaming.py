@@ -1781,3 +1781,97 @@ def test_stream_boilerplate_composes_with_neardup_gate(spark, tmp_path):
         assert "shared banner" not in d and d.strip() != ""
     assert os.path.isdir(f"{sink}/.neardup_index/sigs")
     assert os.path.isdir(f"{sink}/.boilerplate_index/segdf")
+
+
+def test_stream_boilerplate_prevents_template_false_neardup(spark, tmp_path):
+    """Stage order pin (r8 review): the scrub runs BEFORE the near-dup
+    gate, so two documents sharing a dominant template but with disjoint
+    bodies are near-dup-compared on their SCRUBBED text and both survive.
+    Gate-on-raw-text would have dropped the later one, permanently losing
+    its unique body."""
+    banner = _block("tmpl", 240)         # dominant shared template
+    body_a = _block("bodyA", 40)         # 40 words: clears the repetition
+    body_b = _block("bodyB", 40)         # gate's top-bigram threshold
+    sink = str(tmp_path / "tf_sink")
+    src = str(tmp_path / "tf_src")
+    spark.createDataFrame(
+        [
+            (1, banner + "\n" + body_a, "2024-01-01 10:00:00"),
+            (2, banner + "\n" + body_b, "2024-01-01 10:01:00"),
+        ],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.parquet(src)
+
+    # sanity: raw texts ARE near-dups at the gate threshold (the banner
+    # dominates), scrubbed bodies are not
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.dedup import (
+        shingles_expr,
+    )
+
+    sh = spark.createDataFrame(
+        [(1, banner + " " + body_a), (2, banner + " " + body_b)],
+        "doc_id long, text string",
+    ).select(F.explode(shingles_expr(F.col("text"), 3)).alias("sh"), "doc_id")
+    counts = sh.groupBy("sh").agg(F.count_distinct("doc_id").alias("n")).agg(
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("both"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    jac = counts["both"] / counts["total"]
+    assert jac >= 0.6, f"fixture must be a raw near-dup pair (jaccard={jac:.2f})"
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(src)
+    )
+    q = pipeline.run_stream_curation(
+        stream, sink, str(tmp_path / "tf_ckpt"),
+        neardup_threshold=0.6,
+        boilerplate_min_doc_frac=0.1, boilerplate_min_docs=2,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(sink).select("doc_id", "text").collect()
+    }
+    assert set(got) == {1, 2}            # both unique bodies shipped
+    for t in got.values():
+        assert "tmpl0" not in t          # banner scrubbed
+
+
+def test_stream_sink_survives_generations(spark, tmp_path):
+    """Sink batches are reserved like index batches (r8 review finding):
+    a NEW stream generation (fresh checkpoint, same sink) must not
+    overwrite earlier generations' shipped batch dirs."""
+    sink = str(tmp_path / "gen_sink2")
+
+    def run_gen(rows, src_name, ckpt_name):
+        src = str(tmp_path / src_name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(src)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .parquet(src)
+        )
+        q = pipeline.run_stream_curation(
+            stream, sink, str(tmp_path / ckpt_name)
+        )
+        q.awaitTermination(120)
+
+    run_gen([(1, _block("ga", 40), "2024-01-01 10:00:00")], "g1_src", "g1_ckpt")
+    gen1_batches = {d for d in os.listdir(sink) if d.startswith("batch=")}
+    run_gen([(2, _block("gb", 40), "2024-01-02 10:00:00")], "g2_src", "g2_ckpt")
+
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).select("doc_id").collect()
+    )
+    assert ids == [1, 2], "gen2 must not overwrite gen1's shipped batch"
+    gen2_batches = {d for d in os.listdir(sink) if d.startswith("batch=")}
+    assert gen1_batches < gen2_batches
+    # markers from both generations' checkpoints
+    tokens = {
+        m[len(".epoch_"):].rsplit("_", 1)[0]
+        for m in os.listdir(sink)
+        if m.startswith(".epoch_")
+    }
+    assert len(tokens) == 2
