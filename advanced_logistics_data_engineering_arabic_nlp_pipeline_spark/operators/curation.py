@@ -513,7 +513,7 @@ def scrub_boilerplate(
     min_docs: int = 2,
     min_seg_chars: int = 1,
 ) -> DataFrame:
-    """Remove segments (lines/paragraphs) that occur in too many documents.
+    r"""Remove segments (lines/paragraphs) that occur in too many documents.
 
     ``delim`` is a JAVA REGEX, not a literal (deliberate: the default
     ``\n+`` collapses blank-line runs; pass ``[.!?]\s*`` for a crude

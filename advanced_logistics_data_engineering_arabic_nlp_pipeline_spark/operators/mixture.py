@@ -209,6 +209,52 @@ def epoch_shards(
     )
 
 
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-shard delivery manifest for an :func:`epoch_shards` layout:
+    ``(shard, n_docs, total_weight?, content_sig)`` — the verification
+    record a 100 TB export ships alongside its shards.
+
+    ``content_sig`` is the bit_xor of each document's 60-bit content hash
+    (md5 of the text itself — content-addressed, no seed), so it is
+    ORDER-INDEPENDENT: a consumer re-derives the same triple from whatever
+    arrived, in whatever order, and compares. A missing or duplicated
+    document changes ``n_docs`` and flips the xor; a corrupted byte changes
+    the hash. xor (not sum) keeps the check closed over 64-bit ints in both
+    engines — no overflow semantics to reconcile.
+
+    Shard assignment reuses :func:`epoch_shards`' exact formula
+    (``hash60(salt="epoch", seed, id) % n_shards``) so the manifest
+    describes precisely the shards that operator emits — consistency is
+    pinned by pytest, and the DuckDB mirror reproduces the arithmetic
+    bit-for-bit.
+
+    Scale shape: the text never shuffles — each document reduces to an
+    8-byte hash + weight BEFORE the single groupBy(shard) exchange, and
+    every aggregate (count, sum, bit_xor) combines map-side, so the
+    shuffle moves O(n_shards) rows per partition."""
+    content_h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    shard = F.pmod(hash60_expr(id_col, seed, salt="epoch"), F.lit(n_shards)).cast(
+        "int"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("bigint").alias("total_weight"))
+    aggs.append(F.expr("bit_xor(__content_h)").alias("content_sig"))
+    slim = [shard.alias("shard"), content_h.alias("__content_h")] + (
+        [F.col(weight_col)] if weight_col is not None else []
+    )
+    return df.select(*slim).groupBy("shard").agg(*aggs).orderBy("shard")
+
+
 def token_budget_mix(
     df: DataFrame,
     group_col: str,

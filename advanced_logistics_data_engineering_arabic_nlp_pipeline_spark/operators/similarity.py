@@ -663,6 +663,126 @@ def embedding_near_dup_lsh(
     )
 
 
+def semdedup(
+    vectors: DataFrame,
+    centroids: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    k: int = 16,
+    max_cluster_rows: int = 2_000_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
+    with k-means, then drop within-cluster semantic duplicates — pairs at
+    cosine ≥ ``threshold`` — keeping per duplicate neighborhood the member
+    FARTHEST from its centroid (the paper's diversity-preserving policy:
+    outliers survive, prototypical near-copies go). Returns the full audit
+    ledger ``(id, centroid_id, cent_sim, kept)``, one row per input vector.
+
+    Drop rule (exactly the published implementation's upper-triangle scan):
+    rank a cluster's members by keep priority ``(cent_sim ASC, id ASC)``;
+    a member is dropped iff ANY earlier-ranked member sits at cosine ≥
+    ``threshold`` — whether or not that earlier member itself survived.
+    Pairwise-exists, not connected components, so the rule is a single
+    deterministic predicate both engines can evaluate identically (the
+    DuckDB mirror in plans/llmdata.py is an EXISTS join; all similarities
+    round to 6 before every comparison on both sides).
+
+    Scale shape (the whole point of the paper): the O(N²) work never exists
+    globally — it is confined to per-cluster dense BLAS grams inside
+    applyInPandas, and cluster size is controlled by ``k`` (the paper runs
+    k ≈ 50 000 on LAION so E[cluster] stays tens of thousands; at 100 TB
+    scale k with N). One shuffle on ``centroid_id``; the centroid matrix
+    (k × dim, KBs) rides the UDF closure — nothing corpus-sized moves.
+    ``max_cluster_rows`` fences the per-task gram tile: a cluster above it
+    raises with the remediation (raise k) instead of silently OOMing a
+    task. ``centroids`` takes a ``(centroid_id, cv)`` frame (the
+    :func:`train_kmeans_centroids` output) for deterministic/oracle use;
+    None trains one with the default pipeline."""
+    if centroids is None:
+        centroids = train_kmeans_centroids(vectors, vec_col, id_col, k=k)
+    rows = sorted(
+        ((r["centroid_id"], np.asarray(r["cv"], dtype=np.float64)) for r in centroids.collect()),
+        key=lambda t: t[0],
+    )
+    if not rows:
+        raise ValueError("semdedup: empty centroid frame")
+    cids = np.asarray([cid for cid, _ in rows])
+    mat = np.vstack([v for _, v in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    matn = mat / norms
+
+    id_spark_type = vectors.schema[id_col].dataType.simpleString()
+    cid_spark_type = centroids.schema["centroid_id"].dataType.simpleString()
+    id_pd_type = "int64" if id_spark_type in ("bigint", "long", "int") else "object"
+    cid_pd_type = "int64" if cid_spark_type in ("bigint", "long", "int") else "object"
+
+    assign_schema = StructType(
+        [
+            StructField("centroid_id", centroids.schema["centroid_id"].dataType),
+            StructField("cent_sim", DoubleType()),
+        ]
+    )
+
+    @pandas_udf(assign_schema)
+    def _assign(emb: pd.Series) -> pd.DataFrame:
+        m = np.vstack(emb.to_numpy()).astype(np.float64)
+        mn = np.linalg.norm(m, axis=1, keepdims=True)
+        mn[mn == 0] = 1.0
+        # round BEFORE argmax: assignment ties must break the same way the
+        # round-6 SQL mirror's (sim DESC, cid ASC) ordering does
+        sims = np.round((m / mn) @ matn.T, 6)
+        idx = np.argmax(sims, axis=1)  # first max = smallest cid (sorted)
+        return pd.DataFrame(
+            {"centroid_id": cids[idx], "cent_sim": sims[np.arange(len(idx)), idx]}
+        )
+
+    asg = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("a", _assign(F.col("v")))
+    asg = asg.select(
+        "id", "v", F.col("a.centroid_id").alias("centroid_id"),
+        F.col("a.cent_sim").alias("cent_sim"),
+    )
+
+    out_schema = (
+        f"{id_col} {id_spark_type}, centroid_id {cid_spark_type}, "
+        "cent_sim double, kept boolean"
+    )
+
+    def cluster_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_cluster_rows:
+            raise ValueError(
+                f"semdedup cluster {pdf['centroid_id'].iloc[0]!r} has "
+                f"{len(pdf)} rows > max_cluster_rows={max_cluster_rows}; "
+                "its gram tile would not fit one task — raise k so clusters "
+                "shrink, or raise max_cluster_rows with executor memory"
+            )
+        order = np.lexsort((pdf["id"].to_numpy(), pdf["cent_sim"].to_numpy()))
+        p = pdf.iloc[order]
+        m = np.vstack(p["v"].to_numpy()).astype(np.float64)
+        mn = np.linalg.norm(m, axis=1)
+        mn[mn == 0.0] = 1.0
+        u = m / mn[:, None]
+        gram = np.round(u @ u.T, 6) >= threshold
+        dropped = np.tril(gram, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: p["id"].to_numpy(),
+                "centroid_id": p["centroid_id"].to_numpy(),
+                "cent_sim": p["cent_sim"].to_numpy(),
+                "kept": ~dropped,
+            }
+        ).astype({id_col: id_pd_type, "centroid_id": cid_pd_type})
+
+    return (
+        asg.groupBy("centroid_id")
+        .applyInPandas(cluster_scan, out_schema)
+        .orderBy(id_col)
+    )
+
+
 # ── Product quantization (PQ) — compressed-domain ANN ───────────────────────
 
 def train_pq_codebooks(

@@ -902,6 +902,75 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.4)
 
 
+SEMDEDUP_N_CENTROIDS = 8
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semdedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) audit ledger over the embeddings table
+    — cluster-then-prune semantic dedup, keeping per within-cluster
+    duplicate neighborhood the member farthest from its centroid
+    (operators/similarity.semdedup). Registered with FIXED deterministic
+    centroids (the first ``SEMDEDUP_N_CENTROIDS`` vectors by vec_id) so the
+    whole plan — assignment argmax, centroid similarity, pairwise drop
+    rule — has an exact DuckDB mirror; the trained-centroid path is
+    covered by pytest (subset/determinism/equivalence properties), the
+    same split the IVF family uses for its k-means leg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return similarity.semdedup(
+        emb, centroids=cents, threshold=SEMDEDUP_THRESHOLD
+    )
+
+
+_SEM_COS = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+)
+
+SEMDEDUP_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id < {SEMDEDUP_N_CENTROIDS}
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+scored AS (
+  SELECT e.vec_id, e.v, c.cid,
+         {_SEM_COS.format(a="e.v", b="c.cv")} AS s
+  FROM e CROSS JOIN cents c
+),
+asg AS (
+  SELECT vec_id, v, cid AS centroid_id, s AS cent_sim
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+-- the paper's upper-triangle scan as a pairwise EXISTS: b outranks a
+-- (keep priority = cent_sim ASC, id ASC) and sits at cosine >= threshold
+drops AS (
+  SELECT DISTINCT a.vec_id
+  FROM asg a JOIN asg b
+    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+   AND (b.cent_sim < a.cent_sim
+        OR (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id))
+  WHERE {_SEM_COS.format(a="a.v", b="b.v")} >= {SEMDEDUP_THRESHOLD}
+)
+SELECT a.vec_id, a.centroid_id, a.cent_sim,
+       (d.vec_id IS NULL) AS kept
+FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id
+ORDER BY a.vec_id
+"""
+
+
 # ── pipeline utilities: sampling, validation, distribution, joins ───────────
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,6 +1627,66 @@ ORDER BY doc_id
 CURATION_LEDGER_SQL = CURATION_LEDGER_SQL.replace("{EN_HITS}", _sql_hits(ta.EN_STOP))
 
 
+def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATA CARD — the per-language datasheet a curation run
+    ships for review before anyone trains on its output: for every
+    (lang, outcome) cell, document count, char mass, and the outcome's
+    share of that language, where outcome is ``kept`` or the ledger's
+    first-failing-stage drop reason (quality / exact_dup / near_dup /
+    repetition / contaminated).
+
+    Pure composition: the ledger (already oracle-checked, one curation
+    profile shared with curated_corpus) joins doc metadata on doc_id —
+    an equi-join AQE plans freely — and aggregates to O(langs × reasons)
+    rows, so the card costs one slim join + combiner-friendly agg on top
+    of the audit artifact the pipeline already produces. The reporting
+    twin of curation_ledger: the ledger answers "why did THIS doc drop",
+    the card answers "what did curation DO to each language"."""
+    led = curation_ledger(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    agg = (
+        led.join(docs, "doc_id")
+        .groupBy(
+            "lang",
+            F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("outcome"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+    w = Window.partitionBy("lang")
+    return agg.withColumn(
+        "lang_share", F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6)
+    ).orderBy("lang", "outcome")
+
+
+def _ledger_cte_body() -> str:
+    """CURATION_LEDGER_SQL with only its FINAL order-by stripped (inner
+    CTEs keep theirs), so it embeds as a CTE."""
+    head, sep, tail = CURATION_LEDGER_SQL.rpartition("ORDER BY doc_id")
+    assert sep and tail.strip() == "", "ledger SQL tail changed"
+    return head
+
+
+def _data_card_sql() -> str:
+    return f"""
+WITH ledger AS (
+{_ledger_cte_body()}
+)
+SELECT d.lang,
+       COALESCE(l.drop_reason, 'kept') AS outcome,
+       COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY d.lang), 6) AS lang_share
+FROM ledger l JOIN documents d ON d.doc_id = l.doc_id
+GROUP BY d.lang, COALESCE(l.drop_reason, 'kept')
+ORDER BY lang, outcome
+"""
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing ledger over the documents corpus
     (operators/curation.pack_sequences, max_len=512, 8 shards): where each
@@ -1826,6 +1955,8 @@ QUERIES = {
     "sequence_chunks": sequence_chunks,
     "training_export_chunks": training_export_chunks,
     "boilerplate_scrub": boilerplate_scrub,
+    "semdedup": semdedup_ledger,
+    "data_card": data_card,
 }
 
 ORACLES = {
@@ -1884,4 +2015,13 @@ LOCAL_ORACLES = {
     # driver window is at its 48-oracle cap; the full mirror (2-word
     # segmentation, df threshold, ordered reassembly) hashes in pytest.
     "boilerplate_scrub": BOILERPLATE_SCRUB_SQL,
+    # SemDeDup (r8): same headroom rule; the fixed-centroid registry
+    # variant mirrors exactly (assignment argmax ≡ ROW_NUMBER over
+    # round-6 sims, drop rule ≡ pairwise EXISTS) — trained-centroid leg
+    # pytest-only, like the IVF k-means split.
+    "semdedup": SEMDEDUP_SQL,
+    # Corpus data card (r8): the ledger's per-language rollup; the mirror
+    # embeds the full recursive ledger SQL as a CTE, so the card hashes
+    # against the same oracle pipeline end to end.
+    "data_card": _data_card_sql(),
 }

@@ -22,6 +22,7 @@ from ..operators.mixture import (
     dataset_split as _dataset_split,
     epoch_shards as _epoch_shards,
     sample_mixture,
+    shard_manifest as _shard_manifest,
     temperature_mix as _temperature_mix,
     token_budget_mix as _token_budget_mix,
 )
@@ -144,6 +145,33 @@ ORDER BY doc_id
 """
 
 
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery manifest for the epoch_shards layout: per shard, the row
+    count, char mass, and an order-independent xor content signature a
+    consumer re-derives from received data to verify the shipment
+    (operators/mixture.shard_manifest — same seed/salt as epoch_shards,
+    consistency pinned in tests/test_mixture.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _shard_manifest(
+        docs, N_SHARDS, SHARD_SEED, weight_col="n_chars"
+    ).withColumnRenamed("total_weight", "total_chars")
+
+
+SHARD_MANIFEST_SQL = f"""
+WITH h AS (
+  SELECT n_chars,
+         {_h60_sql("epoch", SHARD_SEED)} % {N_SHARDS} AS shard,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS content_h
+  FROM documents
+)
+SELECT CAST(shard AS INT) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       bit_xor(content_h) AS content_sig
+FROM h GROUP BY shard ORDER BY shard
+"""
+
+
 def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test labels (90/5/5 by integer hash
     thresholds; stable under fixed fractions — test grows monotonically
@@ -237,6 +265,7 @@ QUERIES = {
     "dataset_split": dataset_split,
     "temperature_mix": temperature_mix,
     "training_export_sharded": training_export_sharded,
+    "shard_manifest": shard_manifest,
 }
 
 ORACLES: dict[str, str] = {}
@@ -249,4 +278,5 @@ LOCAL_ORACLES = {
     "epoch_shards": EPOCH_SHARDS_SQL,
     "token_budget_mix": TOKEN_BUDGET_MIX_SQL,
     "dataset_split": DATASET_SPLIT_SQL,
+    "shard_manifest": SHARD_MANIFEST_SQL,
 }

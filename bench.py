@@ -49,6 +49,8 @@ HEADLINE = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "dedup_embedding_lsh",
+    # SemDeDup cluster-then-prune semantic dedup (r8)
+    "semdedup",
     "embedding_label_centroids",
     "text_quality",
     "multimodal_features",
@@ -71,6 +73,7 @@ HEADLINE = [
     "token_budget_mix",
     "dataset_split",
     "temperature_mix",
+    "shard_manifest",
     # event-time windows
     "events_hourly",
     "events_sliding",

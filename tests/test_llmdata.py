@@ -1742,3 +1742,121 @@ def test_boilerplate_scrub_oracle_parity_on_messy_text(spark, tmp_path):
         compare(boilerplate_scrub(spark, tmp), con, BOILERPLATE_SCRUB_SQL)
     finally:
         con.close()
+
+
+# ── SemDeDup (r8): cluster-then-prune semantic dedup ─────────────────────────
+
+def test_semdedup_ledger_covers_corpus_kept_is_independent_set(spark, sf_dir):
+    """One ledger row per vector, and within every cluster the KEPT set is
+    an independent set under the ε-edge relation: for any within-cluster
+    pair at cosine ≥ threshold the published upper-triangle rule drops the
+    later-ranked member, so no such pair can both survive."""
+    import numpy as np
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    led = llmdata.semdedup_ledger(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert len(led) == len(emb)
+    assert len({r["vec_id"] for r in led}) == len(emb)
+    assert any(not r["kept"] for r in led), "fixture should produce drops"
+    kept_by_cluster: dict[int, list[int]] = {}
+    for r in led:
+        if r["kept"]:
+            kept_by_cluster.setdefault(r["centroid_id"], []).append(r["vec_id"])
+    checked = 0
+    for ids in kept_by_cluster.values():
+        if len(ids) < 2:
+            continue
+        m = np.vstack([emb[i] for i in ids])
+        norms = np.linalg.norm(m, axis=1)
+        u = m / norms[:, None]
+        gram = np.round(u @ u.T, 6)
+        np.fill_diagonal(gram, 0.0)
+        assert gram.max() < llmdata.SEMDEDUP_THRESHOLD
+        checked += 1
+    assert checked > 0
+
+
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """The paper's keep policy on a hand-built duplicate neighborhood: of
+    three mutually-near-duplicate vectors, the one FARTHEST from the
+    centroid survives and the two closer ones drop."""
+    import math
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        similarity,
+    )
+
+    def rot(theta):  # unit vector in the (x, y) plane, 64-dim
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    vecs = spark.createDataFrame(
+        [(10, rot(0.01)), (11, rot(0.05)), (12, rot(0.20))],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, rot(0.0))], "centroid_id long, cv array<double>"
+    )
+    led = {
+        r["vec_id"]: r
+        for r in similarity.semdedup(
+            vecs, centroids=cents, threshold=0.97
+        ).collect()
+    }
+    # cos(0.20) ≈ 0.980, cos(0.19) ≈ 0.982 — all three pairwise ≥ 0.97
+    assert [led[i]["kept"] for i in (10, 11, 12)] == [False, False, True]
+    assert led[12]["cent_sim"] < led[11]["cent_sim"] < led[10]["cent_sim"]
+
+
+def test_semdedup_trained_centroids_deterministic(spark, sf_dir):
+    """The production path (centroids=None → train_kmeans_centroids) is
+    end-to-end deterministic: two independent runs produce identical
+    ledgers, and the ledger still covers the corpus exactly once."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        similarity,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def run():
+        return sorted(
+            (r["vec_id"], r["centroid_id"], r["cent_sim"], r["kept"])
+            for r in similarity.semdedup(emb, k=4, threshold=0.4).collect()
+        )
+
+    a, b = run(), run()
+    assert a == b
+    assert len(a) == emb.count()
+
+
+def test_semdedup_cluster_fence_raises(spark):
+    """A cluster larger than max_cluster_rows must raise with the
+    remediation message instead of silently building an oversized gram."""
+    import pytest
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        similarity,
+    )
+
+    one = [1.0] + [0.0] * 63
+    vecs = spark.createDataFrame(
+        [(i, one) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, one)], "centroid_id long, cv array<double>"
+    )
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        similarity.semdedup(
+            vecs, centroids=cents, threshold=0.9, max_cluster_rows=3
+        ).collect()

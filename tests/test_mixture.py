@@ -14,6 +14,7 @@ from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mix
     epoch_shards,
     hash60_expr,
     sample_mixture,
+    shard_manifest,
     token_budget_mix,
 )
 from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import (
@@ -396,3 +397,75 @@ def test_temperature_mix_null_group_raises(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         temperature_mix(df, "lang", 1.0, seed=7)
+
+
+# ---------------------------------------------------------- shard manifest
+
+def test_shard_manifest_consistent_with_epoch_shards(docs):
+    """The manifest must describe exactly the shards epoch_shards emits:
+    same seed/salt formula, so per-shard doc counts agree."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.mixture import (
+        N_SHARDS,
+        SHARD_SEED,
+    )
+
+    man = {
+        r["shard"]: r["n_docs"]
+        for r in shard_manifest(docs, N_SHARDS, SHARD_SEED).collect()
+    }
+    direct = {
+        r["shard"]: r["cnt"]
+        for r in epoch_shards(docs.select("doc_id", "lang"), N_SHARDS, SHARD_SEED)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert man == direct
+    assert sum(man.values()) == docs.count()
+
+
+def test_shard_manifest_detects_tamper_and_loss(spark):
+    """The verification semantics the manifest exists for: corrupting one
+    document flips ONLY its shard's content_sig; dropping a document
+    changes that shard's n_docs; untouched shards hash identically. The
+    signature is order-independent (reversing arrival order changes
+    nothing)."""
+    rows = [(i, f"document body {i}", 10 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    base = {
+        r["shard"]: (r["n_docs"], r["total_weight"], r["content_sig"])
+        for r in shard_manifest(df, 4, 3, weight_col="n_chars").collect()
+    }
+
+    # order independence: a reversed frame produces the identical manifest
+    rev = spark.createDataFrame(list(reversed(rows)), df.schema)
+    assert base == {
+        r["shard"]: (r["n_docs"], r["total_weight"], r["content_sig"])
+        for r in shard_manifest(rev, 4, 3, weight_col="n_chars").collect()
+    }
+
+    # tamper: one flipped byte in doc 7 changes exactly one shard's sig
+    tampered = [(i, ("XX" if i == 7 else "") + t, n) for i, t, n in rows]
+    tam = {
+        r["shard"]: (r["n_docs"], r["total_weight"], r["content_sig"])
+        for r in shard_manifest(
+            spark.createDataFrame(tampered, df.schema), 4, 3, weight_col="n_chars"
+        ).collect()
+    }
+    diff = {s for s in base if base[s][2] != tam[s][2]}
+    assert len(diff) == 1
+    assert all(base[s][0] == tam[s][0] for s in base)  # counts unchanged
+
+    # loss: dropping doc 7 changes that same shard's n_docs
+    lost = {
+        r["shard"]: r["n_docs"]
+        for r in shard_manifest(
+            spark.createDataFrame([r for r in rows if r[0] != 7], df.schema),
+            4,
+            3,
+            weight_col="n_chars",
+        ).collect()
+    }
+    (shard7,) = diff
+    assert lost[shard7] == base[shard7][0] - 1
+    assert all(lost[s] == base[s][0] for s in base if s != shard7)
