@@ -209,6 +209,47 @@ def epoch_shards(
     )
 
 
+def quality_weighted_sample(
+    df: DataFrame,
+    score_col: str,
+    bands: list[tuple[float, float]],
+    seed: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-weighted retention (the FineWeb/DataComp soft-filter shape):
+    keep probability is a monotone STEP function of a quality score — keep
+    everything above the top band, downsample the middle, keep a trickle of
+    the tail for robustness — instead of the hard gate's all-or-nothing
+    cliff.
+
+    ``bands`` is ``[(min_score, rate), ...]``: the highest ``min_score``
+    at or below the row's score decides its rate; scores below every band
+    drop. Rates become the usual Python-computed integer thresholds against
+    the seeded 60-bit row hash (salt ``"qsample"``), so the draw is
+    layout-independent, reproducible, and exactly mirrorable — no float
+    ever crosses the keep/drop boundary (the score-to-band comparison is
+    on an already-round-6 score both engines compute identically).
+
+    Scale shape: a pure FILTER like :func:`sample_mixture` — zero shuffle,
+    composes with partition pruning; the band CASE is a literal cascade
+    codegen folds. Raising any band's rate only ADDS documents (same
+    hash, higher threshold), so quality-mix ablations nest under one
+    seed."""
+    if not bands:
+        raise ValueError("quality_weighted_sample: bands must be non-empty")
+    for ms, rate in bands:
+        if not (0.0 <= rate <= 1.0):
+            raise ValueError(f"rate {rate} outside [0, 1] for band {ms}")
+    if len({ms for ms, _ in bands}) != len(bands):
+        raise ValueError("duplicate band min_scores")
+    thr = F.lit(0)
+    for ms, rate in sorted(bands):  # ascending wrap ⇒ highest band wins
+        thr = F.when(
+            F.col(score_col) >= ms, F.lit(int(rate * HASH_SPACE))
+        ).otherwise(thr)
+    return df.filter(hash60_expr(id_col, seed, salt="qsample") < thr)
+
+
 def shard_manifest(
     df: DataFrame,
     n_shards: int,

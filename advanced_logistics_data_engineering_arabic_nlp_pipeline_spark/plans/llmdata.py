@@ -522,6 +522,68 @@ ORDER BY doc_id
 """
 
 
+QSAMPLE_SEED = 19
+# keep-all above the top band, half the middle, a 10% tail trickle — the
+# FineWeb-style soft quality mix (hard gates cliff; step-sampling keeps
+# the score distribution's tail observable downstream)
+QSAMPLE_BANDS = [(0.99, 1.0), (0.5, 0.5), (0.0, 0.1)]
+
+
+def quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted document sampling: the round-6 heuristic quality
+    score (same expression text_quality oracle-checks) feeds
+    operators/mixture.quality_weighted_sample — keep rate is a step
+    function of score, drawn against the seeded row hash. Pure filter,
+    zero shuffle; raising any band's rate only ADDS documents (nested
+    ablations under one seed)."""
+    from ..operators.mixture import quality_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", ta.quality_score(F.col("text")))
+    return (
+        quality_weighted_sample(scored, "quality", QSAMPLE_BANDS, QSAMPLE_SEED)
+        .select("doc_id", "lang", "quality")
+        .orderBy("doc_id")
+    )
+
+
+def _qsample_case_sql() -> str:
+    from ..operators.mixture import HASH_SPACE
+
+    whens = " ".join(
+        f"WHEN quality >= {ms} THEN {int(rate * HASH_SPACE)}"
+        for ms, rate in sorted(QSAMPLE_BANDS, reverse=True)
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+QUALITY_SAMPLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, lang, toks,
+         ROUND({_sql_hits(ta.EN_STOP)} * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
+         ROUND(list_sum(list_transform(toks, t -> length(t))) * 1.0 / greatest(len(toks), 1), 6) AS mean_token_len
+  FROM tok
+),
+q AS (
+  SELECT doc_id, lang,
+         ROUND(CAST(
+           (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+           * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality
+  FROM m
+)
+SELECT doc_id, lang, quality FROM q
+WHERE ('0x' || substr(md5('qsample:{QSAMPLE_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {_qsample_case_sql()}
+ORDER BY doc_id
+"""
+
+
 def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -1957,6 +2019,7 @@ QUERIES = {
     "boilerplate_scrub": boilerplate_scrub,
     "semdedup": semdedup_ledger,
     "data_card": data_card,
+    "quality_sample": quality_sample,
 }
 
 ORACLES = {
@@ -2024,4 +2087,8 @@ LOCAL_ORACLES = {
     # embeds the full recursive ledger SQL as a CTE, so the card hashes
     # against the same oracle pipeline end to end.
     "data_card": _data_card_sql(),
+    # Quality-weighted sampling (r8): round-6 discrete score levels make
+    # the band comparison exact on both engines; thresholds are the usual
+    # Python-computed integers.
+    "quality_sample": QUALITY_SAMPLE_SQL,
 }

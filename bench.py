@@ -74,6 +74,7 @@ HEADLINE = [
     "dataset_split",
     "temperature_mix",
     "shard_manifest",
+    "quality_sample",
     # event-time windows
     "events_hourly",
     "events_sliding",
@@ -265,53 +266,74 @@ def main() -> None:
         pipeline as stream_pipeline,
     )
 
-    stream_root = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        src = os.path.join(stream_root, "src")
-        docs_stream = tables.load_table(spark, sf_dir, "documents").select(
-            "doc_id",
-            "text",
-            # ts span capped at 10 min << the 2 h watermark: the files are
-            # shuffled across batches, so an unbounded doc_id-seconds span
-            # would mark early docs late at bigger SFs and silently shrink
-            # rows_kept (sf1 = 13.9 h of synthetic time).
-            (
-                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-                + F.make_interval(secs=F.pmod(F.col("doc_id"), F.lit(600)).cast("double"))
-            ).alias("ts"),
-        )
-        docs_stream.repartition(8).write.parquet(src)
-        rows_in = spark.read.parquet(src).count()
-        stream_df = (
-            spark.readStream.schema("doc_id long, text string, ts timestamp")
-            .option("maxFilesPerTrigger", 2)
-            .parquet(src)
-        )
-        t0 = time.perf_counter()
-        q = stream_pipeline.run_stream_curation(
-            stream_df,
-            os.path.join(stream_root, "sink"),
-            os.path.join(stream_root, "ckpt"),
-            neardup_threshold=0.6,
-        )
-        q.awaitTermination()
-        stream_wall = round(time.perf_counter() - t0, 3)
-        rows_kept = spark.read.parquet(os.path.join(stream_root, "sink")).count()
-        batch_ms = {
-            str(p["batchId"]): p["durationMs"].get("triggerExecution")
-            for p in q.recentProgress
-            if p.get("numInputRows", 0) or p["durationMs"].get("triggerExecution")
-        }
-        streaming_bench = {
-            "curation_rows_per_sec": round(rows_in / stream_wall, 1),
-            "wall_sec": stream_wall,
-            "rows_in": rows_in,
-            "rows_kept": rows_kept,
-            "n_batches": len(batch_ms),
-        }
-        spark.catalog.clearCache()
-    finally:
-        shutil.rmtree(stream_root, ignore_errors=True)
+    # Two full replays (fresh sink/ckpt/index each), headline = the better
+    # wall — the first replay pays one-time codegen of the streaming plan
+    # shapes (the stateful dedup subtree + the gate's history joins exist
+    # in no batch query, so the batch passes above don't warm them; the
+    # same-code spread measured 61→101 rows/s on a single day from that
+    # compile cost alone). Both walls are reported so the compile cost
+    # stays visible, mirroring cold_queries vs the headline min.
+    stream_walls: list[float] = []
+    stream_best: dict | None = None
+    best_batch_ms: dict[str, int] = {}
+    for _rep in range(2):
+        stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            src = os.path.join(stream_root, "src")
+            docs_stream = tables.load_table(spark, sf_dir, "documents").select(
+                "doc_id",
+                "text",
+                # ts span capped at 10 min << the 2 h watermark: the files
+                # are shuffled across batches, so an unbounded
+                # doc_id-seconds span would mark early docs late at bigger
+                # SFs and silently shrink rows_kept (sf1 = 13.9 h of
+                # synthetic time).
+                (
+                    F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.make_interval(secs=F.pmod(F.col("doc_id"), F.lit(600)).cast("double"))
+                ).alias("ts"),
+            )
+            docs_stream.repartition(8).write.parquet(src)
+            rows_in = spark.read.parquet(src).count()
+            stream_df = (
+                spark.readStream.schema("doc_id long, text string, ts timestamp")
+                .option("maxFilesPerTrigger", 2)
+                .parquet(src)
+            )
+            t0 = time.perf_counter()
+            q = stream_pipeline.run_stream_curation(
+                stream_df,
+                os.path.join(stream_root, "sink"),
+                os.path.join(stream_root, "ckpt"),
+                neardup_threshold=0.6,
+            )
+            q.awaitTermination()
+            stream_wall = round(time.perf_counter() - t0, 3)
+            rows_kept = spark.read.parquet(
+                os.path.join(stream_root, "sink")
+            ).count()
+            batch_ms = {
+                str(p["batchId"]): p["durationMs"].get("triggerExecution")
+                for p in q.recentProgress
+                if p.get("numInputRows", 0)
+                or p["durationMs"].get("triggerExecution")
+            }
+            stream_walls.append(stream_wall)
+            if stream_best is None or stream_wall < stream_best["wall_sec"]:
+                stream_best = {
+                    "curation_rows_per_sec": round(rows_in / stream_wall, 1),
+                    "wall_sec": stream_wall,
+                    "rows_in": rows_in,
+                    "rows_kept": rows_kept,
+                    "n_batches": len(batch_ms),
+                }
+                best_batch_ms = batch_ms
+            spark.catalog.clearCache()
+        finally:
+            shutil.rmtree(stream_root, ignore_errors=True)
+    streaming_bench = dict(stream_best)
+    streaming_bench["walls_all_reps"] = stream_walls
+    batch_ms = best_batch_ms
 
     # Stage attribution for the chunked training export (VERDICT r7
     # Missing #3): noop-sink each subtree of training_export_chunks once —

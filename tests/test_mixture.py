@@ -469,3 +469,81 @@ def test_shard_manifest_detects_tamper_and_loss(spark):
     (shard7,) = diff
     assert lost[shard7] == base[shard7][0] - 1
     assert all(lost[s] == base[s][0] for s in base if s != shard7)
+
+
+# ------------------------------------------------- quality-weighted sample
+
+def test_quality_weighted_sample_exact_expected_set(spark):
+    """The kept set equals the Python-side replication of the integer-hash
+    draw exactly: per-row 60-bit md5 hash vs the band's integer threshold —
+    no float, no statistics, bit-for-bit."""
+    import hashlib
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        quality_weighted_sample,
+    )
+
+    bands = [(0.99, 1.0), (0.5, 0.5), (0.0, 0.1)]
+    # three score levels, 60 docs each
+    rows = [(i, [1.0, 0.6, 0.3][i % 3]) for i in range(180)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = sorted(
+        r["doc_id"]
+        for r in quality_weighted_sample(df, "score", bands, seed=19).collect()
+    )
+
+    def h60(i):
+        return int(
+            hashlib.md5(f"qsample:19:{i}".encode()).hexdigest()[:15], 16
+        )
+
+    def rate(s):
+        for ms, r in sorted(bands, reverse=True):
+            if s >= ms:
+                return r
+        return 0.0
+
+    want = sorted(
+        i for i, s in rows if h60(i) < int(rate(s) * HASH_SPACE)
+    )
+    assert got == want
+    # the top band keeps EVERYTHING at rate 1.0
+    assert {i for i in got if i % 3 == 0} == {i for i in range(180) if i % 3 == 0}
+
+
+def test_quality_weighted_sample_nests_in_rates(spark):
+    """Raising a band's rate only ADDS documents (same hash, higher
+    threshold) — quality-mix ablations share their kept sets."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        quality_weighted_sample,
+    )
+
+    rows = [(i, [1.0, 0.6, 0.3][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    lo = {
+        r["doc_id"]
+        for r in quality_weighted_sample(
+            df, "score", [(0.99, 1.0), (0.5, 0.3), (0.0, 0.05)], seed=19
+        ).collect()
+    }
+    hi = {
+        r["doc_id"]
+        for r in quality_weighted_sample(
+            df, "score", [(0.99, 1.0), (0.5, 0.6), (0.0, 0.2)], seed=19
+        ).collect()
+    }
+    assert lo < hi
+
+
+def test_quality_weighted_sample_validation(spark):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        quality_weighted_sample,
+    )
+
+    df = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="non-empty"):
+        quality_weighted_sample(df, "score", [], seed=1)
+    with pytest.raises(ValueError, match="outside"):
+        quality_weighted_sample(df, "score", [(0.5, 1.5)], seed=1)
+    with pytest.raises(ValueError, match="duplicate"):
+        quality_weighted_sample(df, "score", [(0.5, 0.2), (0.5, 0.4)], seed=1)
