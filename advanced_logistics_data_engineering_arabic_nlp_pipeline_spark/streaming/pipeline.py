@@ -708,6 +708,7 @@ def run_stream_curation(
     boilerplate_min_doc_frac: float | None = None,
     boilerplate_min_docs: int = 2,
     boilerplate_index_dir: str | None = None,
+    quality_gate: float | None = None,
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
     curation pass composed over a stream — exact dedup, near-dup dedup
@@ -717,6 +718,13 @@ def run_stream_curation(
 
     Stage map, and where each runs:
 
+    0. when ``quality_gate`` is given, the batch profile's quality gate
+       (``quality_score(text) >= gate`` — the same round-6 expression
+       curated_corpus and the ledger use) as a pure-expression stream
+       filter BEFORE the stateful dedup: low-quality documents never
+       enter the dedup state store, and a low-quality early arrival can
+       never become the keeper that dedups away a clean twin (the
+       ledger's quality-first ordering, applied to arrival time).
     1. streaming exact dedup on the CONTENT FINGERPRINT (md5 of the sorted
        distinct token set — operators/textanalysis.fingerprint, the same
        key dedup_exact and the curation ledger use): the one stateful
@@ -814,6 +822,19 @@ def run_stream_curation(
             .persist()
         )
         ev_dict.count()  # materialize once, not per micro-batch
+
+    if quality_gate is not None:
+        # the batch profile's FIRST stage (ledger order: quality → exact →
+        # …), and deliberately BEFORE the stateful dedup: quality_score is
+        # a pure expression, so gating here is streaming-safe and keeps
+        # low-quality documents out of the dedup state store entirely —
+        # at 100 TB the state saved is the point, and a low-quality doc
+        # must not become the "keeper" that dedups away a clean twin
+        # arriving later (the ledger's ordering rationale, applied to
+        # arrival time).
+        from ..operators.textanalysis import quality_score
+
+        stream = stream.where(quality_score(F.col(text_col)) >= quality_gate)
 
     deduped = (
         stream.withColumn("__fp", fingerprint(F.col(text_col)))

@@ -1875,3 +1875,61 @@ def test_stream_sink_survives_generations(spark, tmp_path):
         if m.startswith(".epoch_")
     }
     assert len(tokens) == 2
+
+
+def test_stream_quality_gate_pre_state_protects_keeper_slot(spark, tmp_path):
+    """quality_gate (r8) runs BEFORE the stateful dedup, so a low-quality
+    early arrival never occupies the keeper slot: with the gate ON a clean
+    later twin (same content fingerprint) ships; with the gate OFF the
+    junk version enters the dedup state (then dies at the repetition
+    gate), and the clean twin is deduped away — the pair vanishes. Two
+    stream generations over one checkpoint make arrival order
+    deterministic and exercise state restore."""
+    clean = _block("q", 40)  # score 0.6 (no stopwords → 0.6 factor)
+    junk = " ".join(clean.split() * 30)  # same distinct tokens, n=1200 → 0.3
+    other = _block("r", 40)
+
+    for gate, tag in [(0.55, "on"), (None, "off")]:
+        src = str(tmp_path / f"qg_src_{tag}")
+        os.makedirs(src)
+        sink = str(tmp_path / f"qg_sink_{tag}")
+        ckpt = str(tmp_path / f"qg_ckpt_{tag}")
+
+        def write_rows(rows):
+            spark.createDataFrame(
+                rows, "doc_id long, text string, ts string"
+            ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+                1
+            ).write.mode("append").parquet(src)
+
+        def run():
+            stream = (
+                spark.readStream.schema("doc_id long, text string, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = pipeline.run_stream_curation(
+                stream, sink, ckpt, quality_gate=gate
+            )
+            q.awaitTermination(120)
+
+        # generation 1: the junk twin arrives FIRST
+        write_rows(
+            [(1, junk, "2024-01-01 10:00:00"), (2, other, "2024-01-01 10:01:00")]
+        )
+        run()
+        # generation 2 (same checkpoint → dedup state restored): clean twin
+        write_rows([(3, clean, "2024-01-01 10:30:00")])
+        run()
+
+        texts = {
+            r["text"] for r in spark.read.parquet(sink).select("text").collect()
+        }
+        assert other in texts, tag
+        assert junk not in texts, tag  # gated, or killed by repetition
+        if gate is not None:
+            assert clean in texts, "gate ON: the clean twin must ship"
+        else:
+            assert clean not in texts, (
+                "gate OFF: junk held the keeper slot, the twin dedups away"
+            )
