@@ -242,6 +242,15 @@ def quality_weighted_sample(
             raise ValueError(f"rate {rate} outside [0, 1] for band {ms}")
     if len({ms for ms, _ in bands}) != len(bands):
         raise ValueError("duplicate band min_scores")
+    ordered = sorted(bands)
+    rates_in_order = [r for _, r in ordered]
+    if rates_in_order != sorted(rates_in_order):
+        raise ValueError(
+            "rates must be non-decreasing in min_score (the documented "
+            f"monotone-step contract): got {ordered} — an inverted band "
+            "downsamples BETTER documents harder, almost certainly a "
+            "mis-ordered bands list"
+        )
     thr = F.lit(0)
     for ms, rate in sorted(bands):  # ascending wrap ⇒ highest band wins
         thr = F.when(
@@ -294,6 +303,52 @@ def shard_manifest(
         [F.col(weight_col)] if weight_col is not None else []
     )
     return df.select(*slim).groupBy("shard").agg(*aggs).orderBy("shard")
+
+
+def verify_manifest(
+    received: DataFrame,
+    manifest: DataFrame,
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """The receiver side of the :func:`shard_manifest` protocol: recompute
+    the manifest over what actually ARRIVED and compare per shard against
+    the shipped record. Returns one row per shard in either frame:
+    ``(shard, ok, docs_delta, sig_match)`` — ``ok`` iff counts, weight
+    (when carried) and the xor content signature all agree; a shard
+    present on one side only fails with nulls on the other, never drops
+    out of the report.
+
+    Same cost shape as the manifest itself (one slim scan of the received
+    data, O(n_shards) comparison rows); the shipped manifest is tiny and
+    broadcasts."""
+    got = shard_manifest(
+        received, n_shards, seed, id_col=id_col, text_col=text_col,
+        weight_col=weight_col,
+    )
+    exp = manifest.select(
+        F.col("shard"),
+        F.col("n_docs").alias("exp_docs"),
+        *([F.col("total_weight").alias("exp_weight")] if weight_col is not None else []),
+        F.col("content_sig").alias("exp_sig"),
+    )
+    j = got.join(F.broadcast(exp), "shard", "full")
+    sig_match = F.col("content_sig").eqNullSafe(F.col("exp_sig"))
+    ok = sig_match & F.col("n_docs").eqNullSafe(F.col("exp_docs"))
+    if weight_col is not None:
+        ok = ok & F.col("total_weight").eqNullSafe(F.col("exp_weight"))
+    return j.select(
+        "shard",
+        ok.alias("ok"),
+        (
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            - F.coalesce(F.col("exp_docs"), F.lit(0))
+        ).alias("docs_delta"),
+        sig_match.alias("sig_match"),
+    ).orderBy("shard")
 
 
 def token_budget_mix(

@@ -670,7 +670,7 @@ def semdedup(
     id_col: str = "vec_id",
     threshold: float = 0.4,
     k: int = 16,
-    max_cluster_rows: int = 2_000_000,
+    max_cluster_rows: int = 20_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings
     with k-means, then drop within-cluster semantic duplicates — pairs at
@@ -696,7 +696,10 @@ def semdedup(
     (k × dim, KBs) rides the UDF closure — nothing corpus-sized moves.
     ``max_cluster_rows`` fences the per-task gram tile: a cluster above it
     raises with the remediation (raise k) instead of silently OOMing a
-    task. ``centroids`` takes a ``(centroid_id, cv)`` frame (the
+    task. The default 20 000 is sized to the tile math, not a guess: the
+    scan's peak is one float64 gram (8m²) rounded IN PLACE plus one bool
+    mask (m²) ≈ 9m² bytes — 3.6 GB at m = 20k, inside a 4 GB task budget
+    (128 GiB / 32 slots). ``centroids`` takes a ``(centroid_id, cv)`` frame (the
     :func:`train_kmeans_centroids` output) for deterministic/oracle use;
     None trains one with the default pipeline."""
     if centroids is None:
@@ -765,8 +768,16 @@ def semdedup(
         mn = np.linalg.norm(m, axis=1)
         mn[mn == 0.0] = 1.0
         u = m / mn[:, None]
-        gram = np.round(u @ u.T, 6) >= threshold
-        dropped = np.tril(gram, k=-1).any(axis=1)
+        # one float64 gram, rounded IN PLACE, one bool mask — never the
+        # round-copy + tril-copy pair (each another 8m²/m² bytes): the
+        # fence's memory math in the docstring assumes this shape
+        gram = u @ u.T
+        np.round(gram, 6, out=gram)
+        mask = gram >= threshold
+        n = mask.shape[0]
+        dropped = np.zeros(n, dtype=bool)
+        for i in range(1, n):  # row-wise strict lower triangle, no copy
+            dropped[i] = mask[i, :i].any()
         return pd.DataFrame(
             {
                 id_col: p["id"].to_numpy(),

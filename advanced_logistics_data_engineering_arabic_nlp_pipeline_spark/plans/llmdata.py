@@ -209,6 +209,22 @@ CURATION_QUALITY_GATE = 0.7
 # remembered.
 
 
+def _quality_case_sql(mtl: str, sw: str) -> str:
+    """operators/textanalysis.quality_score as ONE shared SQL fragment —
+    four oracles gate on this expression (curated_corpus, text_quality,
+    quality_sample, the ledger's lq stage); a factor or threshold tweak
+    must reach every mirror at once, or a stale hand-copy silently keeps
+    checking the old score (r8 review finding). ``mtl``/``sw`` name the
+    caller's mean-token-length / stopword-ratio columns; the token-count
+    factor always reads ``len(toks)``."""
+    return (
+        "ROUND(CAST("
+        "(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)"
+        f" * (CASE WHEN {mtl} BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)"
+        f" * (CASE WHEN {sw} >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6)"
+    )
+
+
 def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation — the pipeline this engine exists for, as ONE
     declarative plan: quality gate (Gopher-style cheap filters, strict
@@ -277,10 +293,7 @@ qm AS (
 ),
 q AS (
   SELECT doc_id,
-         ROUND(CAST(
-           (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN mtl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality
+         {_quality_case_sql("mtl", "sw")} AS quality
   FROM qm
 ),
 -- exact keeper under the content fingerprint (normalized-content key):
@@ -508,10 +521,7 @@ m AS (
   FROM tok
 )
 SELECT doc_id, n_tokens, n_units, stop_ratio, mean_token_len,
-       ROUND(CAST(
-         (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
-         * (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-         * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality,
+       {_quality_case_sql("mean_token_len", "stop_ratio")} AS quality,
        CASE WHEN en_h >= fr_h AND en_h >= es_h AND en_h > 0 THEN 'en'
             WHEN fr_h >= es_h AND fr_h > 0 THEN 'fr'
             WHEN es_h > 0 THEN 'es'
@@ -571,10 +581,7 @@ m AS (
 ),
 q AS (
   SELECT doc_id, lang,
-         ROUND(CAST(
-           (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN mean_token_len BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN stop_ratio >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) AS quality
+         {_quality_case_sql("mean_token_len", "stop_ratio")} AS quality
   FROM m
 )
 SELECT doc_id, lang, quality FROM q
@@ -987,10 +994,18 @@ def semdedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# zero-norm guard mirrors the operator's norms[norms == 0] = 1.0 exactly
+# (a zero vector's dot is 0, so its cosine is 0.0 — never NULL): without
+# it DuckDB divides by zero to NULL, the assignment ROW_NUMBER orders the
+# row arbitrarily, and the EXISTS silently skips its pairs
+_SEM_NORM = (
+    "(CASE WHEN sqrt(list_sum(list_transform({v}, x -> x * x))) = 0"
+    " THEN 1.0"
+    " ELSE sqrt(list_sum(list_transform({v}, x -> x * x))) END)"
+)
 _SEM_COS = (
     "ROUND(list_sum(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]))"
-    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-    " * sqrt(list_sum(list_transform({b}, x -> x * x)))), 6)"
+    f" / ({_SEM_NORM.format(v='{a}')} * {_SEM_NORM.format(v='{b}')}), 6)"
 )
 
 SEMDEDUP_SQL = f"""
@@ -1603,10 +1618,7 @@ lqm AS (
 ),
 lq AS (
   SELECT doc_id,
-         (ROUND(CAST(
-           (CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN mtl BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
-           * (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.6 END) AS DOUBLE), 6) >= {CURATION_QUALITY_GATE}) AS q_ok
+         ({_quality_case_sql("mtl", "sw")} >= {CURATION_QUALITY_GATE}) AS q_ok
   FROM lqm
 ),
 -- exact stage keys on the content fingerprint (dedup_exact's key): md5 of

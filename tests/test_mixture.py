@@ -547,3 +547,57 @@ def test_quality_weighted_sample_validation(spark):
         quality_weighted_sample(df, "score", [(0.5, 1.5)], seed=1)
     with pytest.raises(ValueError, match="duplicate"):
         quality_weighted_sample(df, "score", [(0.5, 0.2), (0.5, 0.4)], seed=1)
+    # inverted bands (better docs downsampled harder) violate the
+    # documented monotone-step contract and must fail loudly
+    with pytest.raises(ValueError, match="non-decreasing"):
+        quality_weighted_sample(
+            df, "score", [(0.9, 0.1), (0.5, 0.8)], seed=1
+        )
+
+
+def test_verify_manifest_full_protocol(spark):
+    """Ship → verify round trip: intact delivery is all-ok; a tampered doc
+    fails exactly its shard's sig_match with docs_delta 0; a lost doc
+    shows docs_delta -1; a shard missing entirely from the delivery still
+    appears in the report as failed."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        shard_manifest,
+        verify_manifest,
+    )
+
+    rows = [(i, f"document body {i}", 10 + i) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    man = shard_manifest(df, 4, 3, weight_col="n_chars")
+
+    # intact
+    rep = verify_manifest(df, man, 4, 3, weight_col="n_chars").collect()
+    assert len(rep) == 4 and all(r["ok"] for r in rep)
+
+    # tampered doc 7: its shard fails on sig only
+    tam = spark.createDataFrame(
+        [(i, ("XX" if i == 7 else "") + t, n) for i, t, n in rows], df.schema
+    )
+    rep = {r["shard"]: r for r in verify_manifest(
+        tam, man, 4, 3, weight_col="n_chars").collect()}
+    bad = [s for s, r in rep.items() if not r["ok"]]
+    assert len(bad) == 1
+    assert rep[bad[0]]["docs_delta"] == 0 and not rep[bad[0]]["sig_match"]
+
+    # lost doc 7: same shard, docs_delta -1
+    lost = spark.createDataFrame([r for r in rows if r[0] != 7], df.schema)
+    rep = {r["shard"]: r for r in verify_manifest(
+        lost, man, 4, 3, weight_col="n_chars").collect()}
+    assert rep[bad[0]]["docs_delta"] == -1 and not rep[bad[0]]["ok"]
+
+    # whole shard missing from the delivery: still reported, failed
+    h60 = None
+    import hashlib
+    def shard_of(i):
+        return int(hashlib.md5(f"epoch:3:{i}".encode()).hexdigest()[:15], 16) % 4
+    keep_shards = {0, 1, 2}
+    part = spark.createDataFrame(
+        [r for r in rows if shard_of(r[0]) in keep_shards], df.schema
+    )
+    rep = {r["shard"]: r for r in verify_manifest(
+        part, man, 4, 3, weight_col="n_chars").collect()}
+    assert len(rep) == 4 and not rep[3]["ok"]
