@@ -1860,3 +1860,63 @@ def test_semdedup_cluster_fence_raises(spark):
         similarity.semdedup(
             vecs, centroids=cents, threshold=0.9, max_cluster_rows=3
         ).collect()
+
+
+def test_semdedup_string_ids(spark):
+    """The ledger carries the CALLER's id type — string doc keys route
+    through the object-dtype paths (lexsort tie-break, astype) intact."""
+    import math
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        similarity,
+    )
+
+    def rot(theta):
+        v = [0.0] * 64
+        v[0], v[1] = math.cos(theta), math.sin(theta)
+        return v
+
+    vecs = spark.createDataFrame(
+        [("doc-a", rot(0.01)), ("doc-b", rot(0.05)), ("doc-c", rot(1.2))],
+        "vec_id string, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [("c0", rot(0.0))], "centroid_id string, cv array<double>"
+    )
+    led = {
+        r["vec_id"]: r["kept"]
+        for r in similarity.semdedup(
+            vecs, centroids=cents, threshold=0.97
+        ).collect()
+    }
+    # a/b are near-dups (cos(0.04) ≈ 0.9992): the id tie-break keeps the
+    # farther-from-centroid member (doc-b); doc-c is alone and survives
+    assert led == {"doc-a": False, "doc-b": True, "doc-c": True}
+
+
+def test_semdedup_consistent_with_exact_cosine_pairs(spark, sf_dir):
+    """Cross-operator consistency: every oracle-checked exact-cosine pair
+    (dedup_embedding_cosine, same 0.4 threshold) whose two members land in
+    the SAME semdedup cluster must lose its later-ranked member; pairs
+    split across clusters are the documented SemDeDup miss (the paper
+    trades them for never materializing a global O(N²))."""
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in llmdata.dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    led = {
+        r["vec_id"]: (r["centroid_id"], r["cent_sim"], r["kept"])
+        for r in llmdata.semdedup_ledger(spark, sf_dir).collect()
+    }
+    assert pairs, "fixture should contain exact near-dup pairs"
+    same_cluster = 0
+    for a, b in pairs:
+        ca, sa, ka = led[a]
+        cb, sb, kb = led[b]
+        if ca != cb:
+            continue  # cross-cluster: the documented miss
+        same_cluster += 1
+        # keep priority: (cent_sim ASC, id ASC) — the later-ranked drops
+        later = b if (sa, a) < (sb, b) else a
+        assert not led[later][2], (a, b, led[a], led[b])
+    assert same_cluster > 0, "no within-cluster exact pair — test vacuous"
