@@ -769,3 +769,49 @@ def scrub_boilerplate_increment(
         raise
     delta_counts.unpersist()
     return out
+
+
+# ── corpus snapshot diff (dataset-versioning audit) ──────────────────────────
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus audit: what changed between two versions
+    of a training corpus — ``(id, status)`` with status ``added`` (id only
+    in the new snapshot), ``removed`` (only in the old), or ``changed``
+    (present in both, content fingerprint differs). Unchanged documents
+    drop out, so the artifact is O(churn), not O(corpus) — the record a
+    dataset release ships so a consumer (or a retraining decision) can see
+    exactly what moved between versions without diffing 100 TB of text.
+
+    Identity is the content FINGERPRINT (md5 of the sorted distinct token
+    set, :func:`..textanalysis.fingerprint`) — the same key the exact-dedup
+    family and the curation ledger use, so "changed" means changed under
+    the pipeline's own notion of content, not byte noise.
+
+    Scale shape: each side reduces to ``(id, 16-byte fingerprint)`` BEFORE
+    the single full-outer equi-join on id — the text never shuffles, and
+    the join is AQE-plannable on both sides."""
+    from .textanalysis import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("ofp")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("nfp")
+    )
+    status = (
+        F.when(F.col("ofp").isNull(), "added")
+        .when(F.col("nfp").isNull(), "removed")
+        .when(F.col("ofp") != F.col("nfp"), "changed")
+    )
+    return (
+        o.join(n, "id", "full")
+        .withColumn("status", status)
+        .filter(F.col("status").isNotNull())
+        .select(F.col("id").alias(id_col), "status")
+        .orderBy(id_col)
+    )

@@ -1761,6 +1761,58 @@ ORDER BY lang, outcome
 """
 
 
+def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning audit (operators/curation.corpus_diff) over two
+    deterministic snapshots of the documents corpus: OLD = docs with
+    ``doc_id % 7 != 0`` (docs at ``% 11 == 0`` text-perturbed so the
+    ``changed`` class is non-vacuous), NEW = docs with ``doc_id % 5 != 0``
+    — so all three statuses occur at every SF: added (% 7 == 0, % 5 != 0),
+    removed (% 7 != 0, % 5 == 0), changed (in both, perturbed). Identity
+    is the content fingerprint; the artifact is O(churn)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.reverse(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0)
+    return curation.corpus_diff(old, new)
+
+
+def _fp_sql(text_expr: str) -> str:
+    """The content-fingerprint expression (textanalysis.fingerprint) over
+    an arbitrary SQL text expression — shared by every mirror that keys on
+    normalized content."""
+    return (
+        "md5(COALESCE(array_to_string(list_sort(list_distinct("
+        f"list_filter(regexp_split_to_array(lower({text_expr}), "
+        "'[ \\t\\n\\v\\f\\r]+'), tk -> tk <> ''))), ' '), ''))"
+    )
+
+
+CORPUS_DIFF_SQL = f"""
+WITH o AS (
+  SELECT doc_id,
+         {_fp_sql("CASE WHEN doc_id % 11 = 0 THEN reverse(text) ELSE text END")} AS ofp
+  FROM documents WHERE doc_id % 7 <> 0
+),
+n AS (
+  SELECT doc_id, {_fp_sql("text")} AS nfp
+  FROM documents WHERE doc_id % 5 <> 0
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.ofp <> n.nfp THEN 'changed' END AS status
+  FROM o FULL JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, status FROM j WHERE status IS NOT NULL
+ORDER BY doc_id
+"""
+
+
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-packing ledger over the documents corpus
     (operators/curation.pack_sequences, max_len=512, 8 shards): where each
@@ -2032,6 +2084,7 @@ QUERIES = {
     "semdedup": semdedup_ledger,
     "data_card": data_card,
     "quality_sample": quality_sample,
+    "corpus_diff": corpus_diff,
 }
 
 ORACLES = {
@@ -2103,4 +2156,7 @@ LOCAL_ORACLES = {
     # the band comparison exact on both engines; thresholds are the usual
     # Python-computed integers.
     "quality_sample": QUALITY_SAMPLE_SQL,
+    # Snapshot diff (r8): full-outer fingerprint compare; all three
+    # statuses non-vacuous at every SF by snapshot construction.
+    "corpus_diff": CORPUS_DIFF_SQL,
 }

@@ -75,6 +75,7 @@ HEADLINE = [
     "temperature_mix",
     "shard_manifest",
     "quality_sample",
+    "corpus_diff",
     # event-time windows
     "events_hourly",
     "events_sliding",

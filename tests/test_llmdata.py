@@ -1920,3 +1920,36 @@ def test_semdedup_consistent_with_exact_cosine_pairs(spark, sf_dir):
         later = b if (sa, a) < (sb, b) else a
         assert not led[later][2], (a, b, led[a], led[b])
     assert same_cluster > 0, "no within-cluster exact pair — test vacuous"
+
+
+def test_corpus_diff_semantics(spark):
+    """Hand-built snapshots: added/removed/changed classified exactly;
+    unchanged docs (including reordered-token twins — fingerprint
+    identity is the bag of distinct tokens) drop out of the artifact."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        curation,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon zeta"),
+            (3, "eta theta iota"),
+            (4, "kappa lambda mu"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "gamma beta alpha"),      # reordered → same fingerprint
+            (2, "delta epsilon CHANGED"),  # changed content
+            (4, "kappa lambda mu"),        # unchanged
+            (5, "nu xi omicron"),          # added
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in curation.corpus_diff(old, new).collect()
+    }
+    assert out == {2: "changed", 3: "removed", 5: "added"}
