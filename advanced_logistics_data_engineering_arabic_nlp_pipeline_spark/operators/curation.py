@@ -794,19 +794,30 @@ def corpus_diff(
 
     Scale shape: each side reduces to ``(id, 16-byte fingerprint)`` BEFORE
     the single full-outer equi-join on id — the text never shuffles, and
-    the join is AQE-plannable on both sides."""
+    the join is AQE-plannable on both sides.
+
+    NULL text is coalesced to ``''`` before fingerprinting (matching the
+    SQL mirror's COALESCE) and presence is tested on explicit membership
+    flags, not fingerprint nullness — a document whose text is NULL in a
+    snapshot is still PRESENT in that snapshot (ADVICE r8: the previous
+    ofp-isNull test reported an old-side NULL-text doc as 'added')."""
     from .textanalysis import fingerprint
 
+    fp = lambda c: fingerprint(F.coalesce(c, F.lit("")))  # noqa: E731
     o = old.select(
-        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("ofp")
+        F.col(id_col).alias("id"),
+        fp(F.col(text_col)).alias("ofp"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("nfp")
+        F.col(id_col).alias("id"),
+        fp(F.col(text_col)).alias("nfp"),
+        F.lit(True).alias("__in_new"),
     )
     status = (
-        F.when(F.col("ofp").isNull(), "added")
-        .when(F.col("nfp").isNull(), "removed")
-        .when(F.col("ofp") != F.col("nfp"), "changed")
+        F.when(F.col("__in_old").isNull(), "added")
+        .when(F.col("__in_new").isNull(), "removed")
+        .when(~F.col("ofp").eqNullSafe(F.col("nfp")), "changed")
     )
     return (
         o.join(n, "id", "full")

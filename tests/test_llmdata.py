@@ -1953,3 +1953,31 @@ def test_corpus_diff_semantics(spark):
         for r in curation.corpus_diff(old, new).collect()
     }
     assert out == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_corpus_diff_null_text_membership(spark):
+    """ADVICE r8: presence must be tested on join membership, not
+    fingerprint nullness — a NULL-text doc present in the OLD snapshot is
+    'removed' when absent from NEW (not 'added'), NULL-in-both is
+    unchanged (drops out), and NULL vs real content is 'changed'. NULL
+    coalesces to '' before fingerprinting, matching the SQL mirror."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        curation,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "solid content"), (3, None), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in curation.corpus_diff(old, new).collect()
+    }
+    # 1: NULL in both -> unchanged (absent); 2: content -> NULL = changed;
+    # 3: present-with-NULL in old only -> removed (the old bug said added);
+    # 4: new only -> added; 5: NULL -> '' both fingerprint md5('') = unchanged
+    assert out == {2: "changed", 3: "removed", 4: "added"}
