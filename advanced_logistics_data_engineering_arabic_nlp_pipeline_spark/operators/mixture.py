@@ -323,8 +323,11 @@ def verify_manifest(
     out of the report.
 
     Same cost shape as the manifest itself (one slim scan of the received
-    data, O(n_shards) comparison rows); the shipped manifest is tiny and
-    broadcasts."""
+    data, O(n_shards) comparison rows). The final full-outer comparison
+    join runs over two already-aggregated O(n_shards) frames — broadcast
+    is NOT legal for full-outer (Spark would have to fabricate the
+    unmatched rows of the streamed side), so this is a trivially small
+    shuffle join by design, not an oversight."""
     got = shard_manifest(
         received, n_shards, seed, id_col=id_col, text_col=text_col,
         weight_col=weight_col,
@@ -335,7 +338,7 @@ def verify_manifest(
         *([F.col("total_weight").alias("exp_weight")] if weight_col is not None else []),
         F.col("content_sig").alias("exp_sig"),
     )
-    j = got.join(F.broadcast(exp), "shard", "full")
+    j = got.join(exp, "shard", "full")
     sig_match = F.col("content_sig").eqNullSafe(F.col("exp_sig"))
     ok = sig_match & F.col("n_docs").eqNullSafe(F.col("exp_docs"))
     if weight_col is not None:
@@ -372,10 +375,14 @@ def token_budget_mix(
     budget (a bigger budget strictly extends the kept set under the same
     seed). One shuffle (partition by group), one running-sum window.
 
-    Keep rule: a document is kept iff the running total INCLUDING it is
-    ≤ the group budget — the first over-budget document and everything
-    after it in hash order are dropped (no partial documents; groups with
-    no budget entry get ``default_budget``).
+    Keep rule: a document is kept iff its group budget is positive AND the
+    running total INCLUDING it is ≤ that budget — the first over-budget
+    document and everything after it in hash order are dropped (no partial
+    documents; groups with no budget entry get ``default_budget``). The
+    explicit ``budget > 0`` leg makes a zero budget mean DROP THE GROUP
+    unconditionally, matching :func:`sample_mixture`'s rate-0 semantics —
+    without it a zero-TOKEN document (empty/whitespace text) satisfies
+    ``cum_tok 0 ≤ 0`` and leaks through a zero-budget group (ADVICE r8).
 
     Scale shape — the naive plan is a running-sum window partitioned by
     ``group_col``, which at 100 TB puts an ENTIRE mixture group (tens of
@@ -437,7 +444,7 @@ def token_budget_mix(
             "cum_tok",
             (F.col("__before") + F.sum("n_tok").over(wr)).cast("bigint"),
         )
-        .filter(F.col("cum_tok") <= budget)
+        .filter((budget > F.lit(0)) & (F.col("cum_tok") <= budget))
         .drop("__h", "__bkt", "__before")
     )
 

@@ -25,6 +25,7 @@ from ..operators.mixture import (
     shard_manifest as _shard_manifest,
     temperature_mix as _temperature_mix,
     token_budget_mix as _token_budget_mix,
+    verify_manifest as _verify_manifest,
 )
 from ..sources.tables import load_table
 
@@ -140,7 +141,8 @@ c AS (
 )
 SELECT doc_id, lang, n_tok, cum_tok
 FROM c
-WHERE cum_tok <= {_budget_case_sql(TOKEN_BUDGETS)}
+WHERE {_budget_case_sql(TOKEN_BUDGETS)} > 0
+  AND cum_tok <= {_budget_case_sql(TOKEN_BUDGETS)}
 ORDER BY doc_id
 """
 
@@ -169,6 +171,68 @@ SELECT CAST(shard AS INT) AS shard,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        bit_xor(content_h) AS content_sig
 FROM h GROUP BY shard ORDER BY shard
+"""
+
+
+# the receive-side fixture perturbs two documents, exercising both failure
+# modes the protocol detects: a DROPPED doc (count + signature flip) and a
+# CORRUPTED byte (signature flip only — n_chars metadata unchanged, so the
+# weight check stays green and sig_match alone fails the shard)
+VERIFY_DROP_ID = 3
+VERIFY_CORRUPT_ID = 7
+
+
+def verify_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Receiver side of the shard-shipment protocol (VERDICT r8 Missing #3):
+    re-derive the manifest from what ARRIVED and compare per shard. The
+    received frame is the corpus with one document dropped and one
+    corrupted, so the verdict rows show exactly the perturbed shards
+    failing — ``(shard, ok, docs_delta, sig_match)`` for all shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    manifest = _shard_manifest(docs, N_SHARDS, SHARD_SEED, weight_col="n_chars")
+    received = docs.filter(F.col("doc_id") != VERIFY_DROP_ID).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == VERIFY_CORRUPT_ID,
+            F.concat(F.col("text"), F.lit("X")),
+        ).otherwise(F.col("text")),
+    )
+    return _verify_manifest(
+        received, manifest, N_SHARDS, SHARD_SEED, weight_col="n_chars"
+    )
+
+
+_VM_CONTENT_H = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+
+VERIFY_MANIFEST_SQL = f"""
+WITH m AS (
+  SELECT {_h60_sql("epoch", SHARD_SEED)} % {N_SHARDS} AS shard,
+         COUNT(*) AS exp_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS exp_weight,
+         bit_xor({_VM_CONTENT_H}) AS exp_sig
+  FROM documents GROUP BY 1
+),
+r AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN doc_id = {VERIFY_CORRUPT_ID} THEN text || 'X'
+              ELSE text END AS text
+  FROM documents WHERE doc_id <> {VERIFY_DROP_ID}
+),
+g AS (
+  SELECT {_h60_sql("epoch", SHARD_SEED)} % {N_SHARDS} AS shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_weight,
+         bit_xor({_VM_CONTENT_H}) AS content_sig
+  FROM r GROUP BY 1
+)
+SELECT CAST(COALESCE(g.shard, m.shard) AS INT) AS shard,
+       ((g.content_sig IS NOT DISTINCT FROM m.exp_sig)
+        AND (g.n_docs IS NOT DISTINCT FROM m.exp_docs)
+        AND (g.total_weight IS NOT DISTINCT FROM m.exp_weight)) AS ok,
+       COALESCE(g.n_docs, 0) - COALESCE(m.exp_docs, 0) AS docs_delta,
+       (g.content_sig IS NOT DISTINCT FROM m.exp_sig) AS sig_match
+FROM g FULL JOIN m ON g.shard = m.shard
+ORDER BY shard
 """
 
 
@@ -266,6 +330,7 @@ QUERIES = {
     "temperature_mix": temperature_mix,
     "training_export_sharded": training_export_sharded,
     "shard_manifest": shard_manifest,
+    "verify_manifest": verify_manifest,
 }
 
 ORACLES: dict[str, str] = {}
@@ -279,4 +344,5 @@ LOCAL_ORACLES = {
     "token_budget_mix": TOKEN_BUDGET_MIX_SQL,
     "dataset_split": DATASET_SPLIT_SQL,
     "shard_manifest": SHARD_MANIFEST_SQL,
+    "verify_manifest": VERIFY_MANIFEST_SQL,
 }

@@ -601,3 +601,62 @@ def test_verify_manifest_full_protocol(spark):
     rep = {r["shard"]: r for r in verify_manifest(
         part, man, 4, 3, weight_col="n_chars").collect()}
     assert len(rep) == 4 and not rep[3]["ok"]
+
+
+def test_registry_verify_manifest_flags_exactly_perturbed_shards(spark, sf_dir):
+    """The registered receive-side query (plans/mixture.verify_manifest)
+    perturbs two documents — one dropped, one corrupted — and the verdict
+    rows must fail EXACTLY the shards those documents hash into, with the
+    right failure shape: the dropped doc's shard shows docs_delta -1, the
+    corrupted doc's shard shows docs_delta 0 with sig_match false (its
+    n_chars metadata is untouched, so only the signature can catch it)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.mixture import (
+        N_SHARDS,
+        SHARD_SEED,
+        VERIFY_CORRUPT_ID,
+        VERIFY_DROP_ID,
+        verify_manifest as vm_query,
+    )
+
+    import hashlib
+
+    def shard_of(i: int) -> int:
+        return (
+            int(hashlib.md5(f"epoch:{SHARD_SEED}:{i}".encode()).hexdigest()[:15], 16)
+            % N_SHARDS
+        )
+
+    s_drop, s_corrupt = shard_of(VERIFY_DROP_ID), shard_of(VERIFY_CORRUPT_ID)
+    rep = {r["shard"]: r for r in vm_query(spark, sf_dir).collect()}
+    bad = {s for s, r in rep.items() if not r["ok"]}
+    assert bad == {s_drop, s_corrupt}
+    assert rep[s_drop]["docs_delta"] == -1 and not rep[s_drop]["sig_match"]
+    if s_corrupt != s_drop:
+        assert rep[s_corrupt]["docs_delta"] == 0
+    assert not rep[s_corrupt]["sig_match"]
+    # every other shard intact
+    for s, r in rep.items():
+        if s not in bad:
+            assert r["ok"] and r["sig_match"] and r["docs_delta"] == 0
+
+
+def test_token_budget_zero_budget_drops_empty_docs(spark):
+    """ADVICE r8: a zero-token document (empty/whitespace text) satisfies
+    cum_tok 0 <= 0, so without the explicit budget > 0 leg it leaked
+    through a zero-budget ('drop unlisted groups') mixture. Zero budget
+    must now mean the GROUP is dropped unconditionally — matching
+    sample_mixture's rate-0 semantics — while zero-token docs in a
+    positive-budget group still pass (they cost nothing)."""
+    df = spark.createDataFrame(
+        [
+            (1, "en", "alpha beta gamma"),
+            (2, "en", ""),              # zero tokens, positive budget: kept
+            (3, "xx", ""),              # zero tokens, ZERO budget: dropped
+            (4, "xx", "   \t  "),       # whitespace-only, ZERO budget: dropped
+            (5, "xx", "real words here"),  # positive tokens, zero budget: dropped
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_mix(df, "lang", {"en": 100}, seed=5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2]
