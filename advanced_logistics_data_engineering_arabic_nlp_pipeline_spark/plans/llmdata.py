@@ -1780,6 +1780,40 @@ def corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.corpus_diff(old, new)
 
 
+def neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-delta near-dup pass (operators/dedup.neardup_increment)
+    end-to-end against a fresh durable index: bootstrap the keeper index
+    from the historical 2/3 of the corpus (``doc_id % 3 != 0``, batch 0),
+    then dedup the remaining third as the arriving delta (batch 1) —
+    exactly the production shape where tonight's crawl is checked against
+    every keeper accepted so far without re-reading the history.
+
+    Rows-only BY NECESSITY (greedy-against-keepers + within-batch CC over
+    a durable side index has no static SQL form); semantics are pinned by
+    the batch/stream interop pytests (tests/test_streaming.py). In the
+    bench headline per VERDICT r8 Next-round #1 — this and the two
+    heavyweight exports are the costliest paths in the repo and need
+    standing round-over-round numbers. The index lives in a per-call temp
+    dir (driver-local /tmp; a few hundred KB of signatures per bench rep).
+
+    ``materialize=False`` on the delta call: the returned frame stays
+    pinned so the consumer's single action reads the already-computed
+    survivors instead of re-running the gate — the bench/driver
+    ``clearCache()`` between queries releases it (the repo's registered-
+    query cache contract, same as training_export_sharded's cut point)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    index_dir = tempfile.mkdtemp(prefix="aldean_neardup_inc_")
+    # bootstrap: registers historical keepers; materialized return frame is
+    # discarded with zero cache residue (materialize=True default)
+    dedup.neardup_increment(hist, index_dir, batch_id=0)
+    out = dedup.neardup_increment(delta, index_dir, batch_id=1, materialize=False)
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
 def _fp_sql(text_expr: str) -> str:
     """The content-fingerprint expression (textanalysis.fingerprint) over
     an arbitrary SQL text expression — shared by every mirror that keys on
@@ -2085,6 +2119,7 @@ QUERIES = {
     "data_card": data_card,
     "quality_sample": quality_sample,
     "corpus_diff": corpus_diff,
+    "neardup_increment": neardup_increment,
 }
 
 ORACLES = {

@@ -76,13 +76,17 @@ def get_spark(
         # registry's 74 query shapes at sf1 saturate THAT too — reproduced:
         # docs_repetition (pure codegen expressions) ran 2.7 s in a fresh
         # session but 6.2 s after 15 assorted queries with 512m, and 3.4 s
-        # with 1g. Reserved (virtual) memory only — committed grows with
+        # with 1g. r9: the 54-query headline + two streaming replay configs
+        # + the heavy-tail additions pushed a full bench session past 1g
+        # again (median +11% vs a same-day 50-query session, concentrated
+        # on pure-codegen relational plans — the JIT-sweep signature), so
+        # 2g. Reserved (virtual) memory only — committed grows with
         # use; trivial on any real driver host. Only effective when this
         # process launches the JVM (driver-local mode); harmless otherwise.
         .config(
             "spark.driver.extraJavaOptions",
             (
-                "-XX:ReservedCodeCacheSize=1g "
+                "-XX:ReservedCodeCacheSize=2g "
                 + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")
             ).strip(),
         )
