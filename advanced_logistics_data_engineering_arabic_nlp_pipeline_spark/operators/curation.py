@@ -771,6 +771,145 @@ def scrub_boilerplate_increment(
     return out
 
 
+# ── composed nightly-delta curation ──────────────────────────────────────────
+
+def curate_increment(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    *,
+    quality_gate: float | None = None,
+    boilerplate_min_doc_frac: float | None = None,
+    boilerplate_min_docs: int = 2,
+    neardup_threshold: float | None = 0.6,
+    neardup_k: int = 3,
+    eval_df: DataFrame | None = None,
+    decontam_k: int = 3,
+    batch_id: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """The BATCH twin of ``run_stream_curation``'s full stack: curate one
+    nightly delta against durable history without re-reading the corpus —
+    quality gate → exact dedup (durable fingerprint index,
+    :func:`..dedup.exact_increment`) → boilerplate scrub (durable
+    segment-frequency index, :func:`scrub_boilerplate_increment`) →
+    near-dup gate (durable signature index,
+    :func:`..dedup.neardup_increment`) → repetition gate → eval-set
+    decontamination → PII redaction, in exactly the stream's stage order
+    (scrub BEFORE near-dup so shared banners can't false-near-dup
+    documents with disjoint bodies; quality BEFORE the dedup stages so a
+    junk early arrival never becomes a keeper).
+
+    The point: an ingest pipeline alternates shapes over its life — a
+    historical bootstrap, stream generations, nightly batch deltas — and
+    every stage here shares its durable index layout (and id-reservation
+    protocol) with the streaming stage of the same name under ONE
+    ``index_dir`` root (``fps/`` ``segdf/`` ``segmeta/`` ``sigs/``), so
+    batch and stream runs interleave against the same history. Pass
+    ``neardup_index_dir=<index_dir>`` / ``boilerplate_index_dir=
+    <index_dir>`` to ``run_stream_curation`` for the shared-history
+    setup. (The stream's EXACT stage is watermark-bounded state-store
+    dedup, so only the batch path consults ``fps/`` — a stream restart
+    re-admitting a fingerprint from beyond its watermark is caught here
+    on the next delta, the documented horizon difference.)
+
+    ``batch_id=None`` lets each sub-index allocate independently (their
+    histories differ when a stage was enabled mid-life); an explicit id
+    makes a re-run of the same delta idempotent across ALL sub-indexes —
+    only safe when this composed operator is the index root's sole
+    writer. Returns the curated delta rows (original columns, scrubbed +
+    redacted text) under the shared materialize contract:
+    ``materialize=True`` (default) = unpinned frame, zero cache residue,
+    loop-safe forever; ``materialize=False`` = persisted result the
+    caller releases."""
+    from .dedup import exact_increment, neardup_increment
+    from .textanalysis import quality_score
+
+    caches: list[DataFrame] = []
+    keep_pinned: DataFrame | None = None
+    try:
+        work = df
+        if quality_gate is not None:
+            work = work.filter(quality_score(F.col(text_col)) >= quality_gate)
+        work = exact_increment(
+            work,
+            index_dir,
+            text_col,
+            id_col,
+            ts_col,
+            batch_id=batch_id,
+            materialize=False,
+            caches=caches,
+        )
+        if boilerplate_min_doc_frac is not None:
+            scrubbed = scrub_boilerplate_increment(
+                work,
+                index_dir,
+                text_col,
+                id_col,
+                batch_id=batch_id,
+                min_doc_frac=boilerplate_min_doc_frac,
+                min_docs=boilerplate_min_docs,
+                caches=caches,
+            )
+            # replace text with the scrubbed form; fully-boilerplate docs
+            # have nothing left — drop (the stream's exact join shape)
+            work = (
+                work.drop(text_col)
+                .join(
+                    scrubbed.filter(F.length(F.col(text_col)) > 0).select(
+                        id_col, text_col
+                    ),
+                    id_col,
+                    "inner",
+                )
+                .persist()
+            )
+            caches.append(work)
+        if neardup_threshold is not None:
+            work = neardup_increment(
+                work,
+                index_dir,
+                text_col,
+                id_col,
+                ts_col,
+                threshold=neardup_threshold,
+                k=neardup_k,
+                batch_id=batch_id,
+                materialize=False,
+            )
+            caches.append(work)
+        out = work.where(repetition_keep_expr(F.col(text_col)))
+        if eval_df is not None:
+            ev_dict = (
+                eval_df.select(
+                    F.explode(shingles_expr(F.col(text_col), decontam_k)).alias(
+                        "sh"
+                    )
+                ).distinct()
+            )
+            contaminated = (
+                shingle_rows(out, text_col, id_col, decontam_k)
+                .join(F.broadcast(ev_dict), "sh", "semi")
+                .select(F.col("id").alias(id_col))
+                .distinct()
+            )
+            out = out.join(contaminated, id_col, "anti")
+        out = out.withColumn(text_col, redact_pii_expr(F.col(text_col)))
+        if materialize:
+            out.count()  # all index writes flushed; result computed once
+            return out
+        keep_pinned = out.persist()
+        keep_pinned.count()
+        return keep_pinned
+    finally:
+        for c in caches:
+            if c is not keep_pinned:
+                c.unpersist()
+
+
 # ── corpus snapshot diff (dataset-versioning audit) ──────────────────────────
 
 def corpus_diff(

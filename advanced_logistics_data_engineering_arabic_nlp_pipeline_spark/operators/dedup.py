@@ -1098,6 +1098,107 @@ def cluster_summary(components: DataFrame) -> DataFrame:
     )
 
 
+def exact_increment(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str | None = None,
+    batch_id: int | None = None,
+    materialize: bool = True,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Batch increment of EXACT dedup against a durable fingerprint keeper
+    index — the missing first stage of a nightly-delta curation pass:
+    drop delta documents whose content fingerprint (md5 of the sorted
+    distinct token set, the same key :func:`dedup_exact` and the curation
+    ledger use) was already accepted by ANY earlier batch, collapse
+    within-delta exact twins to their earliest ``(ts, id)`` member, then
+    register the survivors' fingerprints.
+
+    The streaming pipeline gets this stage from
+    ``dropDuplicatesWithinWatermark`` state, which is checkpoint-bound and
+    watermark-horizoned; a nightly batch job needs UNBOUNDED exact-dedup
+    history without re-reading the corpus, which is exactly what a durable
+    16-byte-per-keeper fingerprint index provides. Layout mirrors the
+    near-dup signature index (``<index_dir>/fps/batch=<id>``, overwrite
+    per batch, strict ``batch < batch_id`` history reads), so re-running a
+    delta with an explicit ``batch_id`` is idempotent and interleaving
+    with :func:`neardup_increment` under one index root is safe (disjoint
+    subdirs, independent id spaces).
+
+    Scale shape: the text reduces to a fingerprint before anything
+    shuffles; within-delta keeper selection is one groupBy(fp) min_by;
+    the history check is an anti equi-join on the fingerprint (AQE plans
+    the small delta side); the index grows 16 bytes per unique document
+    ever accepted. Returns the surviving delta rows (original columns)
+    under the :func:`neardup_increment` materialize contract:
+    ``materialize=True`` (default) hands back an UNPINNED frame with zero
+    cache residue; ``materialize=False`` leaves it persisted for callers
+    running several actions. ``caches``: caller-owned failure-safety list
+    (the :func:`~..operators.curation.scrub_boilerplate_increment`
+    discipline) — internal persists are appended as they happen, so the
+    caller's ``finally`` can release them if this raises mid-way."""
+    from ..streaming.pipeline import _index_allocated_ids
+    from .textanalysis import fingerprint
+
+    spark = df.sparkSession
+    fps_dir = index_dir.rstrip("/") + "/fps"
+    if batch_id is None:
+        batch_id = max(_index_allocated_ids(spark, fps_dir), default=-1) + 1
+
+    own: list[DataFrame] = []
+    track = caches if caches is not None else own
+    ts = ts_col if ts_col is not None else id_col
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(ts).alias("__ts"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+    )
+    keep = keyed.groupBy("__fp").agg(
+        F.min_by("id", F.struct("__ts", "id")).alias("id")
+    )
+    # history presence = WRITTEN batch dirs only (markers are dot-prefixed
+    # reservations with no data — a parquet read over markers alone would
+    # fail schema inference); the allocator above still respects markers
+    from ..streaming.pipeline import _fs_batch_ids
+
+    if any(b < batch_id for b in _fs_batch_ids(spark, fps_dir)):
+        hist = (
+            spark.read.option("basePath", fps_dir)
+            .parquet(fps_dir)
+            .filter(F.col("batch") < batch_id)
+            .select(F.col("fp").alias("__fp"))
+        )
+        keep = keep.join(hist, "__fp", "anti")
+    keep = keep.persist()
+    track.append(keep)
+    try:
+        keep.count()  # pin keepers before the index write mutates history
+        keep.select(F.col("__fp").alias("fp")).write.mode("overwrite").parquet(
+            f"{fps_dir}/batch={batch_id}"
+        )
+        live = df.join(
+            keep.select(F.col("id").alias(id_col)), id_col, "semi"
+        )
+        if materialize:
+            live.count()
+        else:
+            live = live.persist()
+            track.append(live)
+            live.count()
+    except BaseException:
+        if caches is None:
+            for c in own:
+                c.unpersist()
+        raise
+    # standalone success: the keeper pin is internal-only scaffolding — a
+    # caller-provided caches list releases it in the caller's finally
+    if caches is None:
+        keep.unpersist()
+    return live
+
+
 def neardup_increment(
     df: DataFrame,
     index_dir: str,

@@ -1814,6 +1814,60 @@ def neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+def curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED nightly-delta curation pass
+    (operators/curation.curate_increment) — the batch twin of the
+    streaming full stack: quality gate → durable exact-fingerprint dedup
+    → durable boilerplate scrub → durable near-dup gate → repetition →
+    decontamination → PII, bootstrap the index root from the historical
+    2/3 of the corpus, then curate the remaining third as the arriving
+    delta against that history.
+
+    Rows-only BY NECESSITY (three durable side indexes + greedy gate
+    semantics have no static SQL form); per-stage semantics are pinned in
+    tests/test_curation.py and each sub-operator has its own
+    parity/interop pytests. Eval slice is % 997 — the same
+    blast-radius-aware choice the bench's full-stack streaming config
+    documents (the synthetic vocabulary's shingles collide so heavily
+    that a bigger slice empties the corpus). materialize=False on the
+    delta call: the registered-query cache contract
+    (bench/driver clearCache releases the pinned result).
+
+    Cost shape at bench scale (measured, r9): the ~35 s sf0.1 headline
+    number is dominated by per-action fixed scheduling cost, not data —
+    the two composed calls issue ~16 actions across the three
+    durable-index stages (each index write, pin and metadata count is an
+    action; warm split 14.3 s bootstrap + 21.3 s delta, while the actual
+    stage compute is the same work curated_corpus does in ~3 s). That
+    overhead is the constant term that amortizes to nothing at real delta
+    sizes — same Amdahl attribution as docs_repetition's sf1 ratio
+    (BENCH_sf1.json)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    eval_df = docs.filter(F.col("doc_id") % 997 == 0).select("text")
+    index_dir = tempfile.mkdtemp(prefix="aldean_curate_inc_")
+    kwargs = dict(
+        quality_gate=CURATION_QUALITY_GATE,
+        boilerplate_min_doc_frac=0.1,
+        boilerplate_min_docs=2,
+        neardup_threshold=0.6,
+        eval_df=eval_df,
+    )
+    curation.curate_increment(hist, index_dir, batch_id=0, **kwargs)
+    out = curation.curate_increment(
+        delta, index_dir, batch_id=1, materialize=False, **kwargs
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_curated"),
+    ).orderBy("doc_id")
+
+
 def _fp_sql(text_expr: str) -> str:
     """The content-fingerprint expression (textanalysis.fingerprint) over
     an arbitrary SQL text expression — shared by every mirror that keys on
@@ -2120,6 +2174,7 @@ QUERIES = {
     "quality_sample": quality_sample,
     "corpus_diff": corpus_diff,
     "neardup_increment": neardup_increment,
+    "curate_increment": curate_increment,
 }
 
 ORACLES = {

@@ -83,6 +83,7 @@ HEADLINE = [
     "data_card",
     "training_export_sharded",
     "neardup_increment",
+    "curate_increment",
     # event-time windows
     "events_hourly",
     "events_sliding",

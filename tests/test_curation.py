@@ -830,3 +830,105 @@ def test_scrub_increment_survives_half_written_batch(spark, tmp_path):
     _inc_scrub(spark, rows0, idx, batch_id=0, min_doc_frac=0.1, min_docs=3)
     g2 = _inc_scrub(spark, [(4, "banner line\nfour")], idx, min_doc_frac=0.1, min_docs=3)
     assert g2[4] == ("four", 2, 1)
+
+
+# ── nightly-delta composition: exact_increment + curate_increment ───────────
+
+
+def _ids_of(df, col="doc_id"):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+def test_exact_increment_durable_history_and_idempotence(spark, tmp_path):
+    """Night 0 registers keepers; night 1 drops an exact twin of a night-0
+    keeper (durable history), collapses within-delta twins to the min id,
+    keeps new content, and a re-run of night 1 with the same batch_id is
+    idempotent (per-batch overwrite + strict below-id history reads)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.dedup import (
+        exact_increment,
+    )
+
+    idx = str(tmp_path / "ex_idx")
+    n0 = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "wholly different words")],
+        "doc_id long, text string",
+    )
+    kept0 = exact_increment(n0, idx, batch_id=0)
+    assert _ids_of(kept0) == [1, 2]
+
+    n1 = spark.createDataFrame(
+        [
+            (10, "gamma beta alpha"),   # token-set twin of doc 1 -> dropped
+            (11, "fresh content here"),  # new -> kept
+            (12, "fresh content here"),  # within-delta twin of 11 -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept1 = exact_increment(n1, idx, batch_id=1)
+    assert _ids_of(kept1) == [11]
+    # idempotent re-run: same delta, same id, same verdicts, no double-count
+    kept1b = exact_increment(n1, idx, batch_id=1)
+    assert _ids_of(kept1b) == [11]
+    fps = spark.read.option("basePath", idx + "/fps").parquet(idx + "/fps")
+    assert fps.count() == 3  # batch0: 2 keepers, batch1: 1
+
+
+def test_curate_increment_full_stack_stage_semantics(spark, tmp_path):
+    """One delta through the composed nightly pass with every stage
+    enabled: each planted document exercises exactly one gate, and the
+    survivor comes out scrubbed + redacted."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.curation import (
+        curate_increment,
+    )
+
+    boiler = "COOKIE BANNER NAVIGATION"
+    good = " ".join(f"w{i} unique{i}" for i in range(20))
+    neard = " ".join(good.split()[:-2] + ["tail1", "tail2"])
+    eval_text = "held out benchmark question"
+    rows = [
+        (1, f"{boiler}\n{good}\ncontact someone@example.com"),  # survivor
+        (2, f"{boiler}\n{neard}"),          # near-dup of 1's body -> dropped
+        (3, f"{boiler}\n{good}\ncontact someone@example.com"),  # exact twin of 1 -> dropped
+        (4, "x"),                            # too short -> quality gate
+        (5, "spam spam spam spam spam spam spam spam spam spam"),  # repetition
+        (6, f"leak {eval_text} inside a long enough document " * 3),  # contaminated
+        (7, boiler),                         # fully boilerplate -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame([(eval_text,)], "text string")
+    out = curate_increment(
+        df,
+        str(tmp_path / "ci_idx"),
+        quality_gate=0.3,
+        boilerplate_min_doc_frac=0.5,
+        boilerplate_min_docs=2,
+        neardup_threshold=0.6,
+        eval_df=ev,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1}
+    assert boiler not in got[1]          # boilerplate line scrubbed
+    assert "someone@example.com" not in got[1]  # PII redacted
+    assert "unique5" in got[1]           # body survived
+
+
+def test_curate_increment_two_nights_shared_history(spark, tmp_path):
+    """Durable cross-night history for BOTH dedup stages through one index
+    root: night 2's exact twin and near-dup of night-1 keepers are dropped
+    without re-reading night 1, and fresh content passes."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.curation import (
+        curate_increment,
+    )
+
+    idx = str(tmp_path / "nn_idx")
+    base = " ".join(f"tok{i:02d} filler{i:02d}" for i in range(20))
+    near = " ".join(base.split()[:-2] + ["delta1", "delta2"])
+    fresh = " ".join(f"new{i:02d} words{i:02d}" for i in range(20))
+
+    n1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert _ids_of(curate_increment(n1, idx)) == [1]
+
+    n2 = spark.createDataFrame(
+        [(10, base), (11, near), (12, fresh)], "doc_id long, text string"
+    )
+    assert _ids_of(curate_increment(n2, idx)) == [12]
