@@ -932,3 +932,65 @@ def test_curate_increment_two_nights_shared_history(spark, tmp_path):
         [(10, base), (11, near), (12, fresh)], "doc_id long, text string"
     )
     assert _ids_of(curate_increment(n2, idx)) == [12]
+
+
+def test_curate_increment_continues_stream_history(spark, tmp_path):
+    """The SCALE.md interop claim, driven end-to-end: a stream generation
+    (run_stream_curation with the near-dup + boilerplate stages pointed at
+    one index root) accepts keepers; a later batch curate_increment over
+    the SAME root drops the delta's near-dup of a stream keeper without
+    re-reading the stream's corpus, and keeps fresh content."""
+    import json
+    import os
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.curation import (
+        curate_increment,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.streaming import (
+        pipeline,
+    )
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "shared_idx")
+    base = " ".join(f"iw{i:02d} body{i:02d}" for i in range(20))
+    near = " ".join(base.split()[:-2] + ["night1", "night2"])
+    fresh = " ".join(f"fr{i:02d} new{i:02d}" for i in range(20))
+
+    src = str(tmp_path / "io_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, base, "2024-01-01 10:00:00")], "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipeline.run_stream_curation(
+        stream,
+        str(tmp_path / "io_sink"),
+        str(tmp_path / "io_ckpt"),
+        neardup_threshold=0.6,
+        neardup_index_dir=root,
+        boilerplate_min_doc_frac=0.5,
+        boilerplate_min_docs=2,
+        boilerplate_index_dir=root,
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(os.path.join(root, "sigs"))  # stream wrote keepers
+
+    # nightly batch delta over the same root: near-dup of the stream
+    # keeper dropped, fresh doc kept
+    delta = spark.createDataFrame(
+        [(10, near), (11, fresh)], "doc_id long, text string"
+    )
+    kept = curate_increment(
+        delta,
+        root,
+        boilerplate_min_doc_frac=0.5,
+        boilerplate_min_docs=2,
+        neardup_threshold=0.6,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11]
