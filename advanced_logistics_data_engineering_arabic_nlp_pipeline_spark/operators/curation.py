@@ -773,6 +773,42 @@ def scrub_boilerplate_increment(
 
 # ── composed nightly-delta curation ──────────────────────────────────────────
 
+def scrub_replace_join(
+    df: DataFrame, scrubbed: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Replace ``df``'s text with the boilerplate-scrubbed form and DROP
+    documents whose every segment was boilerplate (nothing left). The ONE
+    definition both the streaming stage (pipeline._curate) and the batch
+    composed pass (:func:`curate_increment`) apply — batch/stream parity
+    here is by shared code, not by parallel copies a future edit could
+    silently fork (r9 self-review #3)."""
+    return df.drop(text_col).join(
+        scrubbed.filter(F.length(F.col(text_col)) > 0).select(id_col, text_col),
+        id_col,
+        "inner",
+    )
+
+
+def decontam_anti_join(
+    df: DataFrame,
+    ev_dict: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Drop documents sharing ANY k-shingle with the eval dictionary
+    (``ev_dict``: one distinct-shingle column ``sh``, small — broadcast).
+    Shared by the streaming decontam stage and :func:`curate_increment`
+    (same single-definition rationale as :func:`scrub_replace_join`)."""
+    contaminated = (
+        shingle_rows(df, text_col, id_col, k)
+        .join(F.broadcast(ev_dict), "sh", "semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(contaminated, id_col, "anti")
+
+
 def curate_increment(
     df: DataFrame,
     index_dir: str,
@@ -854,21 +890,12 @@ def curate_increment(
                 min_docs=boilerplate_min_docs,
                 caches=caches,
             )
-            # replace text with the scrubbed form; fully-boilerplate docs
-            # have nothing left — drop (the stream's exact join shape)
-            work = (
-                work.drop(text_col)
-                .join(
-                    scrubbed.filter(F.length(F.col(text_col)) > 0).select(
-                        id_col, text_col
-                    ),
-                    id_col,
-                    "inner",
-                )
-                .persist()
-            )
+            work = scrub_replace_join(work, scrubbed, text_col, id_col).persist()
             caches.append(work)
         if neardup_threshold is not None:
+            # materialize=False + caches: the pinned survivors frame and
+            # any partial gate pins land in OUR list, released in finally
+            # even if the gate fails mid-way (r9 self-review #1)
             work = neardup_increment(
                 work,
                 index_dir,
@@ -879,8 +906,8 @@ def curate_increment(
                 k=neardup_k,
                 batch_id=batch_id,
                 materialize=False,
+                caches=caches,
             )
-            caches.append(work)
         out = work.where(repetition_keep_expr(F.col(text_col)))
         if eval_df is not None:
             ev_dict = (
@@ -890,13 +917,7 @@ def curate_increment(
                     )
                 ).distinct()
             )
-            contaminated = (
-                shingle_rows(out, text_col, id_col, decontam_k)
-                .join(F.broadcast(ev_dict), "sh", "semi")
-                .select(F.col("id").alias(id_col))
-                .distinct()
-            )
-            out = out.join(contaminated, id_col, "anti")
+            out = decontam_anti_join(out, ev_dict, text_col, id_col, decontam_k)
         out = out.withColumn(text_col, redact_pii_expr(F.col(text_col)))
         if materialize:
             out.count()  # all index writes flushed; result computed once

@@ -1209,6 +1209,7 @@ def neardup_increment(
     k: int = 3,
     batch_id: int | None = None,
     materialize: bool = True,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Batch increment against the durable MinHash-LSH keeper index — the
     production "nightly delta" path: dedup NEW documents against every
@@ -1253,7 +1254,14 @@ def neardup_increment(
     - ``materialize=False``: the returned frame is left PERSISTED (pinned
       against recomputation through the released gate plans) — for a
       caller that runs SEVERAL actions over the survivors and will
-      ``.unpersist()`` when done."""
+      ``.unpersist()`` when done.
+
+    ``caches``: caller-owned failure-safety list (the sibling increments'
+    discipline) — the gate's internal persists are appended AS they
+    happen, so if any step raises mid-gate the caller's ``finally`` can
+    release the partial pins; without it, this function releases them
+    itself before re-raising (a failed nightly must never strand cached
+    frames in the block manager)."""
     from ..streaming.pipeline import _index_allocated_ids, _neardup_gate
 
     spark = df.sparkSession
@@ -1266,22 +1274,32 @@ def neardup_increment(
     if ts is None:
         ts = "__inc_ts"
         work = df.withColumn(ts, F.col(id_col))
-    live, caches = _neardup_gate(
-        work, batch_id, index_dir, text_col, id_col, ts, threshold, k
-    )
-    if ts_col is None:
-        live = live.drop(ts)
-    if materialize:
-        # one execution while the gate caches are warm: surfaces failures
-        # eagerly and proves the index write is complete before any cache
-        # is released; the frame handed back holds NO pin (zero cache
-        # residue per increment — safe to loop nightly forever)
-        live.count()
-        for c in caches:
-            c.unpersist()
-        return live
-    out = live.persist()
-    out.count()  # pin result + flush the index write before cache release
-    for c in caches:
-        c.unpersist()
-    return out
+    own: list[DataFrame] = []
+    track = caches if caches is not None else own
+    try:
+        live, _ = _neardup_gate(
+            work, batch_id, index_dir, text_col, id_col, ts, threshold, k,
+            caches=track,
+        )
+        if ts_col is None:
+            live = live.drop(ts)
+        if materialize:
+            # one execution while the gate caches are warm: surfaces
+            # failures eagerly and proves the index write is complete
+            # before any cache is released; the frame handed back holds
+            # NO pin (zero cache residue — safe to loop nightly forever)
+            live.count()
+        else:
+            live = live.persist()
+            track.append(live)
+            live.count()  # pin result before the gate caches release
+    except BaseException:
+        if caches is None:
+            for c in own:
+                c.unpersist()
+        raise
+    if caches is None:
+        for c in own:
+            if c is not live:
+                c.unpersist()
+    return live

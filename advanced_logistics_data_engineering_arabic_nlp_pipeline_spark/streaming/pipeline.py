@@ -524,7 +524,13 @@ def _index_allocated_ids(spark: SparkSession, sigs_dir: str) -> list[int]:
     return batches + markers
 
 
-def _gate_batch_id(spark: SparkSession, sigs_dir: str, token: str, epoch: int) -> int:
+def _gate_batch_id(
+    spark: SparkSession,
+    sigs_dir: str,
+    token: str,
+    epoch: int,
+    legacy_tokens: tuple[str, ...] = (),
+) -> int:
     """Durable, collision-free mapping of a stream micro-batch epoch onto
     the near-dup index's ``batch=<id>`` space.
 
@@ -558,15 +564,25 @@ def _gate_batch_id(spark: SparkSession, sigs_dir: str, token: str, epoch: int) -
     matches the one the gate's history discovery already pays (the
     documented portable-fallback cost — production swaps the whole index
     for a KV store). Single WRITER at a time per index; increments may
-    interleave between stream runs."""
+    interleave between stream runs.
+
+    ``legacy_tokens``: additional token spellings whose existing markers
+    are honored for REUSE (r9: the token derivation moved from the raw
+    checkpoint string to its fully-qualified URI — without the fallback,
+    a pre-change checkpoint resuming after the upgrade would miss its own
+    reservations and double-deliver its crashed epoch). New markers are
+    always written under the primary ``token``."""
     jvm = spark.sparkContext._jvm
     path = jvm.org.apache.hadoop.fs.Path(sigs_dir)
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     prefix = f".epoch_{token}_{epoch}="
+    prefixes = [prefix] + [
+        f".epoch_{t}_{epoch}=" for t in legacy_tokens if t != token
+    ]
     if fs.exists(path):
         for st in fs.listStatus(path):
             name = st.getPath().getName()
-            if name.startswith(prefix):
+            if any(name.startswith(p) for p in prefixes):
                 return int(name.split("=", 1)[1])
     gate_id = max(_index_allocated_ids(spark, sigs_dir), default=-1) + 1
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{sigs_dir}/{prefix}{gate_id}"))
@@ -840,7 +856,7 @@ def run_stream_curation(
     ``run_stream_curation`` calls in a long-lived driver don't accumulate
     cached frames (ADVICE r7)."""
     from ..operators.curation import redact_pii_expr, repetition_keep_expr
-    from ..operators.dedup import shingle_rows, shingles_expr
+    from ..operators.dedup import shingles_expr
     from ..operators.textanalysis import fingerprint
 
     nd_index_dir = None
@@ -868,6 +884,13 @@ def run_stream_curation(
         .rstrip("/")
         .encode()
     ).hexdigest()[:8]
+    # pre-r9 derivation (raw string) — existing checkpoints' reservation
+    # markers carry this token; _gate_batch_id honors it for REUSE so a
+    # checkpoint created before the URI change resumes without
+    # double-delivering its crashed epoch (r9 self-review #2)
+    _ckpt_legacy = (
+        hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8],
+    )
 
     ev_dict = None
     if eval_df is not None:
@@ -931,6 +954,7 @@ def run_stream_curation(
                     bp_index_dir.rstrip("/") + "/segdf",
                     _ckpt_token,
                     batch_id,
+                    legacy_tokens=_ckpt_legacy,
                 )
                 scrubbed = scrub_boilerplate_increment(
                     batch_df,
@@ -944,22 +968,17 @@ def run_stream_curation(
                 )
                 # replace text with the scrubbed form, keep the sink
                 # schema stable (n_segs/n_dropped stay in the index
-                # derivation, not the shipped rows); documents whose
-                # EVERY segment was boilerplate have nothing left — drop.
+                # derivation, not the shipped rows); fully-boilerplate
+                # docs drop — scrub_replace_join is the ONE definition
+                # shared with the batch composed pass (curate_increment).
                 # Persisted: the near-dup gate (when on) drives several
                 # actions through this frame, and the sink write reads it
                 # again — without the pin each action re-runs the join.
-                batch_df = (
-                    batch_df.drop(text_col)
-                    .join(
-                        scrubbed.filter(F.length(F.col(text_col)) > 0).select(
-                            id_col, text_col
-                        ),
-                        id_col,
-                        "inner",
-                    )
-                    .persist()
-                )
+                from ..operators.curation import scrub_replace_join
+
+                batch_df = scrub_replace_join(
+                    batch_df, scrubbed, text_col, id_col
+                ).persist()
                 caches.append(batch_df)
             if nd_index_dir is not None:
                 # epoch ids are checkpoint-relative and the index is a
@@ -975,6 +994,7 @@ def run_stream_curation(
                     nd_index_dir.rstrip("/") + "/sigs",
                     _ckpt_token,
                     batch_id,
+                    legacy_tokens=_ckpt_legacy,
                 )
                 batch_df, _ = _neardup_gate(
                     batch_df,
@@ -989,13 +1009,11 @@ def run_stream_curation(
                 )
             out = batch_df.where(repetition_keep_expr(F.col(text_col)))
             if ev_dict is not None:
-                contaminated = (
-                    shingle_rows(out, text_col, id_col, decontam_k)
-                    .join(F.broadcast(ev_dict), "sh", "semi")
-                    .select(F.col("id").alias(id_col))
-                    .distinct()
-                )
-                out = out.join(contaminated, id_col, "anti")
+                from ..operators.curation import decontam_anti_join
+
+                # shared definition with curate_increment — batch/stream
+                # decontam parity by construction
+                out = decontam_anti_join(out, ev_dict, text_col, id_col, decontam_k)
             out = out.withColumn(
                 text_col, redact_pii_expr(F.col(text_col))
             ).drop("__fp")
@@ -1009,7 +1027,8 @@ def run_stream_curation(
             # reuses its id (idempotent overwrite of ITS OWN dir only),
             # a new generation allocates past everything shipped.
             sink_id = _gate_batch_id(
-                out.sparkSession, sink_dir, _ckpt_token, batch_id
+                out.sparkSession, sink_dir, _ckpt_token, batch_id,
+                legacy_tokens=_ckpt_legacy,
             )
             out.write.mode("overwrite").parquet(f"{sink_dir}/batch={sink_id}")
         finally:

@@ -77,9 +77,9 @@ HEADLINE = [
     "verify_manifest",
     "quality_sample",
     "corpus_diff",
-    # the heavy tail (r9 — VERDICT r8 Next-round #1): the three most
-    # expensive registered paths get standing round-over-round numbers
-    # instead of one-time dedicated blocks
+    # the heavy tail (r9 — VERDICT r8 Next-round #1): the most expensive
+    # registered paths get standing round-over-round numbers instead of
+    # one-time dedicated blocks
     "data_card",
     "training_export_sharded",
     "neardup_increment",
@@ -457,8 +457,6 @@ def main() -> None:
     # delta increment proper (1/3 checked against them). At 100 TB the
     # bootstrap happens once ever; the delta is the recurring nightly
     # cost, so the split is what capacity planning actually needs.
-    import tempfile as _tf
-
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
         dedup as _dedup_ops,
     )
@@ -466,7 +464,7 @@ def main() -> None:
     _docs = tables.load_table(spark, sf_dir, "documents")
     inc_stages: dict = {}
     for _ in range(2):  # min-of-2: sub-10s stages, one stall flips the split
-        _idx = _tf.mkdtemp(prefix="bench_neardup_inc_") + "/idx"
+        _idx = tempfile.mkdtemp(prefix="bench_neardup_inc_") + "/idx"
         t0 = time.perf_counter()
         _dedup_ops.neardup_increment(
             _docs.filter(F.col("doc_id") % 3 != 0), _idx, batch_id=0

@@ -2074,3 +2074,35 @@ def test_qualified_uri_spellings_agree(spark, tmp_path):
     q3 = pipeline._qualified_uri(spark, "file:" + p)
     assert q1 == q2 == q3
     assert q1.startswith("file:")
+
+
+def test_gate_batch_id_honors_legacy_token_markers(spark, tmp_path):
+    """r9 moved the checkpoint token from md5(raw string) to md5(qualified
+    URI). A checkpoint created BEFORE that change left reservation markers
+    under the legacy token — _gate_batch_id must reuse them (no duplicate
+    delivery of the crashed epoch) while writing NEW markers under the
+    primary token."""
+    import hashlib
+
+    sigs = str(tmp_path / "lg_idx" / "sigs")
+    os.makedirs(sigs)
+    ckpt = str(tmp_path / "lg_ckpt")
+    legacy = hashlib.md5(ckpt.rstrip("/").encode()).hexdigest()[:8]
+    primary = hashlib.md5(
+        pipeline._qualified_uri(spark, ckpt).rstrip("/").encode()
+    ).hexdigest()[:8]
+    assert legacy != primary  # the migration case is real for this spelling
+    os.makedirs(os.path.join(sigs, f".epoch_{legacy}_3=7"))
+
+    # epoch 3 reserved pre-upgrade under the legacy token: reused verbatim
+    got = pipeline._gate_batch_id(spark, sigs, primary, 3, legacy_tokens=(legacy,))
+    assert got == 7
+    assert not any(
+        d.startswith(f".epoch_{primary}_3=") for d in os.listdir(sigs)
+    )  # reuse does not duplicate the marker under the new token
+
+    # a NEW epoch allocates past the legacy reservation and writes its
+    # marker under the primary token
+    got4 = pipeline._gate_batch_id(spark, sigs, primary, 4, legacy_tokens=(legacy,))
+    assert got4 == 8
+    assert any(d.startswith(f".epoch_{primary}_4=") for d in os.listdir(sigs))
