@@ -789,6 +789,17 @@ def scrub_replace_join(
     )
 
 
+def eval_shingle_dict(eval_df: DataFrame, text_col: str, k: int) -> DataFrame:
+    """The eval-set k-shingle dictionary (one distinct column ``sh``) the
+    decontamination stage joins against — derived ONCE here for both the
+    streaming pipeline (which persists it for the stream's lifetime) and
+    :func:`curate_increment` (same single-definition parity rationale as
+    :func:`scrub_replace_join`)."""
+    return eval_df.select(
+        F.explode(shingles_expr(F.col(text_col), k)).alias("sh")
+    ).distinct()
+
+
 def decontam_anti_join(
     df: DataFrame,
     ev_dict: DataFrame,
@@ -910,21 +921,21 @@ def curate_increment(
             )
         out = work.where(repetition_keep_expr(F.col(text_col)))
         if eval_df is not None:
-            ev_dict = (
-                eval_df.select(
-                    F.explode(shingles_expr(F.col(text_col), decontam_k)).alias(
-                        "sh"
-                    )
-                ).distinct()
-            )
+            ev_dict = eval_shingle_dict(eval_df, text_col, decontam_k)
             out = decontam_anti_join(out, ev_dict, text_col, id_col, decontam_k)
         out = out.withColumn(text_col, redact_pii_expr(F.col(text_col)))
         if materialize:
             out.count()  # all index writes flushed; result computed once
             return out
-        keep_pinned = out.persist()
-        keep_pinned.count()
-        return keep_pinned
+        # track the pin BEFORE the materializing count: if the count
+        # raises (executor loss mid-compute), the finally below releases
+        # it like any other cache — only a SUCCESSFUL pin is exempted
+        # from release and handed to the caller (r9 self-review)
+        out = out.persist()
+        caches.append(out)
+        out.count()
+        keep_pinned = out
+        return out
     finally:
         for c in caches:
             if c is not keep_pinned:

@@ -570,20 +570,36 @@ def _gate_batch_id(
     are honored for REUSE (r9: the token derivation moved from the raw
     checkpoint string to its fully-qualified URI — without the fallback,
     a pre-change checkpoint resuming after the upgrade would miss its own
-    reservations and double-deliver its crashed epoch). New markers are
-    always written under the primary ``token``."""
+    reservations and double-deliver its crashed epoch). The caller only
+    passes legacy tokens for UNAMBIGUOUS checkpoint spellings (see
+    run_stream_curation), and a matched legacy marker is RENAMED to the
+    primary token here, so each checkpoint migrates on first touch and
+    the fallback stops mattering. New markers are always written under
+    the primary ``token``."""
     jvm = spark.sparkContext._jvm
     path = jvm.org.apache.hadoop.fs.Path(sigs_dir)
     fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
     prefix = f".epoch_{token}_{epoch}="
-    prefixes = [prefix] + [
+    legacy_prefixes = [
         f".epoch_{t}_{epoch}=" for t in legacy_tokens if t != token
     ]
     if fs.exists(path):
         for st in fs.listStatus(path):
             name = st.getPath().getName()
-            if any(name.startswith(p) for p in prefixes):
+            if name.startswith(prefix):
                 return int(name.split("=", 1)[1])
+            if any(name.startswith(p) for p in legacy_prefixes):
+                gate_id = int(name.split("=", 1)[1])
+                # one-time migration: re-home the reservation under the
+                # primary token (best-effort — a failed rename just means
+                # the fallback fires again next epoch)
+                fs.rename(
+                    st.getPath(),
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{sigs_dir}/{prefix}{gate_id}"
+                    ),
+                )
+                return gate_id
     gate_id = max(_index_allocated_ids(spark, sigs_dir), default=-1) + 1
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{sigs_dir}/{prefix}{gate_id}"))
     return gate_id
@@ -855,8 +871,13 @@ def run_stream_curation(
     it (and removes itself) when this query terminates, so repeated
     ``run_stream_curation`` calls in a long-lived driver don't accumulate
     cached frames (ADVICE r7)."""
-    from ..operators.curation import redact_pii_expr, repetition_keep_expr
-    from ..operators.dedup import shingles_expr
+    from ..operators.curation import (
+        decontam_anti_join,
+        eval_shingle_dict,
+        redact_pii_expr,
+        repetition_keep_expr,
+        scrub_replace_join,
+    )
     from ..operators.textanalysis import fingerprint
 
     nd_index_dir = None
@@ -887,20 +908,29 @@ def run_stream_curation(
     # pre-r9 derivation (raw string) — existing checkpoints' reservation
     # markers carry this token; _gate_batch_id honors it for REUSE so a
     # checkpoint created before the URI change resumes without
-    # double-delivering its crashed epoch (r9 self-review #2)
-    _ckpt_legacy = (
-        hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8],
-    )
+    # double-delivering its crashed epoch (r9 self-review #2). ONLY for
+    # unambiguous spellings: a RELATIVE raw path ('ckpt') hashes to the
+    # same legacy token from every working directory, so honoring it
+    # could alias two different physical checkpoints sharing one index
+    # root and let a new stream overwrite another generation's shipped
+    # batch — relative-spelled pre-r9 checkpoints are excluded from the
+    # fallback (they were cwd-fragile to begin with). Matched legacy
+    # markers are renamed to the primary token on first reuse, so the
+    # fallback's exposure window closes by itself.
+    import os.path
+    from urllib.parse import urlparse
+
+    _ckpt_legacy: tuple[str, ...] = ()
+    if os.path.isabs(checkpoint_dir) or urlparse(checkpoint_dir).scheme:
+        _ckpt_legacy = (
+            hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8],
+        )
 
     ev_dict = None
     if eval_df is not None:
-        ev_dict = (
-            eval_df.select(
-                F.explode(shingles_expr(F.col(text_col), decontam_k)).alias("sh")
-            )
-            .distinct()
-            .persist()
-        )
+        # shared derivation with curate_increment (single definition —
+        # batch/stream decontam parity by construction)
+        ev_dict = eval_shingle_dict(eval_df, text_col, decontam_k).persist()
         ev_dict.count()  # materialize once, not per micro-batch
 
     if quality_gate is not None:
@@ -974,8 +1004,6 @@ def run_stream_curation(
                 # Persisted: the near-dup gate (when on) drives several
                 # actions through this frame, and the sink write reads it
                 # again — without the pin each action re-runs the join.
-                from ..operators.curation import scrub_replace_join
-
                 batch_df = scrub_replace_join(
                     batch_df, scrubbed, text_col, id_col
                 ).persist()
@@ -1009,8 +1037,6 @@ def run_stream_curation(
                 )
             out = batch_df.where(repetition_keep_expr(F.col(text_col)))
             if ev_dict is not None:
-                from ..operators.curation import decontam_anti_join
-
                 # shared definition with curate_increment — batch/stream
                 # decontam parity by construction
                 out = decontam_anti_join(out, ev_dict, text_col, id_col, decontam_k)

@@ -940,7 +940,6 @@ def test_curate_increment_continues_stream_history(spark, tmp_path):
     one index root) accepts keepers; a later batch curate_increment over
     the SAME root drops the delta's near-dup of a stream keeper without
     re-reading the stream's corpus, and keeps fresh content."""
-    import json
     import os
 
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.curation import (

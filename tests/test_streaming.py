@@ -2095,11 +2095,16 @@ def test_gate_batch_id_honors_legacy_token_markers(spark, tmp_path):
     os.makedirs(os.path.join(sigs, f".epoch_{legacy}_3=7"))
 
     # epoch 3 reserved pre-upgrade under the legacy token: reused verbatim
+    # AND migrated — the marker re-homes under the primary token, so the
+    # ambiguity window closes after first touch (no legacy marker left
+    # for a different checkpoint with the same raw spelling to alias)
     got = pipeline._gate_batch_id(spark, sigs, primary, 3, legacy_tokens=(legacy,))
     assert got == 7
-    assert not any(
-        d.startswith(f".epoch_{primary}_3=") for d in os.listdir(sigs)
-    )  # reuse does not duplicate the marker under the new token
+    names = os.listdir(sigs)
+    assert f".epoch_{primary}_3=7" in names
+    assert not any(d.startswith(f".epoch_{legacy}_3=") for d in names)
+    # idempotent: the migrated marker is found under the primary token now
+    assert pipeline._gate_batch_id(spark, sigs, primary, 3) == 7
 
     # a NEW epoch allocates past the legacy reservation and writes its
     # marker under the primary token

@@ -125,12 +125,21 @@ def main() -> None:
     path = os.path.join(repo, "BENCH_sf1.json")
     with open(path) as f:
         record = json.load(f)
-    record["r9_additions_sf1"] = {
-        "queries": timings,
-        "streaming_full_stack": full_stack,
-        "methodology": f"dedicated min-of-{REPS} interleaved noop-sink; "
-        "streaming best-of-2 fresh replays (tools/sf1_r9_additions.py)",
-    }
+    # MERGE into any existing section: the committed record carries
+    # hand-derived fields (sf01 same-code references, ratio_10x,
+    # observations) that a re-run must not silently delete
+    section = record.setdefault("r9_additions_sf1", {})
+    section.update(
+        {
+            "queries": timings,
+            "streaming_full_stack": {
+                **section.get("streaming_full_stack", {}),
+                **full_stack,
+            },
+            "methodology": f"dedicated min-of-{REPS} interleaved noop-sink; "
+            "streaming best-of-2 fresh replays (tools/sf1_r9_additions.py)",
+        }
+    )
     with open(path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record["r9_additions_sf1"], separators=(",", ":")))
