@@ -836,6 +836,8 @@ def curate_increment(
     decontam_k: int = 3,
     batch_id: int | None = None,
     materialize: bool = True,
+    cc_checkpoint: str = "local",
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The BATCH twin of ``run_stream_curation``'s full stack: curate one
     nightly delta against durable history without re-reading the corpus —
@@ -870,7 +872,11 @@ def curate_increment(
     redacted text) under the shared materialize contract:
     ``materialize=True`` (default) = unpinned frame, zero cache residue,
     loop-safe forever; ``materialize=False`` = persisted result the
-    caller releases."""
+    caller releases. The ``materialize=True`` frame's re-execution path
+    shares :func:`..dedup.neardup_increment`'s cluster caveat (its CC
+    pass localCheckpoints by default) — ``cc_checkpoint`` /
+    ``cc_checkpoint_dir`` plumb through for cluster-grade lineage
+    truncation."""
     from .dedup import exact_increment, neardup_increment
     from .textanalysis import quality_score
 
@@ -918,6 +924,8 @@ def curate_increment(
                 batch_id=batch_id,
                 materialize=False,
                 caches=caches,
+                cc_checkpoint=cc_checkpoint,
+                cc_checkpoint_dir=cc_checkpoint_dir,
             )
         out = work.where(repetition_keep_expr(F.col(text_col)))
         if eval_df is not None:

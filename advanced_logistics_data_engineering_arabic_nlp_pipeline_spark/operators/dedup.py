@@ -1210,6 +1210,8 @@ def neardup_increment(
     batch_id: int | None = None,
     materialize: bool = True,
     caches: list[DataFrame] | None = None,
+    cc_checkpoint: str = "local",
+    cc_checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Batch increment against the durable MinHash-LSH keeper index — the
     production "nightly delta" path: dedup NEW documents against every
@@ -1251,6 +1253,16 @@ def neardup_increment(
       remembered to unpersist). An action the caller runs on the result
       re-executes the (deterministic) gate plan once — the right trade
       for a caller that consumes the result with a single write.
+      CLUSTER CAVEAT (ADVICE r9): that re-execution path runs back
+      through the gate's connected-components pass, whose per-round
+      lineage truncation defaults to ``localCheckpoint`` — executor-local
+      blocks with NO lineage behind them. Lose an executor between this
+      returning and the caller's action and the re-execution fails
+      unrecoverably. On a real cluster either consume the result before
+      executors can churn, use ``materialize=False`` (+ unpersist), or
+      pass ``cc_checkpoint="reliable"`` with ``cc_checkpoint_dir`` on
+      HDFS/S3 — both knobs plumb straight to
+      :func:`connected_components`.
     - ``materialize=False``: the returned frame is left PERSISTED (pinned
       against recomputation through the released gate plans) — for a
       caller that runs SEVERAL actions over the survivors and will
@@ -1280,6 +1292,8 @@ def neardup_increment(
         live, _ = _neardup_gate(
             work, batch_id, index_dir, text_col, id_col, ts, threshold, k,
             caches=track,
+            cc_checkpoint=cc_checkpoint,
+            cc_checkpoint_dir=cc_checkpoint_dir,
         )
         if ts_col is None:
             live = live.drop(ts)

@@ -479,6 +479,34 @@ def _qualified_uri(spark: SparkSession, path: str) -> str:
     return fs.makeQualified(p).toString()
 
 
+def _legacy_ckpt_tokens(checkpoint_dir: str) -> tuple[str, ...]:
+    """Pre-r9 reservation-marker token spellings to honor for REUSE — the
+    raw-string md5 the token derivation used before it moved to the
+    fully-qualified URI. Honored ONLY for unambiguous spellings: a
+    RELATIVE raw path ('ckpt') hashes to the same legacy token from every
+    working directory, so honoring it could alias two different physical
+    checkpoints sharing one index root and let a new stream overwrite
+    another generation's shipped batch. A scheme-qualified spelling is
+    only unambiguous when its PATH is also absolute — 'file:ckpt' parses
+    with a scheme but resolves cwd-relative, reopening the exact aliasing
+    window the isabs guard closes for bare relative paths (ADVICE r9).
+    Matched legacy markers are renamed to the primary token on first
+    reuse (``_gate_batch_id``), so the fallback's exposure window closes
+    by itself."""
+    import hashlib
+    import os.path
+    from urllib.parse import urlparse
+
+    parsed = urlparse(checkpoint_dir)
+    if os.path.isabs(checkpoint_dir) or (
+        parsed.scheme and os.path.isabs(parsed.path)
+    ):
+        return (
+            hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8],
+        )
+    return ()
+
+
 def _fs_index_listing(spark: SparkSession, base: str) -> tuple[list[int], list[int]]:
     """ONE listStatus of ``base`` split into (written ``batch=<id>`` dirs,
     ``.epoch_*=<id>`` reservation markers), through the HADOOP FileSystem
@@ -592,13 +620,25 @@ def _gate_batch_id(
                 gate_id = int(name.split("=", 1)[1])
                 # one-time migration: re-home the reservation under the
                 # primary token (best-effort — a failed rename just means
-                # the fallback fires again next epoch)
-                fs.rename(
+                # the fallback fires again next epoch). A PERSISTENTLY
+                # failing rename (permissions, concurrent lister) would
+                # silently pin the fallback open forever, so surface it.
+                if not fs.rename(
                     st.getPath(),
                     jvm.org.apache.hadoop.fs.Path(
                         f"{sigs_dir}/{prefix}{gate_id}"
                     ),
-                )
+                ):
+                    import warnings
+
+                    warnings.warn(
+                        f"legacy epoch marker {name} could not be re-homed "
+                        f"to token {token!r}; reuse still works via the "
+                        "legacy fallback, but the marker will keep "
+                        "requiring legacy_tokens= on every run",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 return gate_id
     gate_id = max(_index_allocated_ids(spark, sigs_dir), default=-1) + 1
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{sigs_dir}/{prefix}{gate_id}"))
@@ -615,6 +655,8 @@ def _neardup_gate(
     threshold: float,
     k: int,
     caches: list[DataFrame] | None = None,
+    cc_checkpoint: str = "local",
+    cc_checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """One micro-batch of streaming MinHash-LSH near-dup dedup: drop batch
     docs near-duplicate to HISTORICAL keepers, then collapse near-dup
@@ -749,7 +791,9 @@ def _neardup_gate(
         .filter(minhash_estimate_expr(F.col("sa"), F.col("sb")) >= threshold)
         .select("doc_a", "doc_b")
     )
-    comps = connected_components(pairs)
+    comps = connected_components(
+        pairs, checkpoint=cc_checkpoint, checkpoint_dir=cc_checkpoint_dir
+    )
     keep = (
         live.select(F.col(id_col).alias("id"), F.col(ts_col).alias("__ts"))
         .join(comps, "id")
@@ -905,26 +949,7 @@ def run_stream_curation(
         .rstrip("/")
         .encode()
     ).hexdigest()[:8]
-    # pre-r9 derivation (raw string) — existing checkpoints' reservation
-    # markers carry this token; _gate_batch_id honors it for REUSE so a
-    # checkpoint created before the URI change resumes without
-    # double-delivering its crashed epoch (r9 self-review #2). ONLY for
-    # unambiguous spellings: a RELATIVE raw path ('ckpt') hashes to the
-    # same legacy token from every working directory, so honoring it
-    # could alias two different physical checkpoints sharing one index
-    # root and let a new stream overwrite another generation's shipped
-    # batch — relative-spelled pre-r9 checkpoints are excluded from the
-    # fallback (they were cwd-fragile to begin with). Matched legacy
-    # markers are renamed to the primary token on first reuse, so the
-    # fallback's exposure window closes by itself.
-    import os.path
-    from urllib.parse import urlparse
-
-    _ckpt_legacy: tuple[str, ...] = ()
-    if os.path.isabs(checkpoint_dir) or urlparse(checkpoint_dir).scheme:
-        _ckpt_legacy = (
-            hashlib.md5(checkpoint_dir.rstrip("/").encode()).hexdigest()[:8],
-        )
+    _ckpt_legacy = _legacy_ckpt_tokens(checkpoint_dir)
 
     ev_dict = None
     if eval_df is not None:

@@ -2116,3 +2116,57 @@ def test_gate_batch_id_honors_legacy_token_markers(spark, tmp_path):
     got4 = pipeline._gate_batch_id(spark, sigs, primary, 4, legacy_tokens=(legacy,))
     assert got4 == 8
     assert any(d.startswith(f".epoch_{primary}_4=") for d in os.listdir(sigs))
+
+
+def test_legacy_ckpt_tokens_fence():
+    """The legacy-token fallback fires ONLY for unambiguous checkpoint
+    spellings: absolute raw paths and scheme-qualified ABSOLUTE paths.
+    Relative spellings — bare ('ckpt') or scheme-qualified ('file:ckpt',
+    which parses with a scheme but still resolves cwd-relative, ADVICE
+    r9) — hash identically from every working directory and could alias
+    two physical checkpoints under one index root, so they get NO legacy
+    token."""
+    import hashlib
+
+    tok = lambda s: (hashlib.md5(s.encode()).hexdigest()[:8],)  # noqa: E731
+    assert pipeline._legacy_ckpt_tokens("/abs/ckpt") == tok("/abs/ckpt")
+    assert pipeline._legacy_ckpt_tokens("file:/abs/ckpt") == tok("file:/abs/ckpt")
+    assert pipeline._legacy_ckpt_tokens("hdfs://nn:8020/p/ckpt") == tok(
+        "hdfs://nn:8020/p/ckpt"
+    )
+    # trailing slash is canonicalized before hashing
+    assert pipeline._legacy_ckpt_tokens("/abs/ckpt/") == tok("/abs/ckpt")
+    # ambiguous spellings: excluded
+    assert pipeline._legacy_ckpt_tokens("ckpt") == ()
+    assert pipeline._legacy_ckpt_tokens("rel/ckpt") == ()
+    assert pipeline._legacy_ckpt_tokens("file:ckpt") == ()
+    assert pipeline._legacy_ckpt_tokens("file:rel/ckpt") == ()
+
+
+def test_neardup_increment_reliable_cc_checkpoint(spark, tmp_path):
+    """cc_checkpoint='reliable' plumbs through the gate to
+    connected_components — the cluster-grade lineage-truncation knob the
+    materialize=True contract documents (ADVICE r9). Output must be
+    identical to the default local-checkpoint path."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta"),  # near-dup of 1
+        (3, "omicron pi rho sigma tau upsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out_rel = dedup.neardup_increment(
+        df,
+        str(tmp_path / "idx_rel"),
+        threshold=0.5,
+        batch_id=0,
+        cc_checkpoint="reliable",
+        cc_checkpoint_dir=str(tmp_path / "cc_ckpt"),
+    )
+    out_loc = dedup.neardup_increment(
+        df, str(tmp_path / "idx_loc"), threshold=0.5, batch_id=0
+    )
+    assert sorted(r.doc_id for r in out_rel.collect()) == sorted(
+        r.doc_id for r in out_loc.collect()
+    )
