@@ -1,0 +1,214 @@
+"""BM25 full-text retrieval over a document corpus — the lexical
+counterpart of the embedding similarity-search family (operators/
+similarity.py): score documents against a term query with the classic
+Okapi BM25 ranking function (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond") and return the
+top-k.
+
+A training-data pipeline reaches for this constantly: "pull every
+document about X for a targeted decontamination / eval-set build /
+quality audit" is a lexical-ranking query, and at corpus scale it must
+run as a scan-prune-aggregate, never a per-document loop.
+
+Scale shape (the point of the design):
+
+- **Prune before the shuffle.** Tokens are exploded and immediately
+  filtered to the query's terms inside the same whole-stage-codegen
+  span — non-matching tokens (the overwhelming mass; a query is a
+  handful of terms against a 100 TB vocabulary) never leave the scan
+  stage, so the only rows that shuffle are (doc, query-term) hits.
+- **One corpus scan for the per-doc work.** Document length is computed
+  next to the explode on the same scan; the (N, avgdl) corpus constants
+  come from a separate aggregate-only pass whose plan prunes to the
+  text column and map-side-combines to a single row, then broadcast —
+  at production scale both constants and the per-term document
+  frequencies belong in a precomputed stats table (one groupBy('term')
+  over the corpus, refreshed with the corpus), which
+  :func:`bm25_topk`'s ``term_stats=`` hook accepts.
+- **IDF is the Lucene/trec_eval variant** ``ln(1 + (N - df + 0.5) /
+  (df + 0.5))`` — monotone in rarity and never negative, so a
+  stop-word-like query term degrades to ~0 contribution instead of
+  penalizing documents (the classic BM25 negative-IDF footgun).
+
+The reference engine has no retrieval surface; this is a
+beyond-reference capability in the same family as the ANN operators
+(SURVEY.md M2).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textanalysis import tokens_expr
+
+_TOKEN_SPLIT = re.compile(r"\s+")
+
+
+def query_terms(query: str) -> list[str]:
+    """The query-side tokenization — the SAME lowercase whitespace split
+    the corpus side uses (:func:`..textanalysis.tokens_expr`), deduped,
+    order-preserving. Ranking is only meaningful when both sides share
+    one tokenizer."""
+    seen: dict[str, None] = {}
+    for t in _TOKEN_SPLIT.split(query.lower()):
+        if t:
+            seen.setdefault(t, None)
+    return list(seen)
+
+
+def bm25_score_expr(
+    tf: Column, dl: Column, idf: Column, avgdl: Column, k1: float, b: float
+) -> Column:
+    """Per-(doc, term) Okapi BM25 contribution: ``idf * tf*(k1+1) /
+    (tf + k1*(1 - b + b*dl/avgdl))``. Pure arithmetic — stays inside
+    whole-stage codegen."""
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The build-once-serve-many statistics for BM25 at corpus scale —
+    ``(term_stats, consts)``: the full-vocabulary ``(term, df_docs)``
+    document-frequency table and the one-row ``(__n_docs, __avgdl)``
+    corpus constants. One explode + one groupBy over one corpus scan for
+    the vocabulary (combiner-friendly: a term's count is one key), one
+    aggregate-only scan for the constants.
+
+    With ``path``, both land as parquet (``<path>/terms``,
+    ``<path>/consts``) and are re-read — the durable shape the ANN
+    index lifecycle uses (similarity.build_pq_index): the corpus is
+    scanned at BUILD time, never at serve time, and serve-side term
+    lookups prune the terms table by query term straight down to the
+    parquet scan."""
+    toks = tokens_expr(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
+    )
+    term_stats = exploded.groupBy("term").agg(F.count("*").alias("df_docs"))
+    consts = docs.agg(
+        F.count("*").alias("__n_docs"),
+        F.avg(F.size(toks)).alias("__avgdl"),
+    )
+    if path is not None:
+        spark = docs.sparkSession
+        base = path.rstrip("/")
+        term_stats.write.mode("overwrite").parquet(f"{base}/terms")
+        consts.write.mode("overwrite").parquet(f"{base}/consts")
+        return spark.read.parquet(f"{base}/terms"), spark.read.parquet(
+            f"{base}/consts"
+        )
+    return term_stats, consts
+
+
+def load_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Re-open a :func:`build_bm25_index` artifact: ``(term_stats,
+    consts)`` frames backed by the parquet tables."""
+    base = path.rstrip("/")
+    return spark.read.parquet(f"{base}/terms"), spark.read.parquet(
+        f"{base}/consts"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    term_stats: DataFrame | None = None,
+    consts: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by BM25 — ``(id, score,
+    n_matched)`` ordered best-first with a deterministic id tiebreak.
+
+    ``term_stats`` / ``consts``: the precomputed corpus statistics from
+    :func:`build_bm25_index` — the production path at 100 TB (build once
+    per corpus version, serve many queries; the full-vocabulary stats
+    table is pruned to the query's terms BEFORE the broadcast, a filter
+    that pushes down to the parquet scan). When omitted, both are
+    derived from ``docs`` in this call (df from the pruned explode,
+    constants from an aggregate-only scan). The derived-df shortcut is
+    EXACT because BM25's df counts only documents containing the term —
+    which is precisely the set the pruned explode retains.
+
+    Scoring: per-(doc, term) contributions via :func:`bm25_score_expr`
+    summed per doc; ``n_matched`` (how many distinct query terms hit)
+    comes free from the same aggregation. Contributions round to 6 dp
+    and sum via the decimal cast, so the score is reproducible
+    run-to-run and engine-to-engine regardless of partition order."""
+    qterms = query_terms(query)
+    if not qterms:
+        raise ValueError("query tokenizes to zero terms")
+
+    toks = tokens_expr(F.col(text_col))
+    # one scan: doc length beside the explode; the isin filter runs in
+    # the same codegen span as the explode, so only query-term hits
+    # survive the stage
+    hits = (
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("__dl"),
+            F.explode(toks).alias("term"),
+        )
+        .where(F.col("term").isin(qterms))
+    )
+    tf = hits.groupBy(id_col, "term", "__dl").agg(F.count("*").alias("tf"))
+
+    if term_stats is None:
+        # tf is one row per (doc, term) — count(*) IS the document
+        # frequency restricted to query terms, the only ones BM25 needs
+        term_stats = tf.groupBy("term").agg(F.count("*").alias("df_docs"))
+    else:
+        # full-vocabulary stats table: prune to the query's terms BEFORE
+        # broadcasting (the isin filter pushes down to the index scan)
+        term_stats = term_stats.where(F.col("term").isin(qterms))
+
+    if consts is None:
+        consts = docs.agg(
+            F.count("*").alias("__n_docs"),
+            F.avg(F.size(toks)).alias("__avgdl"),
+        )
+
+    idf = F.log(
+        1.0
+        + (F.col("__n_docs") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(term_stats), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col(id_col),
+            bm25_score_expr(
+                F.col("tf").cast("double"),
+                F.col("__dl").cast("double"),
+                idf,
+                F.col("__avgdl"),
+                k1,
+                b,
+            ).alias("__contrib"),
+        )
+    )
+    # per-term contributions round to 6 dp, then sum through the
+    # decimal cast — exact and order-independent across partitions (the
+    # repo's cross-engine float-sum discipline, functions/coercion.dsum)
+    from ..functions.coercion import dsum
+
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            dsum(F.round(F.col("__contrib"), 6)).alias("score"),
+            F.count("*").alias("n_matched"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )

@@ -97,3 +97,93 @@ def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of the sorted distinct token
     set — bag-of-words identity, robust to word order (cheap near-dup key)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens_expr(text))), " "))
+
+
+# ── Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Appendix A1.1) ────────
+
+# the eight required-stopword probes the published filter checks for
+GOPHER_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(text: Column) -> list[Column]:
+    """The per-document signal columns of the published Gopher quality
+    filter — each a pure Column expression (no UDF; every signal stays
+    inside whole-stage codegen, so the filter costs one projection over
+    the corpus scan at any scale):
+
+    - ``n_words``: whitespace token count
+    - ``mean_word_len``: total token chars / n_words (round 6)
+    - ``alpha_frac``: fraction of words containing ≥1 ASCII letter (round 6)
+    - ``symbol_ratio``: (# of '#' chars + # of '...' occurrences) / n_words
+      (round 6)
+    - ``bullet_frac`` / ``ellipsis_frac``: fraction of non-empty lines
+      starting with a bullet ('-' or '*') / ending with '...' (round 6)
+    - ``stop_hits``: how many of the 8 required stopwords appear
+
+    Divisors are ``greatest(·, 1)`` so empty documents yield zeros, not
+    NULLs — an empty doc must FAIL the filter, not escape it."""
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1)).cast("double")
+    total_chars = F.length(F.array_join(toks, ""))
+    alpha_hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    nl1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.startswith(F.ltrim(ln), F.lit("- "))
+            | F.startswith(F.ltrim(ln), F.lit("* ")),
+        )
+    )
+    ell_lines = F.size(
+        F.filter(lines, lambda ln: F.endswith(F.rtrim(ln), F.lit("...")))
+    )
+    stop_hits = sum(
+        (
+            F.array_contains(toks, w).cast("int")
+            for w in GOPHER_REQUIRED_STOPS
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    return [
+        n.cast("bigint").alias("n_words"),
+        F.round(total_chars / n1, 6).alias("mean_word_len"),
+        F.round(alpha_hits / n1, 6).alias("alpha_frac"),
+        F.round((hash_cnt + ell_cnt) / n1, 6).alias("symbol_ratio"),
+        F.round(bullet / nl1, 6).alias("bullet_frac"),
+        F.round(ell_lines / nl1, 6).alias("ellipsis_frac"),
+        stop_hits.alias("stop_hits"),
+    ]
+
+
+def gopher_keep_expr(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_stop_hits: int = 2,
+) -> Column:
+    """The Gopher keep-decision over the ALREADY-PROJECTED signal columns
+    (:func:`gopher_signals`) — the published thresholds as defaults,
+    overridable per corpus. Evaluated on the ROUNDED signals so the
+    decision is reproducible from the emitted audit columns themselves
+    (and hashes identically cross-engine)."""
+    return (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )

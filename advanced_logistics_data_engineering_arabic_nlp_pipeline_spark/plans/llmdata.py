@@ -12,6 +12,8 @@ operators instead)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -24,6 +26,31 @@ from ..operators.multimodal import (
     sample_frames,
 )
 from ..sources.tables import load_table
+
+
+def _increment_index_dir(name: str) -> str:
+    """A FRESH durable-index directory for the registered increment
+    queries, under one session-scoped temp root: repeated invocations
+    (bench's interleaved min-of-3, the driver's correctness pass)
+    OVERWRITE the same per-query subdir instead of accumulating orphaned
+    mkdtemp dirs for the host's lifetime (ADVICE r9), and the root itself
+    is removed at interpreter exit. Each call still starts from an empty
+    index — the queries' bootstrap-then-delta semantics require it."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _INC_IDX_ROOT
+    if _INC_IDX_ROOT is None:
+        _INC_IDX_ROOT = tempfile.mkdtemp(prefix="aldean_inc_idx_")
+        atexit.register(shutil.rmtree, _INC_IDX_ROOT, ignore_errors=True)
+    sub = os.path.join(_INC_IDX_ROOT, name)
+    shutil.rmtree(sub, ignore_errors=True)
+    os.makedirs(sub)
+    return sub
+
+
+_INC_IDX_ROOT: str | None = None
 
 # ── M1 dedup ────────────────────────────────────────────────────────────────
 
@@ -730,6 +757,180 @@ SELECT bigram, COUNT(*) AS cnt
 FROM bg GROUP BY bigram
 ORDER BY cnt DESC, bigram
 LIMIT 25
+"""
+
+
+BM25_QUERY = "spark table merge window"
+BM25_K = 25
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval (operators/retrieval.bm25_topk): Okapi BM25
+    over the documents corpus for a fixed probe query — the lexical twin
+    of similarity_topk. Tokens prune to the query terms INSIDE the scan
+    stage (only hits shuffle); score parity is exact because per-term
+    contributions round to 6 dp and sum through the decimal-cast dsum
+    (order-independent — the cross-engine float-sum discipline)."""
+    from ..operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_QUERY, k=BM25_K)
+
+
+def _bm25_sql() -> str:
+    from ..operators.retrieval import query_terms
+
+    terms = ", ".join(f"'{t}'" for t in query_terms(BM25_QUERY))
+    # arithmetic form mirrors bm25_score_expr token for token (k1=1.2,
+    # b=0.75; (k1 + 1.0) left unfolded so both engines round-trip the
+    # same binary doubles)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+),
+q AS (SELECT unnest([{terms}]) AS term),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf
+  FROM hits JOIN q USING (term)
+  GROUP BY doc_id, term, dl
+),
+dfd AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+c AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tok)
+SELECT doc_id,
+       CAST(SUM(CAST(ROUND(
+         ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+         * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+       , 6) AS DECIMAL(28,6))) AS DOUBLE) AS score,
+       COUNT(*) AS n_matched
+FROM tf JOIN dfd USING (term) CROSS JOIN c
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {BM25_K}
+"""
+
+
+GOPHER_PERTURB = "\n- alpha bullet...\n# note line..."
+
+
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-filter rules (Rae et al. 2021, App.
+    A1.1) as an auditable per-document signal table + keep verdict
+    (operators/textanalysis.gopher_signals / gopher_keep_expr) — the
+    second, recipe-faithful quality tier next to the repo's own
+    quality_score. Docs at ``doc_id % 13 == 0`` get a deterministic
+    bullet/ellipsis/symbol suffix so the line- and symbol-signals are
+    non-vacuous at every SF (the corpus_diff perturbation trick). Pure
+    projection — every signal is a codegen expression over one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    text2 = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.col("text"), F.lit(GOPHER_PERTURB)),
+    ).otherwise(F.col("text"))
+    sig = docs.select("doc_id", *ta.gopher_signals(text2))
+    return sig.withColumn("keep", ta.gopher_keep_expr()).orderBy("doc_id")
+
+
+def _gopher_sql() -> str:
+    perturb = GOPHER_PERTURB.replace("\n", "\\n")
+    stops = " + ".join(
+        f"CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in ta.GOPHER_REQUIRED_STOPS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN text || e'{perturb}' ELSE text END AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t,
+         list_filter(regexp_split_to_array(lower(t), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks,
+         list_filter(string_split(t, chr(10)), l -> trim(l) <> '') AS lines
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    ROUND(length(array_to_string(toks, '')) / GREATEST(len(toks), 1), 6) AS mean_word_len,
+    ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / GREATEST(len(toks), 1), 6) AS alpha_frac,
+    ROUND(((length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3) / GREATEST(len(toks), 1), 6) AS symbol_ratio,
+    ROUND(len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) / GREATEST(len(lines), 1), 6) AS bullet_frac,
+    ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) / GREATEST(len(lines), 1), 6) AS ellipsis_frac,
+    CAST({stops} AS BIGINT) AS stop_hits
+  FROM tok
+)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000)
+       AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       AND (alpha_frac >= 0.8)
+       AND (symbol_ratio <= 0.1)
+       AND (bullet_frac <= 0.9)
+       AND (ellipsis_frac <= 0.3)
+       AND (stop_hits >= 2) AS keep
+FROM sig
+ORDER BY doc_id
+"""
+
+
+LM_VOCAB_SIZE = 24  # corpus vocab is 31 at every SF — 7 terms score as OOV
+LM_ALPHA = 0.5
+
+
+def doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality signal (operators/lm.py): per-doc
+    cross-entropy + perplexity under an add-alpha unigram model trained
+    on the corpus itself, vocabulary capped at LM_VOCAB_SIZE so the OOV
+    class is non-vacuous at every SF. Training is one combiner-friendly
+    groupBy(term); scoring joins the broadcast log-prob table — no
+    corpus-keyed shuffle anywhere."""
+    from ..operators.lm import perplexity_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_score(
+        docs, vocab_size=LM_VOCAB_SIZE, alpha=LM_ALPHA
+    ).orderBy("doc_id")
+
+
+def _perplexity_sql() -> str:
+    a = LM_ALPHA
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '')) AS term
+  FROM documents
+),
+counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+kept AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT {LM_VOCAB_SIZE}),
+consts AS (
+  SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM counts) AS total,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM kept) AS vocab
+),
+freqs AS (
+  SELECT term, ROUND(ln((c + {a}) / (total + {a} * (vocab + 1.0))), 8) AS logp
+  FROM kept CROSS JOIN consts
+),
+oov AS (SELECT ROUND(ln({a} / (total + {a} * (vocab + 1.0))), 8) AS oov_logp FROM consts),
+sc AS (
+  SELECT doc_id, COALESCE(logp, oov_logp) AS lp
+  FROM tok LEFT JOIN freqs USING (term) CROSS JOIN oov
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) AS slp
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       ROUND(-slp / n_tokens, 6) AS cross_entropy,
+       ROUND(exp(-slp / n_tokens), 6) AS perplexity
+FROM documents d LEFT JOIN pd USING (doc_id)
+ORDER BY d.doc_id
 """
 
 
@@ -1801,12 +2002,10 @@ def neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors instead of re-running the gate — the bench/driver
     ``clearCache()`` between queries releases it (the repo's registered-
     query cache contract, same as training_export_sharded's cut point)."""
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 3 != 0)
     delta = docs.filter(F.col("doc_id") % 3 == 0)
-    index_dir = tempfile.mkdtemp(prefix="aldean_neardup_inc_")
+    index_dir = _increment_index_dir("neardup")
     # bootstrap: registers historical keepers; materialized return frame is
     # discarded with zero cache residue (materialize=True default)
     dedup.neardup_increment(hist, index_dir, batch_id=0)
@@ -1842,13 +2041,11 @@ def curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead is the constant term that amortizes to nothing at real delta
     sizes — same Amdahl attribution as docs_repetition's sf1 ratio
     (BENCH_sf1.json)."""
-    import tempfile
-
     docs = load_table(spark, sf_dir, "documents")
     hist = docs.filter(F.col("doc_id") % 3 != 0)
     delta = docs.filter(F.col("doc_id") % 3 == 0)
     eval_df = docs.filter(F.col("doc_id") % 997 == 0).select("text")
-    index_dir = tempfile.mkdtemp(prefix="aldean_curate_inc_")
+    index_dir = _increment_index_dir("curate")
     kwargs = dict(
         quality_gate=CURATION_QUALITY_GATE,
         boilerplate_min_doc_frac=0.1,
@@ -2175,6 +2372,9 @@ QUERIES = {
     "corpus_diff": corpus_diff,
     "neardup_increment": neardup_increment,
     "curate_increment": curate_increment,
+    "bm25_search": bm25_search,
+    "gopher_quality": gopher_quality,
+    "doc_perplexity": doc_perplexity,
 }
 
 ORACLES = {
@@ -2249,4 +2449,17 @@ LOCAL_ORACLES = {
     # Snapshot diff (r8): full-outer fingerprint compare; all three
     # statuses non-vacuous at every SF by snapshot construction.
     "corpus_diff": CORPUS_DIFF_SQL,
+    # BM25 retrieval (r10): same headroom rule — the driver window is at
+    # its 48-oracle cap; the full mirror (pruned explode, Lucene idf,
+    # round-6 contributions through the decimal sum) hashes in pytest.
+    "bm25_search": _bm25_sql(),
+    # Gopher quality rules (r10): same headroom rule; pure-projection
+    # signals mirror exactly (integer-ratio divisions are bit-identical
+    # cross-engine; the keep verdict evaluates on the rounded signals).
+    "gopher_quality": _gopher_sql(),
+    # CCNet-style unigram perplexity (r10): same headroom rule; log-probs
+    # pre-round to 8 dp and sum through the decimal cast, so the mirror
+    # hashes exactly (incl. the OOV class — vocab capped below corpus
+    # vocabulary on purpose).
+    "doc_perplexity": _perplexity_sql(),
 }

@@ -1981,3 +1981,25 @@ def test_corpus_diff_null_text_membership(spark):
     # 3: present-with-NULL in old only -> removed (the old bug said added);
     # 4: new only -> added; 5: NULL -> '' both fingerprint md5('') = unchanged
     assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_increment_index_dir_one_root_overwritten(spark):
+    """The registered increment queries' durable-index scratch dirs live
+    under ONE session-scoped temp root and each invocation OVERWRITES its
+    per-query subdir (ADVICE r9: the previous per-call mkdtemp accumulated
+    orphaned /tmp dirs across bench reps for the host's lifetime)."""
+    import os
+
+    d1 = llmdata._increment_index_dir("probe")
+    root = os.path.dirname(d1)
+    # leave residue, then re-request: same path, residue gone
+    with open(os.path.join(d1, "stale.marker"), "w") as fh:
+        fh.write("x")
+    d2 = llmdata._increment_index_dir("probe")
+    assert d2 == d1
+    assert os.listdir(d2) == []
+    # distinct queries share the root but not the subdir
+    d3 = llmdata._increment_index_dir("probe2")
+    assert os.path.dirname(d3) == root and d3 != d1
+    # root is registered for interpreter-exit cleanup (module global set)
+    assert llmdata._INC_IDX_ROOT == root

@@ -1,0 +1,167 @@
+"""BM25 retrieval + Gopher-rules quality filter (r10): ranking math pinned
+against a pure-Python reference, signal columns pinned rule by rule."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import retrieval
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.textanalysis import (
+    gopher_keep_expr,
+    gopher_signals,
+)
+
+CORPUS = [
+    (1, "spark spark spark shuffle join"),
+    (2, "spark merge"),
+    (3, "merge merge merge merge merge and more merge rows here"),
+    (4, "nothing relevant in this one at all"),
+    (5, "spark merge spark merge"),
+]
+
+
+def _py_bm25(corpus, query, k1=1.2, b=0.75):
+    """Independent reference implementation — same tokenizer, Lucene idf."""
+    qterms = retrieval.query_terms(query)
+    docs = {i: t.lower().split() for i, t in corpus}
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        q: sum(1 for t in docs.values() if q in t) for q in qterms
+    }
+    out = {}
+    for i, toks in docs.items():
+        s, hit = 0.0, 0
+        for q in qterms:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            hit += 1
+            idf = math.log(1 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            s += round(
+                idf
+                * (tf * (k1 + 1.0))
+                / (tf + k1 * (1 - b + b * len(toks) / avgdl)),
+                6,
+            )
+        if hit:
+            out[i] = (round(s, 6), hit)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["score"], r["n_matched"])
+        for r in retrieval.bm25_topk(df, "spark merge", k=10).collect()
+    }
+    assert got == _py_bm25(CORPUS, "spark merge")
+
+
+def test_bm25_ordering_and_k(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    rows = retrieval.bm25_topk(df, "spark merge", k=2).collect()
+    # k truncates; best-first; the no-hit doc never appears
+    assert len(rows) == 2
+    expect = sorted(
+        _py_bm25(CORPUS, "spark merge").items(),
+        key=lambda kv: (-kv[1][0], kv[0]),
+    )
+    assert [r["doc_id"] for r in rows] == [i for i, _ in expect[:2]]
+
+
+def test_bm25_term_stats_hook(spark):
+    """Precomputed (term, df_docs) stats — the 100 TB serve path — must
+    reproduce the derived-stats result exactly."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    stats = spark.createDataFrame(
+        [("spark", 3), ("merge", 3)], ["term", "df_docs"]
+    )
+    a = retrieval.bm25_topk(df, "spark merge", k=10).collect()
+    b = retrieval.bm25_topk(df, "spark merge", k=10, term_stats=stats).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_query_terms_tokenizer():
+    # lowercase + whitespace split + order-preserving dedup — the corpus
+    # tokenizer's contract
+    assert retrieval.query_terms("  Spark\tMERGE spark\n") == ["spark", "merge"]
+    assert retrieval.query_terms("   ") == []
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="zero terms"):
+        retrieval.bm25_topk(df, "   ")
+
+
+GOPHER_DOCS = [
+    # 0: healthy doc — 60 words incl. 'the'+'and', mean len in [3,10]
+    (0, " ".join(["alpha beta gamma the and delta"] * 10)),
+    # 1: too short (3 words)
+    (1, "the and with"),
+    # 2: symbol-heavy: hashes outnumber words/10
+    (2, " ".join(["the and ### word##"] * 15)),
+    # 3: bullet lines dominate
+    (3, "\n".join(["- the bullet and line item here okay fine sure yes"] * 6)),
+    # 4: ellipsis line endings dominate
+    (4, "\n".join(["the words and trail off here like so..."] * 8)),
+    # 5: no required stopwords
+    (5, " ".join(["zork blap quux flim"] * 15)),
+]
+
+
+def _sig(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select("doc_id", *gopher_signals(F.col("text"))).withColumn(
+        "keep", gopher_keep_expr()
+    )
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gopher_rules_rule_by_rule(spark):
+    s = _sig(spark, GOPHER_DOCS)
+    assert s[0]["keep"] is True
+    assert s[0]["n_words"] == 60 and s[0]["stop_hits"] == 2
+
+    assert s[1]["keep"] is False and s[1]["n_words"] < 50
+
+    assert s[2]["keep"] is False and s[2]["symbol_ratio"] > 0.1
+
+    assert s[3]["keep"] is False and s[3]["bullet_frac"] == 1.0
+
+    assert s[4]["keep"] is False and s[4]["ellipsis_frac"] == 1.0
+
+    assert s[5]["keep"] is False and s[5]["stop_hits"] == 0
+
+
+def test_gopher_empty_doc_fails_not_escapes(spark):
+    s = _sig(spark, [(9, ""), (10, "   ")])
+    for i in (9, 10):
+        assert s[i]["keep"] is False
+        assert s[i]["n_words"] == 0 and s[i]["mean_word_len"] == 0.0
+
+
+def test_bm25_index_build_serve_parity(spark, tmp_path):
+    """The durable build/serve split (build_bm25_index → bm25_topk with
+    precomputed stats) must reproduce the single-call result exactly —
+    including df semantics (a term twice in one doc counts ONE doc)."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    stats, consts = retrieval.build_bm25_index(df, str(tmp_path / "bm25_idx"))
+    # df counts documents, not occurrences: 'spark' is in docs 1, 2, 5
+    got_df = {r["term"]: r["df_docs"] for r in stats.collect()}
+    assert got_df["spark"] == 3 and got_df["merge"] == 3
+    c = consts.collect()[0]
+    assert c["__n_docs"] == 5
+
+    derived = retrieval.bm25_topk(df, "spark merge", k=10).collect()
+    # serve from the re-read parquet artifact (fresh session path)
+    stats2, consts2 = retrieval.load_bm25_index(spark, str(tmp_path / "bm25_idx"))
+    served = retrieval.bm25_topk(
+        df, "spark merge", k=10, term_stats=stats2, consts=consts2
+    ).collect()
+    assert sorted(map(tuple, served)) == sorted(map(tuple, derived))
