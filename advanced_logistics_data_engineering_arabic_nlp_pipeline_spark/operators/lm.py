@@ -30,6 +30,8 @@ Scale shape:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -86,6 +88,198 @@ def unigram_lm_stats(
         .select("term", "logp")
     )
     return freqs, consts
+
+
+BACKOFF = 0.4  # the published stupid-backoff constant (Brants et al. 2007)
+
+# literal-map expression ceiling: a 4096-entry map expression is ~100 KB
+# of plan — fine; an uncapped vocabulary is not (the lookup.py
+# MAPPING_LITERAL_MAX discipline, scaled for LM vocabularies)
+EXPR_MODEL_MAX_VOCAB = 4096
+
+
+def collect_lm_expr_model(
+    freqs: DataFrame,
+    consts: DataFrame,
+    max_vocab: int = EXPR_MODEL_MAX_VOCAB,
+) -> tuple[dict[str, float], float]:
+    """Collect a trained unigram model (:func:`unigram_lm_stats`) into
+    driver-side ``({term: logp}, oov_logp)`` for the EXPRESSION scoring
+    path. Bounded collect: raises past ``max_vocab`` — train with a
+    ``vocab_size`` cap instead of collecting an unbounded vocabulary."""
+    rows = freqs.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"log-prob table exceeds max_vocab={max_vocab}; train with "
+            "vocab_size<= that cap (the OOV class absorbs the tail)"
+        )
+    oov = consts.select("__oov_logp").collect()[0][0]
+    return {r["term"]: r["logp"] for r in rows}, float(oov)
+
+
+def perplexity_ce_expr(
+    text,  # Column
+    logp: dict[str, float],
+    oov_logp: float,
+):
+    """Per-row cross-entropy as a PURE EXPRESSION — the streaming-safe
+    form: the collected log-prob table rides the plan as a literal map
+    and the per-token sum is a higher-order fold over the token array,
+    so there is no aggregation and no join (legal in a streaming filter
+    BEFORE stateful stages). Empty documents yield NULL.
+
+    Tradeoff, documented: HOF lambdas run interpreted (the repo's
+    measured dedup lesson), so this form is for GATES — per-row
+    decisions on arriving data — not for bulk corpus scoring, which is
+    :func:`perplexity_score`'s broadcast-join path. The two agree to
+    float-fold precision (~1e-12; parity pytest) but are not
+    bit-identical: the fold sums doubles in array order, the bulk path
+    sums decimals."""
+    m = F.create_map(
+        *[F.lit(x) for term, lp in sorted(logp.items()) for x in (term, lp)]
+    )
+    toks = tokens_expr(text)
+    n = F.size(toks)
+    s = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(m, t), F.lit(float(oov_logp))),
+    )
+    return F.when(n > 0, F.round(-s / n, 6))
+
+
+def bigram_lm_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int | None = None,
+    bigram_size: int | None = None,
+    alpha: float = 0.5,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the stupid-backoff bigram model (Brants et al. 2007, "Large
+    Language Models in Machine Translation"): returns ``(bigrams, freqs,
+    consts)`` — ``(prev, term, logs)`` relative-frequency log-scores for
+    the kept bigrams (``ln(c(prev,term) / c(prev))``), plus the smoothed
+    unigram table/constants from :func:`unigram_lm_stats` that unseen
+    bigrams back off to.
+
+    Stupid backoff is the web-scale recipe precisely because it SKIPS
+    normalization: kept-bigram scores are raw relative frequencies and
+    everything else scores ``BACKOFF × P_unigram(term)`` — no
+    discounting pass over the full bigram table, so training stays two
+    combiner-friendly groupBys (unigram + bigram counts) and the
+    ``bigram_size`` cap (top-B by count, term-tiebroken) bounds the
+    scoring artifact exactly like the unigram ``vocab_size`` cap."""
+    freqs, consts = unigram_lm_stats(docs, text_col, vocab_size, alpha)
+    toks = tokens_expr(F.col(text_col))
+    pairs = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size(toks)),
+                    lambda i: F.struct(
+                        F.try_element_at(toks, i - 1).alias("prev"),
+                        F.try_element_at(toks, i).alias("term"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<prev:string,term:string>>")
+            )
+        ).alias("p")
+    ).select("p.prev", "p.term")
+    big_counts = pairs.groupBy("prev", "term").agg(F.count("*").alias("cb"))
+    prev_counts = pairs.groupBy("prev").agg(F.count("*").alias("cp"))
+    scored = big_counts.join(prev_counts, "prev").select(
+        "prev",
+        "term",
+        F.round(F.log(F.col("cb") / F.col("cp")), 8).alias("logs"),
+        "cb",
+    )
+    if bigram_size is not None:
+        scored = scored.orderBy(F.desc("cb"), "prev", "term").limit(
+            bigram_size
+        )
+    return scored.select("prev", "term", "logs"), freqs, consts
+
+
+def perplexity_score_bigram(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+    bigram_size: int | None = None,
+    alpha: float = 0.5,
+    lm_stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document cross-entropy + perplexity under the stupid-backoff
+    bigram score — ``(id, n_tokens, cross_entropy, perplexity)``. Token
+    positions score as: kept bigram → its relative-frequency log-score;
+    anything else (unseen bigram, or the document's FIRST token, which
+    has no history) → ``ln(BACKOFF × P_unigram)`` = ``ln(0.4) + logp``
+    over the smoothed unigram table (OOV class included). The mean is
+    over all n tokens; empty documents score NULL.
+
+    Same determinism discipline as :func:`perplexity_score`: both score
+    tables pre-round to 8 dp, the per-doc sum goes through the decimal
+    cast, outputs round to 6 dp. Scoring joins are broadcast (both
+    artifacts are bounded by their caps); the token rows never shuffle
+    on a content key."""
+    bigrams, freqs, consts = (
+        lm_stats
+        if lm_stats is not None
+        else bigram_lm_stats(docs, text_col, vocab_size, bigram_size, alpha)
+    )
+    toks = tokens_expr(F.col(text_col))
+    # sequence(1, 0) is DESCENDING in Spark, so an empty document must
+    # short-circuit to an empty array (0 tokens), not a bogus [1, 0] walk
+    pos_rows = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks)),
+                    # element_at rejects index 0 even in its try_ form —
+                    # nullif turns position 1's lookback into a NULL
+                    # index (→ NULL prev, the no-history marker)
+                    lambda i: F.struct(
+                        F.try_element_at(
+                            toks, F.nullif(i - 1, F.lit(0))
+                        ).alias("prev"),
+                        F.try_element_at(toks, i).alias("term"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<prev:string,term:string>>")
+            )
+        ).alias("p"),
+    ).select(F.col(id_col), "p.prev", "p.term")
+    lp_backoff = F.round(
+        F.lit(math.log(BACKOFF))
+        + F.coalesce(F.col("logp"), F.col("__oov_logp")),
+        8,
+    )
+    scored = (
+        pos_rows.join(F.broadcast(bigrams), ["prev", "term"], "left")
+        .join(F.broadcast(freqs), "term", "left")
+        .crossJoin(F.broadcast(consts.select("__oov_logp")))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("logs"), lp_backoff).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        dsum(F.col("__lp"), scale=8).alias("__sum_lp"),
+    )
+    ce = -F.col("__sum_lp") / F.col("n_tokens")
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )
 
 
 def perplexity_score(

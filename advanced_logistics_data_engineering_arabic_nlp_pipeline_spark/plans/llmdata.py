@@ -934,6 +934,110 @@ ORDER BY d.doc_id
 """
 
 
+LM_BIGRAM_SIZE = 512  # corpus has 916-931 distinct bigrams — cap binds at
+# every SF, so the stupid-backoff path is non-vacuous everywhere
+
+
+def doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram perplexity (operators/lm.py, Brants et al.
+    2007): kept-bigram relative frequencies, everything else (unseen or
+    capped-out bigrams, first tokens) backs off to 0.4 × the smoothed
+    unigram — the web-scale LM recipe in distributed shape. Both score
+    tables are bounded broadcast artifacts (top-512 bigrams / top-24
+    unigrams + OOV)."""
+    from ..operators.lm import perplexity_score_bigram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_score_bigram(
+        docs,
+        vocab_size=LM_VOCAB_SIZE,
+        bigram_size=LM_BIGRAM_SIZE,
+        alpha=LM_ALPHA,
+    ).orderBy("doc_id")
+
+
+def _perplexity_bigram_sql() -> str:
+    import math
+
+    from ..operators.lm import BACKOFF
+
+    a = LM_ALPHA
+    # ship the PYTHON-computed ln(0.4) into the SQL verbatim (repr
+    # round-trips the double exactly) — the same literal Spark's plan
+    # carries, so the backoff arm is bit-identical by construction
+    backoff_lit = repr(math.log(BACKOFF))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT unnest(toks) AS term FROM tok
+),
+counts AS (SELECT term, COUNT(*) AS c FROM uni GROUP BY term),
+kept AS (SELECT term, c FROM counts ORDER BY c DESC, term LIMIT {LM_VOCAB_SIZE}),
+consts AS (
+  SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM counts) AS total,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM kept) AS vocab
+),
+freqs AS (
+  SELECT term, ROUND(ln((c + {a}) / (total + {a} * (vocab + 1.0))), 8) AS logp
+  FROM kept CROSS JOIN consts
+),
+oov AS (SELECT ROUND(ln({a} / (total + {a} * (vocab + 1.0))), 8) AS oov_logp FROM consts),
+pairs AS (
+  SELECT p.prev AS prev, p.term AS term
+  FROM (
+    SELECT unnest(CASE WHEN len(toks) >= 2
+                       THEN list_transform(range(2, len(toks) + 1),
+                                           i -> {{'prev': toks[i-1], 'term': toks[i]}})
+                       ELSE [] END) AS p
+    FROM tok
+  )
+),
+bigc AS (SELECT prev, term, COUNT(*) AS cb FROM pairs GROUP BY prev, term),
+prevc AS (SELECT prev, COUNT(*) AS cp FROM pairs GROUP BY prev),
+bigrams AS (
+  SELECT prev, term, ROUND(ln(cb * 1.0 / cp), 8) AS logs
+  FROM bigc JOIN prevc USING (prev)
+  ORDER BY cb DESC, prev, term LIMIT {LM_BIGRAM_SIZE}
+),
+pos AS (
+  SELECT doc_id, p.prev AS prev, p.term AS term
+  FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 1
+                       THEN list_transform(range(1, len(toks) + 1),
+                                           i -> {{'prev': CASE WHEN i = 1 THEN NULL ELSE toks[i-1] END,
+                                                  'term': toks[i]}})
+                       ELSE [] END) AS p
+    FROM tok
+  )
+),
+sc AS (
+  SELECT doc_id,
+         COALESCE(b.logs,
+                  ROUND({backoff_lit} + COALESCE(f.logp, o.oov_logp), 8)) AS lp
+  FROM pos
+  LEFT JOIN bigrams b USING (prev, term)
+  LEFT JOIN freqs f USING (term)
+  CROSS JOIN oov o
+),
+pd AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) AS slp
+  FROM sc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       ROUND(-slp / n_tokens, 6) AS cross_entropy,
+       ROUND(exp(-slp / n_tokens), 6) AS perplexity
+FROM documents d LEFT JOIN pd USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # ── M4 multimodal ───────────────────────────────────────────────────────────
 
 def multimodal_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2375,6 +2479,7 @@ QUERIES = {
     "bm25_search": bm25_search,
     "gopher_quality": gopher_quality,
     "doc_perplexity": doc_perplexity,
+    "doc_perplexity_bigram": doc_perplexity_bigram,
 }
 
 ORACLES = {
@@ -2462,4 +2567,8 @@ LOCAL_ORACLES = {
     # hashes exactly (incl. the OOV class — vocab capped below corpus
     # vocabulary on purpose).
     "doc_perplexity": _perplexity_sql(),
+    # Stupid-backoff bigram perplexity (r10): same headroom rule; the
+    # bigram cap binds at every SF so the backoff arm (ln(0.4)+unigram,
+    # python-literal backoff constant on both engines) is non-vacuous.
+    "doc_perplexity_bigram": _perplexity_bigram_sql(),
 }

@@ -835,6 +835,8 @@ def run_stream_curation(
     boilerplate_min_docs: int = 2,
     boilerplate_index_dir: str | None = None,
     quality_gate: float | None = None,
+    perplexity_max_ce: float | None = None,
+    perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
     curation pass composed over a stream — exact dedup, near-dup dedup
@@ -851,6 +853,17 @@ def run_stream_curation(
        enter the dedup state store, and a low-quality early arrival can
        never become the keeper that dedups away a clean twin (the
        ledger's quality-first ordering, applied to arrival time).
+       When ``perplexity_max_ce`` is given (requires ``perplexity_lm`` —
+       a PRE-TRAINED ``(freqs, consts)`` from
+       :func:`..operators.lm.unigram_lm_stats`, e.g. over a reference
+       corpus: a stream cannot train on itself), the CCNet-style LM gate
+       runs in the same slot: documents whose unigram cross-entropy
+       exceeds the ceiling are dropped via
+       :func:`..operators.lm.perplexity_ce_expr` — the model collects
+       into a literal-map expression (bounded; raises past
+       EXPR_MODEL_MAX_VOCAB), so the gate is a pure stateless per-row
+       filter with no join and no aggregation, streaming-legal before
+       the stateful stage for the same keeper-slot reason.
     1. streaming exact dedup on the CONTENT FINGERPRINT (md5 of the sorted
        distinct token set — operators/textanalysis.fingerprint, the same
        key dedup_exact and the curation ledger use): the one stateful
@@ -970,6 +983,25 @@ def run_stream_curation(
         from ..operators.textanalysis import quality_score
 
         stream = stream.where(quality_score(F.col(text_col)) >= quality_gate)
+
+    if perplexity_max_ce is not None:
+        # LM gate in the same pre-state slot as the quality gate: the
+        # collected model rides the plan as a literal map, so this is a
+        # stateless per-row filter (no join/agg — streaming-legal here),
+        # and junk the LM can spot never claims a keeper slot either
+        if perplexity_lm is None:
+            raise ValueError(
+                "perplexity_max_ce needs perplexity_lm=(freqs, consts) — "
+                "train with operators.lm.unigram_lm_stats on a reference "
+                "corpus (a stream cannot train on itself)"
+            )
+        from ..operators.lm import collect_lm_expr_model, perplexity_ce_expr
+
+        _lm_map, _lm_oov = collect_lm_expr_model(*perplexity_lm)
+        stream = stream.where(
+            perplexity_ce_expr(F.col(text_col), _lm_map, _lm_oov)
+            <= perplexity_max_ce
+        )
 
     deduped = (
         stream.withColumn("__fp", fingerprint(F.col(text_col)))

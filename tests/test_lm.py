@@ -96,3 +96,120 @@ def test_perplexity_reference_corpus_hook(spark):
     model, oov = _py_model(CORPUS)
     exp = _py_scores([(100, "a a b"), (101, "qq rr ss")], model, oov)
     assert got[100] == exp[100][1] and got[101] == exp[101][1]
+
+
+# ── stupid-backoff bigram (r10) ─────────────────────────────────────────────
+
+def _py_bigram_model(corpus, vocab_size=None, bigram_size=None, alpha=0.5):
+    uni, oov = _py_model(corpus, vocab_size, alpha)
+    bigc: dict[tuple[str, str], int] = {}
+    prevc: dict[str, int] = {}
+    for _, t in corpus:
+        toks = t.lower().split()
+        for a, b in zip(toks, toks[1:]):
+            bigc[(a, b)] = bigc.get((a, b), 0) + 1
+            prevc[a] = prevc.get(a, 0) + 1
+    scored = sorted(
+        ((p, tm, c) for (p, tm), c in bigc.items()),
+        key=lambda x: (-x[2], x[0], x[1]),
+    )
+    if bigram_size is not None:
+        scored = scored[:bigram_size]
+    logs = {
+        (p, tm): round(math.log(c / prevc[p]), 8) for p, tm, c in scored
+    }
+    return logs, uni, oov
+
+
+def _py_bigram_scores(corpus, logs, uni, oov):
+    lb = math.log(lm.BACKOFF)
+    out = {}
+    for i, t in corpus:
+        toks = t.lower().split()
+        if not toks:
+            out[i] = (0, None, None)
+            continue
+        s = 0.0
+        prev = None
+        for tok in toks:
+            if prev is not None and (prev, tok) in logs:
+                s += logs[(prev, tok)]
+            else:
+                s += round(lb + uni.get(tok, oov), 8)
+            prev = tok
+        ce = -s / len(toks)
+        out[i] = (len(toks), round(ce, 6), round(math.exp(ce), 6))
+    return out
+
+
+def test_bigram_perplexity_matches_python_reference(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["perplexity"])
+        for r in lm.perplexity_score_bigram(df).collect()
+    }
+    logs, uni, oov = _py_bigram_model(CORPUS)
+    assert got == _py_bigram_scores(CORPUS, logs, uni, oov)
+
+
+def test_bigram_cap_routes_tail_to_backoff(spark):
+    """bigram_size=2 keeps only the two most frequent bigrams; every
+    other position (incl. all first tokens) must take the backoff arm."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    logs, uni, oov = _py_bigram_model(CORPUS, bigram_size=2)
+    assert len(logs) == 2
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cross_entropy"], r["perplexity"])
+        for r in lm.perplexity_score_bigram(df, bigram_size=2).collect()
+    }
+    assert got == _py_bigram_scores(CORPUS, logs, uni, oov)
+
+
+def test_bigram_single_token_and_empty_docs(spark):
+    """A 1-token doc has no bigram at all — pure backoff; empty stays
+    NULL."""
+    rows = CORPUS + [(20, "a"), (21, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in lm.perplexity_score_bigram(df).collect()}
+    logs, uni, oov = _py_bigram_model(rows)
+    exp = _py_bigram_scores(rows, logs, uni, oov)
+    assert got[20]["n_tokens"] == 1
+    assert got[20]["cross_entropy"] == exp[20][1]
+    assert got[21]["n_tokens"] == 0 and got[21]["cross_entropy"] is None
+
+
+# ── expression scoring path (the streaming gate) ───────────────────────────
+
+def test_ce_expr_agrees_with_bulk_path(spark):
+    """The literal-map fold (streaming gate) and the broadcast-join bulk
+    path score within float-fold precision of each other — they differ
+    only in double-vs-decimal summation order."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    stats = lm.unigram_lm_stats(df, vocab_size=3)
+    m, oov = lm.collect_lm_expr_model(*stats)
+    expr_ce = {
+        r["doc_id"]: r["ce"]
+        for r in df.select(
+            "doc_id",
+            lm.perplexity_ce_expr(F.col("text"), m, oov).alias("ce"),
+        ).collect()
+    }
+    bulk_ce = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm.perplexity_score(df, lm_stats=stats).collect()
+    }
+    for i in bulk_ce:
+        assert abs(expr_ce[i] - bulk_ce[i]) < 2e-6, i
+
+
+def test_collect_lm_expr_model_bounded(spark):
+    import pytest
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    stats = lm.unigram_lm_stats(df)  # uncapped: 5 terms
+    with pytest.raises(ValueError, match="max_vocab"):
+        lm.collect_lm_expr_model(*stats, max_vocab=3)
+    m, oov = lm.collect_lm_expr_model(*stats, max_vocab=10)
+    assert set(m) == {"a", "b", "c", "d", "zz"} and oov < 0

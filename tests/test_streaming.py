@@ -2170,3 +2170,80 @@ def test_neardup_increment_reliable_cc_checkpoint(spark, tmp_path):
     assert sorted(r.doc_id for r in out_rel.collect()) == sorted(
         r.doc_id for r in out_loc.collect()
     )
+
+
+def test_stream_perplexity_gate_drops_out_of_domain(spark, tmp_path):
+    """The LM gate (r10) runs in the pre-state slot: documents whose
+    cross-entropy under the REFERENCE model exceeds the ceiling never
+    ship (and never claim a keeper slot); in-domain docs pass. Also pins
+    the config contract: a ceiling without a model raises."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import lm
+
+    ref_rows = [(i, _block("p", 40)) for i in range(5)]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    stats = lm.unigram_lm_stats(ref)
+
+    in_domain = _block("p", 40)  # every token in the reference vocab
+    out_domain = " ".join(f"zz{i}" for i in range(40))  # all OOV
+
+    src = str(tmp_path / "ppl_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [
+            (1, in_domain, "2024-01-01 10:00:00"),
+            (2, out_domain, "2024-01-01 10:01:00"),
+        ],
+        "doc_id long, text string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # ceiling between the two scores: in-domain CE is far below OOV CE
+    from pyspark.sql import functions as SF
+
+    ce = {
+        r["doc_id"]: r["ce"]
+        for r in spark.createDataFrame(
+            [(1, in_domain), (2, out_domain)], ["doc_id", "text"]
+        )
+        .select(
+            "doc_id",
+            lm.perplexity_ce_expr(
+                SF.col("text"), *lm.collect_lm_expr_model(*stats)
+            ).alias("ce"),
+        )
+        .collect()
+    }
+    assert ce[1] < ce[2]
+    ceiling = (ce[1] + ce[2]) / 2
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipeline.run_stream_curation(
+        stream,
+        str(tmp_path / "ppl_sink"),
+        str(tmp_path / "ppl_ckpt"),
+        perplexity_max_ce=ceiling,
+        perplexity_lm=stats,
+    )
+    q.awaitTermination(120)
+    ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "ppl_sink")).collect()
+    }
+    assert ids == {1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="perplexity_lm"):
+        pipeline.run_stream_curation(
+            spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).parquet(src),
+            str(tmp_path / "x_sink"),
+            str(tmp_path / "x_ckpt"),
+            perplexity_max_ce=1.0,
+        )
