@@ -838,10 +838,14 @@ def curate_increment(
     materialize: bool = True,
     cc_checkpoint: str = "local",
     cc_checkpoint_dir: str | None = None,
+    perplexity_max_ce: float | None = None,
+    perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """The BATCH twin of ``run_stream_curation``'s full stack: curate one
     nightly delta against durable history without re-reading the corpus —
-    quality gate → exact dedup (durable fingerprint index,
+    quality gate (+ optional LM perplexity gate, ``perplexity_max_ce`` /
+    ``perplexity_lm`` — the stream's gate expression verbatim, so the
+    two shapes drop the same documents) → exact dedup (durable fingerprint index,
     :func:`..dedup.exact_increment`) → boilerplate scrub (durable
     segment-frequency index, :func:`scrub_boilerplate_increment`) →
     near-dup gate (durable signature index,
@@ -886,6 +890,22 @@ def curate_increment(
         work = df
         if quality_gate is not None:
             work = work.filter(quality_score(F.col(text_col)) >= quality_gate)
+        if perplexity_max_ce is not None:
+            # the stream's LM gate (run_stream_curation), same slot, same
+            # EXPRESSION — batch/stream parity by construction, like the
+            # shared scrub/decontam helpers
+            if perplexity_lm is None:
+                raise ValueError(
+                    "perplexity_max_ce needs perplexity_lm=(freqs, consts) "
+                    "from operators.lm.unigram_lm_stats"
+                )
+            from .lm import collect_lm_expr_model, perplexity_ce_expr
+
+            _m, _oov = collect_lm_expr_model(*perplexity_lm)
+            work = work.filter(
+                perplexity_ce_expr(F.col(text_col), _m, _oov)
+                <= perplexity_max_ce
+            )
         work = exact_increment(
             work,
             index_dir,

@@ -993,3 +993,49 @@ def test_curate_increment_continues_stream_history(spark, tmp_path):
         neardup_threshold=0.6,
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [11]
+
+
+def test_curate_increment_perplexity_gate_parity_slot(spark, tmp_path):
+    """The batch LM gate (r10) is the stream's gate EXPRESSION in the
+    stream's slot: an out-of-domain doc (all-OOV under the reference
+    model) is dropped before any index stage, an in-domain doc ships;
+    a ceiling without a model raises."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import lm
+
+    # diverse reference vocab: the in-domain doc must also survive the
+    # later repetition gate (distinct-token ratio), so every token is
+    # unique within the doc
+    ref = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(4)],
+        ["doc_id", "text"],
+    )
+    stats = lm.unigram_lm_stats(ref)
+    in_dom = " ".join(f"w{j}" for j in range(40))
+    out_dom = " ".join(f"zz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, in_dom), (2, out_dom)], ["doc_id", "text"]
+    )
+    m, oov = lm.collect_lm_expr_model(*stats)
+    ce = {
+        r["doc_id"]: r["ce"]
+        for r in df.select(
+            "doc_id", lm.perplexity_ce_expr(F.col("text"), m, oov).alias("ce")
+        ).collect()
+    }
+    ceiling = (ce[1] + ce[2]) / 2
+
+    out = curation.curate_increment(
+        df,
+        str(tmp_path / "ppl_idx"),
+        batch_id=0,
+        perplexity_max_ce=ceiling,
+        perplexity_lm=stats,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+    with pytest.raises(ValueError, match="perplexity_lm"):
+        curation.curate_increment(
+            df, str(tmp_path / "ppl_idx2"), batch_id=0, perplexity_max_ce=1.0
+        )
