@@ -274,12 +274,31 @@ def perplexity_score_bigram(
         dsum(F.col("__lp"), scale=8).alias("__sum_lp"),
     )
     ce = -F.col("__sum_lp") / F.col("n_tokens")
-    return docs.select(id_col).join(per_doc, id_col, "left").select(
+    return _with_empty_docs(docs, per_doc, toks, id_col, ce)
+
+
+def _with_empty_docs(docs, per_doc, toks, id_col, ce):
+    """Attach the (0 tokens, NULL score) rows for EMPTY documents as a
+    UNION of a second pruned scan, not a left join: every non-empty doc
+    is already present in ``per_doc``, so joining the whole corpus back
+    on id just to find the empties planned as a corpus-keyed
+    SortMergeJoin — a full shuffle of both sides at 100 TB for rows a
+    filter finds for free (r10 plan audit)."""
+    scored_rows = per_doc.select(
         F.col(id_col),
-        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.col("n_tokens"),
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
     )
+    # coalesce: size(NULL) is NULL under non-legacy semantics — a
+    # NULL-text document is an empty document here, not a vanished one
+    empty_rows = docs.where(F.coalesce(F.size(toks), F.lit(0)) <= 0).select(
+        F.col(id_col),
+        F.lit(0).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("double").alias("cross_entropy"),
+        F.lit(None).cast("double").alias("perplexity"),
+    )
+    return scored_rows.unionByName(empty_rows)
 
 
 def perplexity_score(
@@ -323,10 +342,4 @@ def perplexity_score(
         dsum(F.col("__lp"), scale=8).alias("__sum_lp"),
     )
     ce = -F.col("__sum_lp") / F.col("n_tokens")
-    out = docs.select(id_col).join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-        F.round(ce, 6).alias("cross_entropy"),
-        F.round(F.exp(ce), 6).alias("perplexity"),
-    )
-    return out
+    return _with_empty_docs(docs, per_doc, toks, id_col, ce)

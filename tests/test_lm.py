@@ -213,3 +213,16 @@ def test_collect_lm_expr_model_bounded(spark):
         lm.collect_lm_expr_model(*stats, max_vocab=3)
     m, oov = lm.collect_lm_expr_model(*stats, max_vocab=10)
     assert set(m) == {"a", "b", "c", "d", "zz"} and oov < 0
+
+
+def test_perplexity_null_text_is_empty_not_vanished(spark):
+    """NULL text scores as an empty document (0 tokens, NULL scores) —
+    size(NULL) is NULL under non-legacy semantics and must not make the
+    row vanish from the union-of-empties plan (r10 plan-audit rewrite)."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None)], "doc_id long, text string"
+    )
+    for fn in (lm.perplexity_score, lm.perplexity_score_bigram):
+        got = {r["doc_id"]: r for r in fn(df).collect()}
+        assert set(got) == {1, 2}, fn.__name__
+        assert got[2]["n_tokens"] == 0 and got[2]["cross_entropy"] is None
