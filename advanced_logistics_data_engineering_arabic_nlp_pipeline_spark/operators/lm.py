@@ -92,6 +92,43 @@ def unigram_lm_stats(
 
 BACKOFF = 0.4  # the published stupid-backoff constant (Brants et al. 2007)
 
+
+def _pair_walk_expr(text, from_pos: int):
+    """``array<struct<prev,term>>`` of the (lookback, token) walk over a
+    document, starting at token position ``from_pos`` (2 = bigram pairs
+    only; 1 = every position, first token's prev NULL). The token array
+    is bound as a LAMBDA VARIABLE — ``transform(array(toks), tk -> …)``
+    — so the text splits exactly once per row: referencing the split
+    through a projected column re-inlines it into every (interpreted)
+    HOF reference via CollapseProject, re-splitting per POSITION —
+    quadratic per document (the shingles_expr lesson, dedup.py:54; r10
+    self-review). element_at rejects index 0 even in try_ form, so
+    position 1's lookback routes through nullif (NULL index → NULL
+    prev)."""
+    empty = F.array().cast("array<struct<prev:string,term:string>>")
+    return F.coalesce(
+        F.try_element_at(
+            F.transform(
+                F.array(tokens_expr(text)),
+                lambda tk: F.when(
+                    F.size(tk) >= from_pos,
+                    F.transform(
+                        F.sequence(F.lit(from_pos), F.size(tk)),
+                        lambda i: F.struct(
+                            F.try_element_at(
+                                tk, F.nullif(i - 1, F.lit(0))
+                            ).alias("prev"),
+                            F.try_element_at(tk, i).alias("term"),
+                        ),
+                    ),
+                ).otherwise(empty),
+            ),
+            F.lit(1),
+        ),
+        empty,
+    )
+
+
 # literal-map expression ceiling: a 4096-entry map expression is ~100 KB
 # of plan — fine; an uncapped vocabulary is not (the lookup.py
 # MAPPING_LITERAL_MAX discipline, scaled for LM vocabularies)
@@ -114,6 +151,14 @@ def collect_lm_expr_model(
             "vocab_size<= that cap (the OOV class absorbs the tail)"
         )
     oov = consts.select("__oov_logp").collect()[0][0]
+    if oov is None:
+        # SUM over zero count rows is NULL: an empty/all-blank reference
+        # corpus trains a degenerate model — fail HERE with the cause,
+        # not later with float(None) deep in gate setup (r10 self-review)
+        raise ValueError(
+            "reference corpus has no tokens — the trained model is "
+            "degenerate (empty frame, or every text NULL/whitespace)"
+        )
     return {r["term"]: r["logp"] for r in rows}, float(oov)
 
 
@@ -171,22 +216,8 @@ def bigram_lm_stats(
     ``bigram_size`` cap (top-B by count, term-tiebroken) bounds the
     scoring artifact exactly like the unigram ``vocab_size`` cap."""
     freqs, consts = unigram_lm_stats(docs, text_col, vocab_size, alpha)
-    toks = tokens_expr(F.col(text_col))
     pairs = docs.select(
-        F.explode(
-            F.when(
-                F.size(toks) >= 2,
-                F.transform(
-                    F.sequence(F.lit(2), F.size(toks)),
-                    lambda i: F.struct(
-                        F.try_element_at(toks, i - 1).alias("prev"),
-                        F.try_element_at(toks, i).alias("term"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast("array<struct<prev:string,term:string>>")
-            )
-        ).alias("p")
+        F.explode(_pair_walk_expr(F.col(text_col), from_pos=2)).alias("p")
     ).select("p.prev", "p.term")
     big_counts = pairs.groupBy("prev", "term").agg(F.count("*").alias("cb"))
     prev_counts = pairs.groupBy("prev").agg(F.count("*").alias("cp"))
@@ -230,30 +261,9 @@ def perplexity_score_bigram(
         if lm_stats is not None
         else bigram_lm_stats(docs, text_col, vocab_size, bigram_size, alpha)
     )
-    toks = tokens_expr(F.col(text_col))
-    # sequence(1, 0) is DESCENDING in Spark, so an empty document must
-    # short-circuit to an empty array (0 tokens), not a bogus [1, 0] walk
     pos_rows = docs.select(
         F.col(id_col),
-        F.explode(
-            F.when(
-                F.size(toks) >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks)),
-                    # element_at rejects index 0 even in its try_ form —
-                    # nullif turns position 1's lookback into a NULL
-                    # index (→ NULL prev, the no-history marker)
-                    lambda i: F.struct(
-                        F.try_element_at(
-                            toks, F.nullif(i - 1, F.lit(0))
-                        ).alias("prev"),
-                        F.try_element_at(toks, i).alias("term"),
-                    ),
-                ),
-            ).otherwise(
-                F.array().cast("array<struct<prev:string,term:string>>")
-            )
-        ).alias("p"),
+        F.explode(_pair_walk_expr(F.col(text_col), from_pos=1)).alias("p"),
     ).select(F.col(id_col), "p.prev", "p.term")
     lp_backoff = F.round(
         F.lit(math.log(BACKOFF))
@@ -274,7 +284,9 @@ def perplexity_score_bigram(
         dsum(F.col("__lp"), scale=8).alias("__sum_lp"),
     )
     ce = -F.col("__sum_lp") / F.col("n_tokens")
-    return _with_empty_docs(docs, per_doc, toks, id_col, ce)
+    return _with_empty_docs(
+        docs, per_doc, tokens_expr(F.col(text_col)), id_col, ce
+    )
 
 
 def _with_empty_docs(docs, per_doc, toks, id_col, ce):

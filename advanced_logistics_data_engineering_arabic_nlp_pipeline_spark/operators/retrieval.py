@@ -44,14 +44,18 @@ from pyspark.sql import functions as F
 
 from .textanalysis import tokens_expr
 
-_TOKEN_SPLIT = re.compile(r"\s+")
+# re.ASCII: Python's default \s is the Unicode class, Java's (the corpus
+# side, tokens_expr) is ASCII-only — without the flag a query containing
+# a non-breaking space splits differently from the document that holds
+# the same bytes and the term never matches (r10 self-review)
+_TOKEN_SPLIT = re.compile(r"\s+", re.ASCII)
 
 
 def query_terms(query: str) -> list[str]:
     """The query-side tokenization — the SAME lowercase whitespace split
-    the corpus side uses (:func:`..textanalysis.tokens_expr`), deduped,
-    order-preserving. Ranking is only meaningful when both sides share
-    one tokenizer."""
+    the corpus side uses (:func:`..textanalysis.tokens_expr`, Java ASCII
+    ``\\s``, matched here via ``re.ASCII``), deduped, order-preserving.
+    Ranking is only meaningful when both sides share one tokenizer."""
     seen: dict[str, None] = {}
     for t in _TOKEN_SPLIT.split(query.lower()):
         if t:

@@ -122,7 +122,12 @@ def gopher_signals(text: Column) -> list[Column]:
     - ``stop_hits``: how many of the 8 required stopwords appear
 
     Divisors are ``greatest(·, 1)`` so empty documents yield zeros, not
-    NULLs — an empty doc must FAIL the filter, not escape it."""
+    NULLs — an empty doc must FAIL the filter, not escape it. NULL text
+    coalesces to ``''`` up front for the same reason: without it the
+    stopword sum and char counts go NULL and the keep verdict is NULL
+    instead of the documented fail (r10 self-review — the corpus_diff
+    COALESCE discipline)."""
+    text = F.coalesce(text, F.lit(""))
     toks = tokens_expr(text)
     n = F.size(toks)
     n1 = F.greatest(n, F.lit(1)).cast("double")

@@ -845,7 +845,8 @@ def _gopher_sql() -> str:
     return f"""
 WITH base AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 13 = 0 THEN text || e'{perturb}' ELSE text END AS t
+         CASE WHEN doc_id % 13 = 0 THEN COALESCE(text, '') || e'{perturb}'
+              ELSE COALESCE(text, '') END AS t
   FROM documents
 ),
 tok AS (

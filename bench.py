@@ -230,7 +230,9 @@ def main() -> None:
             # removed.unpersist() releases the tombstone set AND the
             # original persisted table (it is the tombstones' base)
             removed.unpersist()
-        else:
+        elif hasattr(idx, "unpersist"):
+            # non-frame indexes (e.g. the BM25 (stats, consts) tuple)
+            # hold no pins; clearCache below covers any strays
             idx.unpersist()
         spark.catalog.clearCache()
         return out
@@ -286,31 +288,20 @@ def main() -> None:
     docs_bm25 = tables.load_table(spark, sf_dir, "documents")
     _bm25_dir = _tempfile.mkdtemp(prefix="bench_bm25_idx_")
     try:
-        (bm25_stats, bm25_consts), t_bm25_build = timed(
-            lambda: retrieval.build_bm25_index(docs_bm25, _bm25_dir)
+        # same timing discipline as the ANN entries — one split() helper
+        # (r10 self-review: a hand-rolled copy would silently diverge)
+        ann_split["bm25_search"] = split(
+            lambda: retrieval.build_bm25_index(docs_bm25, _bm25_dir),
+            lambda idx: retrieval.bm25_topk(
+                docs_bm25,
+                BM25_QUERY,
+                k=BM25_K,
+                term_stats=idx[0],
+                consts=idx[1],
+            ),
         )
-        t_bm25_serve = None
-        for _ in range(REPS):
-            _, t = timed(
-                lambda: retrieval.bm25_topk(
-                    docs_bm25,
-                    BM25_QUERY,
-                    k=BM25_K,
-                    term_stats=bm25_stats,
-                    consts=bm25_consts,
-                )
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-            t_bm25_serve = t if t_bm25_serve is None else min(t_bm25_serve, t)
-        ann_split["bm25_search"] = {
-            "build": t_bm25_build,
-            "serve": t_bm25_serve,
-        }
     finally:
         _shutil.rmtree(_bm25_dir, ignore_errors=True)
-    spark.catalog.clearCache()
 
     # Streaming curation throughput (VERDICT r7 Missing #2): an
     # availableNow replay of run_stream_curation with the near-dup gate ON

@@ -226,3 +226,17 @@ def test_perplexity_null_text_is_empty_not_vanished(spark):
         got = {r["doc_id"]: r for r in fn(df).collect()}
         assert set(got) == {1, 2}, fn.__name__
         assert got[2]["n_tokens"] == 0 and got[2]["cross_entropy"] is None
+
+
+def test_collect_lm_expr_model_degenerate_corpus_raises(spark):
+    """An empty/all-blank reference corpus trains a degenerate model —
+    the collect step must fail with the cause, not float(None) later
+    (r10 self-review)."""
+    import pytest
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        lm.collect_lm_expr_model(*lm.unigram_lm_stats(empty))
+    blank = spark.createDataFrame([(1, "   "), (2, None)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        lm.collect_lm_expr_model(*lm.unigram_lm_stats(blank))

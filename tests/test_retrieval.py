@@ -165,3 +165,28 @@ def test_bm25_index_build_serve_parity(spark, tmp_path):
         df, "spark merge", k=10, term_stats=stats2, consts=consts2
     ).collect()
     assert sorted(map(tuple, served)) == sorted(map(tuple, derived))
+
+
+def test_gopher_null_text_fails_not_null(spark):
+    """NULL text is an empty document: zeros + keep=False, never NULL
+    signals (r10 self-review: the stopword sum over a NULL token array
+    went NULL, diverging from the DuckDB mirror's 0/false)."""
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    out = df.select("doc_id", *gopher_signals(F.col("text"))).withColumn(
+        "keep", gopher_keep_expr()
+    )
+    s = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert s[1]["keep"] is False
+    assert s[1]["n_words"] == 0 and s[1]["stop_hits"] == 0
+    assert s[1]["symbol_ratio"] == 0.0
+
+
+def test_query_terms_ascii_whitespace_matches_corpus_tokenizer():
+    """Java \\s (the corpus tokenizer) is ASCII-only: a non-breaking
+    space is TOKEN CONTENT, not a separator — the query side must agree
+    or the pruned isin never matches the document's token (r10
+    self-review)."""
+    assert retrieval.query_terms("data pipeline x") == [
+        "data pipeline",
+        "x",
+    ]
