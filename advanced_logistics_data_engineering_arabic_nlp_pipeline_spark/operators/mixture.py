@@ -480,3 +480,57 @@ def dataset_split(
         .when(h < t_val, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    stage_mins: list[float],
+    n_shards: int,
+    seed: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic curriculum schedule (easy-to-hard training order,
+    Bengio et al. 2009): assign every row a ``stage`` from its score and
+    a reproducible read position WITHIN the stage — without ever
+    totally ordering the corpus.
+
+    ``stage_mins`` is a strictly-descending list of score floors:
+    stage 0 = rows scoring ≥ ``stage_mins[0]`` (the "easy"/cleanest
+    tier a curriculum trains on first), stage k = rows scoring ≥
+    ``stage_mins[k]`` but below every earlier floor, and rows below all
+    floors land in the final stage ``len(stage_mins)``. A trainer reads
+    stages in order; within a stage the order is the epoch-shard
+    discipline (:func:`epoch_shards`): ``shard = h % n_shards`` and a
+    ``(stage, shard)``-local rank over ``(h, id)`` — one hash shuffle,
+    per-(stage, shard) in-partition sorts, parallelism = stages ×
+    shards, never a global orderBy and never a whole stage sorted in a
+    single partition. A new seed reshuffles within stages without
+    touching the stage assignment (the curriculum is the score's, the
+    shuffle is the seed's).
+
+    Output: input columns + ``stage`` (int), ``shard`` (int),
+    ``pos_in_shard`` (0-based bigint). Deterministic and
+    layout-independent for the same reasons as the rest of the mixture
+    family — every decision is integer arithmetic on the seeded 60-bit
+    row hash or a comparison on the (round-6, engine-stable) score."""
+    if list(stage_mins) != sorted(stage_mins, reverse=True) or len(
+        set(stage_mins)
+    ) != len(stage_mins):
+        raise ValueError(
+            f"stage_mins must be strictly descending, got {stage_mins}"
+        )
+    stage = F.lit(len(stage_mins))
+    for k in range(len(stage_mins) - 1, -1, -1):
+        stage = F.when(
+            F.col(score_col) >= stage_mins[k], F.lit(k)
+        ).otherwise(stage)
+    h = hash60_expr(id_col, seed, salt="curriculum")
+    w = Window.partitionBy("stage", "shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("stage", stage.cast("int"))
+        .withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
+        .drop("__h")
+    )

@@ -322,6 +322,53 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+CURRICULUM_SEED = 17
+CURRICULUM_SHARDS = 8
+# length tiers over n_chars (bigint — integer comparisons, trivially
+# engine-stable): all three stages non-vacuous at every SF
+# (368/70/62 docs at sf0.001)
+CURRICULUM_STAGE_MINS = [200.0, 120.0]
+
+
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum schedule (operators/mixture.
+    curriculum_order): stage from length tiers, then the epoch-shard
+    read order WITHIN each (stage, shard) — one hash shuffle, per-cell
+    local sorts, never a global orderBy and never a whole stage in one
+    partition. Which scores train first is the caller's policy; the
+    fixture stages longest-first."""
+    from ..operators.mixture import curriculum_order
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return curriculum_order(
+        docs,
+        "n_chars",
+        CURRICULUM_STAGE_MINS,
+        CURRICULUM_SHARDS,
+        CURRICULUM_SEED,
+    ).orderBy("stage", "shard", "pos_in_shard")
+
+
+CURRICULUM_SCHEDULE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN n_chars >= {CURRICULUM_STAGE_MINS[0]} THEN 0
+              WHEN n_chars >= {CURRICULUM_STAGE_MINS[1]} THEN 1
+              ELSE 2 END AS stage,
+         {_h60_sql("curriculum", CURRICULUM_SEED)} AS h60
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(stage AS INT) AS stage,
+       CAST(h60 % {CURRICULUM_SHARDS} AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY stage, h60 % {CURRICULUM_SHARDS}
+                               ORDER BY h60, doc_id) - 1 AS BIGINT) AS pos_in_shard
+FROM h
+ORDER BY stage, shard, pos_in_shard
+"""
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
     "epoch_shards": epoch_shards,
@@ -331,6 +378,7 @@ QUERIES = {
     "training_export_sharded": training_export_sharded,
     "shard_manifest": shard_manifest,
     "verify_manifest": verify_manifest,
+    "curriculum_schedule": curriculum_schedule,
 }
 
 ORACLES: dict[str, str] = {}
@@ -345,4 +393,5 @@ LOCAL_ORACLES = {
     "dataset_split": DATASET_SPLIT_SQL,
     "shard_manifest": SHARD_MANIFEST_SQL,
     "verify_manifest": VERIFY_MANIFEST_SQL,
+    "curriculum_schedule": CURRICULUM_SCHEDULE_SQL,
 }

@@ -75,6 +75,7 @@ HEADLINE = [
     "temperature_mix",
     "shard_manifest",
     "verify_manifest",
+    "curriculum_schedule",
     "quality_sample",
     "corpus_diff",
     # lexical retrieval + published-recipe quality filters (r10)

@@ -660,3 +660,71 @@ def test_token_budget_zero_budget_drops_empty_docs(spark):
     out = token_budget_mix(df, "lang", {"en": 100}, seed=5)
     kept = sorted(r["doc_id"] for r in out.collect())
     assert kept == [1, 2]
+
+
+# ------------------------------------------------------- curriculum order
+
+
+def _curriculum(df, **kw):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        curriculum_order,
+    )
+
+    return curriculum_order(df, **kw)
+
+
+def test_curriculum_stage_assignment_and_dense_positions(docs):
+    base = docs.select("doc_id", "n_chars")
+    out = _curriculum(
+        base, score_col="n_chars", stage_mins=[200.0, 120.0],
+        n_shards=4, seed=9,
+    ).collect()
+    # stage follows the floors exactly
+    for r in out:
+        if r["n_chars"] >= 200:
+            assert r["stage"] == 0
+        elif r["n_chars"] >= 120:
+            assert r["stage"] == 1
+        else:
+            assert r["stage"] == 2
+    # positions are dense 0..k-1 within every (stage, shard) cell
+    cells: dict = {}
+    for r in out:
+        cells.setdefault((r["stage"], r["shard"]), []).append(r["pos_in_shard"])
+    for cell, poss in cells.items():
+        assert sorted(poss) == list(range(len(poss))), cell
+    # partition of the input: every row exactly once
+    assert len(out) == base.count()
+
+
+def test_curriculum_new_seed_reshuffles_within_stage_only(docs):
+    base = docs.select("doc_id", "n_chars")
+    kw = dict(score_col="n_chars", stage_mins=[200.0, 120.0], n_shards=4)
+    a = {r["doc_id"]: (r["stage"], r["shard"], r["pos_in_shard"])
+         for r in _curriculum(base, seed=1, **kw).collect()}
+    b = {r["doc_id"]: (r["stage"], r["shard"], r["pos_in_shard"])
+         for r in _curriculum(base, seed=2, **kw).collect()}
+    # the curriculum (stage) is the score's: identical across seeds
+    assert all(a[i][0] == b[i][0] for i in a)
+    # the within-stage order is the seed's: it must move
+    assert any(a[i][1:] != b[i][1:] for i in a)
+
+
+def test_curriculum_no_global_sort_and_validation(docs):
+    plan = (
+        _curriculum(
+            docs.select("doc_id", "n_chars"),
+            score_col="n_chars", stage_mins=[200.0, 120.0],
+            n_shards=4, seed=9,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" not in plan.lower(), plan
+    with pytest.raises(ValueError, match="descending"):
+        _curriculum(
+            docs.select("doc_id", "n_chars"),
+            score_col="n_chars", stage_mins=[120.0, 200.0],
+            n_shards=4, seed=9,
+        )
