@@ -72,6 +72,105 @@ def bm25_score_expr(
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    consts: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 for a TABLE of queries in one pass — the production serve
+    shape (the ANN operators' probe-set discipline applied to lexical
+    retrieval): ``(query_id, id, score, n_matched)``, top-``k`` per
+    query, deterministic ``(score DESC, id)`` order within each.
+
+    Scale shape: the query side tokenizes with the SAME corpus
+    expression (:func:`..textanalysis.tokens_expr` — one tokenizer by
+    construction, no Python/Java \\s mismatch possible) and broadcasts
+    its distinct ``(query_id, term)`` rows; the corpus explode joins
+    that broadcast INSIDE the scan stage, so — exactly like the
+    single-query isin prune — only tokens some query mentions survive
+    to the shuffle. Document frequency is computed per TERM over the
+    distinct (doc, term) hits (a corpus property — shared by every
+    query that uses the term), and the final top-k is a window over
+    ``query_id`` (the small side). Same round-6 + decimal-sum score
+    determinism as :func:`bm25_topk`."""
+    from pyspark.sql import Window
+
+    from ..functions.coercion import dsum
+
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(tokens_expr(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    toks = tokens_expr(F.col(text_col))
+    hits = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("__dl"),
+        F.explode(toks).alias("term"),
+    ).join(F.broadcast(q_terms), "term")
+    tf = hits.groupBy(query_id_col, id_col, "term", "__dl").agg(
+        F.count("*").alias("tf")
+    )
+    # df is per TERM over distinct docs (query-independent): derive from
+    # the pruned hits, deduped across queries sharing a term
+    term_stats = (
+        tf.select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df_docs"))
+    )
+    if consts is None:
+        consts = docs.agg(
+            F.count("*").alias("__n_docs"),
+            F.avg(F.size(toks)).alias("__avgdl"),
+        )
+    idf = F.log(
+        1.0
+        + (F.col("__n_docs") - F.col("df_docs") + 0.5)
+        / (F.col("df_docs") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(term_stats), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(
+                bm25_score_expr(
+                    F.col("tf").cast("double"),
+                    F.col("__dl").cast("double"),
+                    idf,
+                    F.col("__avgdl"),
+                    k1,
+                    b,
+                ),
+                6,
+            ).alias("__contrib"),
+        )
+    )
+    per_doc = scored.groupBy(query_id_col, id_col).agg(
+        dsum(F.col("__contrib")).alias("score"),
+        F.count("*").alias("n_matched"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col(id_col)
+    )
+    return (
+        per_doc.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+        .orderBy(query_id_col, F.desc("score"), id_col)
+    )
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str | None = None,

@@ -815,6 +815,78 @@ LIMIT {BM25_K}
 """
 
 
+BM25_BATCH_QUERIES = [
+    (1, "spark table merge window"),
+    (2, "hash value batch"),
+    (3, "sort line row"),
+]
+BM25_BATCH_K = 10
+
+
+def bm25_search_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query BM25 (operators/retrieval.bm25_topk_batch):
+    three probe queries scored against the corpus in ONE pass — the
+    production serve shape (the ANN probe-set discipline). Query-side
+    tokenization is the corpus expression itself, so both sides share
+    one tokenizer by construction."""
+    from ..operators.retrieval import bm25_topk_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        BM25_BATCH_QUERIES, ["query_id", "query_text"]
+    )
+    return bm25_topk_batch(docs, qdf, k=BM25_BATCH_K)
+
+
+def _bm25_batch_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in BM25_BATCH_QUERIES)
+    return f"""
+WITH q(query_id, query_text) AS (VALUES {vals}),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(list_filter(regexp_split_to_array(lower(query_text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '')) AS term
+  FROM q
+),
+tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT qt.query_id, h.doc_id, h.dl, h.term
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok) h
+  JOIN qt USING (term)
+),
+tf AS (
+  SELECT query_id, doc_id, term, dl, COUNT(*) AS tf
+  FROM hits GROUP BY query_id, doc_id, term, dl
+),
+dfd AS (
+  SELECT term, COUNT(*) AS df_docs
+  FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term
+),
+c AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tok),
+sc AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(ROUND(
+           ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+           * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         , 6) AS DECIMAL(28,6))) AS DOUBLE) AS score,
+         COUNT(*) AS n_matched
+  FROM tf JOIN dfd USING (term) CROSS JOIN c
+  GROUP BY query_id, doc_id
+),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS r
+  FROM sc
+)
+SELECT query_id, doc_id, score, n_matched
+FROM rk WHERE r <= {BM25_BATCH_K}
+ORDER BY query_id, score DESC, doc_id
+"""
+
+
 GOPHER_PERTURB = "\n- alpha bullet...\n# note line..."
 
 
@@ -2478,6 +2550,7 @@ QUERIES = {
     "neardup_increment": neardup_increment,
     "curate_increment": curate_increment,
     "bm25_search": bm25_search,
+    "bm25_search_batch": bm25_search_batch,
     "gopher_quality": gopher_quality,
     "doc_perplexity": doc_perplexity,
     "doc_perplexity_bigram": doc_perplexity_bigram,
@@ -2559,6 +2632,10 @@ LOCAL_ORACLES = {
     # its 48-oracle cap; the full mirror (pruned explode, Lucene idf,
     # round-6 contributions through the decimal sum) hashes in pytest.
     "bm25_search": _bm25_sql(),
+    # Batched multi-query BM25 (r10): same headroom rule; the mirror
+    # replays the one-pass shape (query-term prune via join, global df
+    # over distinct hits, per-query ROW_NUMBER top-k).
+    "bm25_search_batch": _bm25_batch_sql(),
     # Gopher quality rules (r10): same headroom rule; pure-projection
     # signals mirror exactly (integer-ratio divisions are bit-identical
     # cross-engine; the keep verdict evaluates on the rounded signals).

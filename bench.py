@@ -80,6 +80,7 @@ HEADLINE = [
     "corpus_diff",
     # lexical retrieval + published-recipe quality filters (r10)
     "bm25_search",
+    "bm25_search_batch",
     "gopher_quality",
     "doc_perplexity",
     "doc_perplexity_bigram",

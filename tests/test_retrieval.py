@@ -190,3 +190,37 @@ def test_query_terms_ascii_whitespace_matches_corpus_tokenizer():
         "data pipeline",
         "x",
     ]
+
+
+def test_bm25_batch_matches_single_query_results(spark):
+    """The batched operator's per-query rows equal the single-query
+    operator's output for the same query — one pass over the corpus must
+    not change any score."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(1, "spark merge"), (2, "join rows")], ["query_id", "query_text"]
+    )
+    batch = retrieval.bm25_topk_batch(df, qdf, k=10).collect()
+    by_q: dict = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["n_matched"])
+        )
+    for qid, qtext in [(1, "spark merge"), (2, "join rows")]:
+        single = [
+            (r["doc_id"], r["score"], r["n_matched"])
+            for r in retrieval.bm25_topk(df, qtext, k=10).collect()
+        ]
+        assert by_q[qid] == single, qid
+
+
+def test_bm25_batch_k_truncates_per_query(spark):
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(1, "spark merge"), (2, "merge")], ["query_id", "query_text"]
+    )
+    rows = retrieval.bm25_topk_batch(df, qdf, k=1).collect()
+    per_q = {}
+    for r in rows:
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + 1
+    assert per_q == {1: 1, 2: 1}

@@ -24,7 +24,7 @@ from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark import regist
 from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.session import get_spark  # noqa: E402
 from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources import tables  # noqa: E402
 
-QUERIES = ["bm25_search", "gopher_quality", "doc_perplexity", "doc_perplexity_bigram", "curriculum_schedule"]
+QUERIES = ["bm25_search", "gopher_quality", "doc_perplexity", "doc_perplexity_bigram", "curriculum_schedule", "bm25_search_batch"]
 REPS = 3
 
 
