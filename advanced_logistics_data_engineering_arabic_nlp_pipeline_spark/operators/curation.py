@@ -830,6 +830,7 @@ def curate_increment(
     quality_gate: float | None = None,
     boilerplate_min_doc_frac: float | None = None,
     boilerplate_min_docs: int = 2,
+    substring_k: int | None = None,
     neardup_threshold: float | None = 0.6,
     neardup_k: int = 3,
     eval_df: DataFrame | None = None,
@@ -848,12 +849,16 @@ def curate_increment(
     two shapes drop the same documents) → exact dedup (durable fingerprint index,
     :func:`..dedup.exact_increment`) → boilerplate scrub (durable
     segment-frequency index, :func:`scrub_boilerplate_increment`) →
-    near-dup gate (durable signature index,
-    :func:`..dedup.neardup_increment`) → repetition gate → eval-set
-    decontamination → PII redaction, in exactly the stream's stage order
-    (scrub BEFORE near-dup so shared banners can't false-near-dup
-    documents with disjoint bodies; quality BEFORE the dedup stages so a
-    junk early arrival never becomes a keeper).
+    optional exact-substring span cut (``substring_k``, durable window-
+    hash index, :func:`..dedup.substring_increment` — Lee et al. 2022
+    ExactSubstr as a text-rewriting stage; a doc whose text was ALL
+    duplicate spans drops like an all-boilerplate doc) → near-dup gate
+    (durable signature index, :func:`..dedup.neardup_increment`) →
+    repetition gate → eval-set decontamination → PII redaction, in
+    exactly the stream's stage order (scrub and span-cut BEFORE near-dup
+    so shared banners/passages can't false-near-dup documents with
+    disjoint bodies; quality BEFORE the dedup stages so a junk early
+    arrival never becomes a keeper).
 
     The point: an ingest pipeline alternates shapes over its life — a
     historical bootstrap, stream generations, nightly batch deltas — and
@@ -928,6 +933,20 @@ def curate_increment(
                 caches=caches,
             )
             work = scrub_replace_join(work, scrubbed, text_col, id_col).persist()
+            caches.append(work)
+        if substring_k is not None:
+            from .dedup import substring_increment
+
+            cut = substring_increment(
+                work,
+                index_dir,
+                text_col,
+                id_col,
+                k=substring_k,
+                batch_id=batch_id,
+                caches=caches,
+            )
+            work = scrub_replace_join(work, cut, text_col, id_col).persist()
             caches.append(work)
         if neardup_threshold is not None:
             # materialize=False + caches: the pinned survivors frame and

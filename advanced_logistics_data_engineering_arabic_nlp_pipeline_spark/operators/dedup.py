@@ -1317,3 +1317,287 @@ def neardup_increment(
             if c is not live:
                 c.unpersist()
     return live
+
+
+# ── exact substring-level dedup (Lee et al. 2022) ───────────────────────────
+# "Deduplicating Training Data Makes Language Models Better" (Lee et al.
+# 2022) ExactSubstr: any token span of length ≥ k occurring more than once
+# in the corpus is removed from every occurrence EXCEPT the first. The
+# paper's implementation builds a corpus-wide suffix array — inherently
+# single-machine; the distributed re-expression here is k-shingle coverage
+# marking: a span of ≥ k tokens repeats iff every one of its k-windows
+# repeats, so marking every NON-FIRST duplicate k-window occurrence and
+# cutting the union of their [pos, pos+k) coverage removes exactly the
+# repeated spans (adjacent duplicate windows merge into maximal spans by
+# union, no explicit span-merge pass needed).
+
+SUBSTR_MIN_TOKENS = 50  # the published span threshold (Lee et al. 2022 §4)
+
+
+def _pos_shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, pos, h) — every k-token window of each document: 1-based token
+    position and the md5 of the space-joined window.
+
+    The shuffle key is the md5 HEX STRING (16 bytes of entropy): a 64-bit
+    hash would collide at ~n²/2⁶⁵ across a 100 TB corpus' ~10¹³ windows
+    (millions of expected false span-cuts), while 128 bits keeps the
+    expected collision count ≪ 1 — and md5 is bit-identical in Spark and
+    DuckDB, so the operator stays fully oracle-checkable. Rows are
+    (32-char hash, id, pos) ≈ 50 bytes per token position — linear in
+    corpus token count, never in the pair space.
+
+    Same HOF discipline as :func:`shingles_expr`: the token array binds
+    as a lambda variable (``transform(array(toks), t -> …)``) so the text
+    splits once per row, and each window hashes via k unrolled O(1)
+    ``element_at`` lookups. Documents shorter than k tokens emit nothing:
+    a span of ≥ k tokens cannot exist in them (no whole-text fallback —
+    whole-document duplicates are :func:`dedup_exact`'s job)."""
+    empty = F.array().cast("array<struct<pos:int,h:string>>")
+    shingled = F.coalesce(
+        F.try_element_at(
+            F.transform(
+                F.array(tokens_expr(F.col(text_col))),
+                lambda t: F.when(
+                    F.size(t) >= k,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                        lambda i: F.struct(
+                            i.cast("int").alias("pos"),
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    *[F.element_at(t, i + j) for j in range(k)],
+                                )
+                            ).alias("h"),
+                        ),
+                    ),
+                ).otherwise(empty),
+            ),
+            F.lit(1),
+        ),
+        empty,
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(shingled).alias("s")
+    ).select("id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+
+
+def duplicate_span_cuts(
+    occ: DataFrame, k: int, history: DataFrame | None = None
+) -> DataFrame:
+    """(id, cuts) — per document, the sorted array of 1-based token
+    positions covered by some NON-FIRST duplicate k-window occurrence.
+    Only documents with at least one cut position appear.
+
+    ``occ`` is :func:`_pos_shingle_rows` output. An occurrence is marked
+    when an earlier occurrence of the same hash exists — earlier within
+    ``occ`` under the total (id, pos) order (``row_number`` over the hash;
+    one hash-keyed shuffle, the same linear candidate-generation shape as
+    the Jaccard shingle join), or anywhere in ``history`` (a distinct-hash
+    frame from prior batches: membership alone marks it, the increment
+    path). Marked occurrences explode their k-position coverage; the
+    per-doc union (collect_set) is the cut set."""
+    marked = (
+        occ.withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("h").orderBy("id", "pos")),
+        )
+        .filter(F.col("__rn") > 1)
+        .drop("__rn")
+    )
+    if history is not None:
+        hist_hits = occ.join(
+            history.select(F.col("h")), "h", "semi"
+        )
+        marked = marked.unionByName(hist_hits).dropDuplicates(["id", "pos"])
+    return (
+        marked.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("cp"),
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("cp")).alias("cuts"))
+    )
+
+
+def drop_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SUBSTR_MIN_TOKENS,
+    history: DataFrame | None = None,
+    keep_uncut: bool = False,
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022 ExactSubstr, see the
+    section header above): remove every ≥ k-token span that occurred
+    earlier in the corpus (or in ``history``), keeping the first
+    occurrence. Returns ``(id_col, n_tokens, n_cut, n_spans, text_col)``
+    — token counts, how many tokens were cut, how many maximal duplicate
+    spans they formed, and the rebuilt text (the token-stream form:
+    lowercase, single-space — the same normalization every operator in
+    the text stack scores on). ``keep_uncut=False`` (default) returns
+    only affected documents — the artifact is O(duplication), not
+    O(corpus); ``True`` adds untouched docs (n_cut 0, normalized text).
+
+    Scale shape: one corpus scan explodes (id, pos, md5) window rows
+    (linear in token count, see :func:`_pos_shingle_rows`); one shuffle
+    keyed by the hash finds non-first occurrences; cut positions
+    aggregate per doc (id-keyed shuffle of covered positions only); the
+    rebuild is a slim id-keyed join of the cut arrays back to one more
+    corpus scan — tokens never shuffle, and every per-doc expression
+    (array_except / element_at) is linear in the doc. The k× row blowup
+    of window emission is the documented cost of exactness at this
+    granularity; winnowing (:func:`winnow_fingerprint_rows`) is the
+    sub-linear sketch when approximate pairs suffice.
+
+    ``n_spans`` counts maximal runs of cut positions: cut positions whose
+    predecessor is not cut (``array_except(cuts, cuts+1)``)."""
+    occ = _pos_shingle_rows(df, text_col, id_col, k)
+    cutarr = duplicate_span_cuts(occ, k, history)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    )
+    joined = (
+        docs.join(cutarr, "id", "left" if keep_uncut else "inner")
+        if keep_uncut
+        else docs.join(cutarr, "id")
+    )
+    cuts = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
+    n = F.coalesce(F.size("__toks"), F.lit(0))
+    # keeps = ascending positions not cut (array_except preserves first-
+    # array order); sequence(1, 0) is DESCENDING, so guard empty docs
+    keeps = F.array_except(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        cuts,
+    )
+    # __toks is an attribute ACROSS the join boundary (computed once in
+    # the join child), so referencing it inside the rebuild lambda does
+    # not re-inline the split (the CollapseProject trap only bites within
+    # one projection chain)
+    rebuilt = F.array_join(
+        F.transform(keeps, lambda p: F.element_at(F.col("__toks"), p)), " "
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(cuts), F.lit(0)).cast("bigint").alias("n_cut"),
+        F.coalesce(
+            F.size(F.array_except(cuts, F.transform(cuts, lambda p: p + 1))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+        rebuilt.alias(text_col),
+    )
+
+
+def substring_increment(
+    df: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = SUBSTR_MIN_TOKENS,
+    batch_id: int | None = None,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
+    """Nightly-delta twin of :func:`drop_duplicate_spans` over a durable
+    span-fingerprint index: cut from NEW documents every ≥ k-token span
+    already seen by ANY earlier batch (or earlier in this delta), then
+    register the delta's new window hashes — without re-reading the
+    historical corpus. The :func:`exact_increment` /
+    :func:`~..operators.curation.scrub_boilerplate_increment` index
+    discipline: ``<index_dir>/spanfps/batch=<id>`` (32-byte hash rows,
+    overwrite per batch, strict ``batch < batch_id`` history reads,
+    allocator skips ids written OR reserved by stream-epoch markers), so
+    re-running a delta with an explicit ``batch_id`` is idempotent and
+    the index shares a root with the other increment stages (disjoint
+    subdirs).
+
+    SEMANTICS DIVERGENCE, by construction (the boilerplate-increment
+    trade): already-returned documents are immutable, so a span first
+    seen in batch 0 keeps its batch-0 occurrence even if batch 5 would
+    have been the whole-corpus first occurrence — early batches keep
+    text a batch re-run over the union would also keep (first-occurrence
+    wins either way); what diverges is only WHICH occurrence is first
+    across re-batched corpora.
+
+    Returns one row per DELTA document — ``(id_col, n_tokens, n_cut,
+    n_spans, text_col)``, ``keep_uncut=True`` shape (every delta doc
+    present; the composed pipeline needs untouched docs back) —
+    MATERIALIZED and left PERSISTED: loop callers ``.unpersist()`` each
+    consumed result (the sibling increments' contract). ``caches``:
+    caller-owned failure-safety list, appended as pins happen."""
+    from ..streaming.pipeline import _fs_batch_ids, _index_allocated_ids
+
+    spark = df.sparkSession
+    fps_dir = index_dir.rstrip("/") + "/spanfps"
+    if batch_id is None:
+        batch_id = max(_index_allocated_ids(spark, fps_dir), default=-1) + 1
+
+    own: list[DataFrame] = []
+    track = caches if caches is not None else own
+    occ = _pos_shingle_rows(df, text_col, id_col, k).persist()
+    track.append(occ)
+
+    history = None
+    if any(b < batch_id for b in _fs_batch_ids(spark, fps_dir)):
+        history = (
+            spark.read.option("basePath", fps_dir)
+            .parquet(fps_dir)
+            .filter(F.col("batch") < batch_id)
+            .select("h")
+        )
+
+    cutarr = duplicate_span_cuts(occ, k, history)
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(text_col)).alias("__toks"),
+    )
+    joined = docs.join(cutarr, "id", "left")
+    cuts = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
+    n = F.coalesce(F.size("__toks"), F.lit(0))
+    keeps = F.array_except(
+        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        cuts,
+    )
+    out = joined.select(
+        F.col("id").alias(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.coalesce(F.size(cuts), F.lit(0)).cast("bigint").alias("n_cut"),
+        F.coalesce(
+            F.size(F.array_except(cuts, F.transform(cuts, lambda p: p + 1))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+        F.array_join(
+            F.transform(keeps, lambda p: F.element_at(F.col("__toks"), p)),
+            " ",
+        ).alias(text_col),
+    ).persist()
+    track.append(out)
+    try:
+        out.count()  # materialize BEFORE the index write mutates history
+        new_h = occ.select("h").distinct()
+        if history is not None:
+            # register only UNSEEN hashes: presence-only reads make
+            # duplicates harmless, but the index should grow O(new
+            # vocabulary), not O(re-observed occurrences)
+            new_h = new_h.join(history, "h", "anti")
+        new_h.write.mode("overwrite").parquet(f"{fps_dir}/batch={batch_id}")
+    except BaseException:
+        if caches is None:
+            for c in own:
+                c.unpersist()
+        raise
+    occ.unpersist()
+    return out

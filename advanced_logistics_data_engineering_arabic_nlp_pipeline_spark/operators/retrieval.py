@@ -99,7 +99,17 @@ def bm25_topk_batch(
     distinct (doc, term) hits (a corpus property — shared by every
     query that uses the term), and the final top-k is a window over
     ``query_id`` (the small side). Same round-6 + decimal-sum score
-    determinism as :func:`bm25_topk`."""
+    determinism as :func:`bm25_topk`.
+
+    Blank queries: a query whose text tokenizes to ZERO terms (empty /
+    whitespace-only / NULL) produces no hit rows and is therefore ABSENT
+    from the output — unlike :func:`bm25_topk`, which raises
+    ``ValueError`` for the same input. The batch path stays lazy (no
+    driver-side scan of the query table to pre-validate), so the
+    omission is the documented contract; callers needing the single-path
+    strictness can assert ``output.select(query_id).distinct()`` covers
+    their query ids, or pre-filter with
+    ``F.size(tokens_expr(col)) > 0``."""
     from pyspark.sql import Window
 
     from ..functions.coercion import dsum

@@ -114,9 +114,17 @@ def gopher_signals(text: Column) -> list[Column]:
 
     - ``n_words``: whitespace token count
     - ``mean_word_len``: total token chars / n_words (round 6)
-    - ``alpha_frac``: fraction of words containing ≥1 ASCII letter (round 6)
-    - ``symbol_ratio``: (# of '#' chars + # of '...' occurrences) / n_words
-      (round 6)
+    - ``alpha_frac``: fraction of words containing ≥1 ASCII letter
+      (round 6). Latin-script only, faithful to the English-centric
+      published recipe: a non-Latin-script document (e.g. pure Arabic)
+      scores 0 and always fails the default keep — for non-English
+      corpora, lower ``min_alpha_frac`` or swap the probe for a Unicode
+      letter class before gating.
+    - ``hash_ratio`` / ``ellipsis_char_ratio``: (# of '#' chars) /
+      n_words and (# of '...' occurrences) / n_words, each its own
+      signal with its own 0.1 threshold — the paper applies the
+      symbol-to-word bound to the two symbols SEPARATELY, not to their
+      sum (round 6)
     - ``bullet_frac`` / ``ellipsis_frac``: fraction of non-empty lines
       starting with a bullet ('-' or '*') / ending with '...' (round 6)
     - ``stop_hits``: how many of the 8 required stopwords appear
@@ -160,7 +168,8 @@ def gopher_signals(text: Column) -> list[Column]:
         n.cast("bigint").alias("n_words"),
         F.round(total_chars / n1, 6).alias("mean_word_len"),
         F.round(alpha_hits / n1, 6).alias("alpha_frac"),
-        F.round((hash_cnt + ell_cnt) / n1, 6).alias("symbol_ratio"),
+        F.round(hash_cnt / n1, 6).alias("hash_ratio"),
+        F.round(ell_cnt / n1, 6).alias("ellipsis_char_ratio"),
         F.round(bullet / nl1, 6).alias("bullet_frac"),
         F.round(ell_lines / nl1, 6).alias("ellipsis_frac"),
         stop_hits.alias("stop_hits"),
@@ -180,14 +189,17 @@ def gopher_keep_expr(
 ) -> Column:
     """The Gopher keep-decision over the ALREADY-PROJECTED signal columns
     (:func:`gopher_signals`) — the published thresholds as defaults,
-    overridable per corpus. Evaluated on the ROUNDED signals so the
-    decision is reproducible from the emitted audit columns themselves
-    (and hashes identically cross-engine)."""
+    overridable per corpus. ``max_symbol_ratio`` bounds ``hash_ratio``
+    AND ``ellipsis_char_ratio`` each on its own, as the paper specifies
+    (one threshold, two independent symbol probes). Evaluated on the
+    ROUNDED signals so the decision is reproducible from the emitted
+    audit columns themselves (and hashes identically cross-engine)."""
     return (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
         & (F.col("alpha_frac") >= min_alpha_frac)
-        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("hash_ratio") <= max_symbol_ratio)
+        & (F.col("ellipsis_char_ratio") <= max_symbol_ratio)
         & (F.col("bullet_frac") <= max_bullet_frac)
         & (F.col("ellipsis_frac") <= max_ellipsis_frac)
         & (F.col("stop_hits") >= min_stop_hits)

@@ -388,6 +388,75 @@ ORDER BY doc_a, doc_b
 """
 
 
+# fixture docs run 10-99 tokens, so the paper's 50-token threshold would be
+# near-vacuous; 8 tokens yields ~1000 duplicated windows (~2100 occurrences)
+# at every SF — the same downsizing the Jaccard/winnow constants use
+SUBSTR_K = 8
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022 ExactSubstr,
+    operators/dedup.drop_duplicate_spans): every ≥ SUBSTR_K-token span
+    occurring more than once in the corpus is cut from all but its first
+    (doc_id, pos) occurrence — the span-granularity member of the M1
+    family (exact = whole docs, jaccard/minhash = near-dup pairs, winnow
+    = substring near-dup pairs, boilerplate = repeated lines; this one
+    removes exact repeated SPANS while keeping the documents). One row
+    per affected doc: token count, cut tokens, maximal duplicate spans,
+    and the rebuilt text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dedup.drop_duplicate_spans(docs, "text", "doc_id", k=SUBSTR_K)
+        .withColumnRenamed("text", "text_dedup")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(unnest(range(1, len(toks) - {SUBSTR_K} + 2)) AS INT) AS pos, toks
+  FROM tok WHERE len(toks) >= {SUBSTR_K}
+),
+h AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos:pos + {SUBSTR_K - 1}], ' ')) AS hh
+  FROM occ
+),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+    FROM h)
+  WHERE rn > 1
+),
+cutpos AS (
+  SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + {SUBSTR_K})) AS INT) AS cp
+  FROM marked
+),
+cutarr AS (
+  SELECT doc_id, list(cp ORDER BY cp) AS cuts FROM cutpos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(c.cuts) AS BIGINT) AS n_cut,
+       CAST(len(list_filter(c.cuts, p -> NOT list_contains(c.cuts, p - 1))) AS BIGINT) AS n_spans,
+       -- DuckDB's array_to_string of an EMPTY list is NULL, Spark's
+       -- array_join is '' — coalesce so a fully-cut doc matches
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1), p -> NOT list_contains(c.cuts, CAST(p AS INT))),
+           p -> t.toks[CAST(p AS INT)]),
+         ' '), '') AS text_dedup
+FROM tok t JOIN cutarr c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id
+"""
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6)
@@ -900,9 +969,12 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-vacuous at every SF (the corpus_diff perturbation trick). Pure
     projection — every signal is a codegen expression over one scan."""
     docs = load_table(spark, sf_dir, "documents")
+    # coalesce BEFORE the concat: concat(NULL, perturb) is NULL in Spark but
+    # COALESCE(text,'') || perturb in the oracle — a NULL-text doc would
+    # silently lose its perturbation on one side only (r10 advisory)
     text2 = F.when(
         F.col("doc_id") % 13 == 0,
-        F.concat(F.col("text"), F.lit(GOPHER_PERTURB)),
+        F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(GOPHER_PERTURB)),
     ).otherwise(F.col("text"))
     sig = docs.select("doc_id", *ta.gopher_signals(text2))
     return sig.withColumn("keep", ta.gopher_keep_expr()).orderBy("doc_id")
@@ -932,7 +1004,8 @@ sig AS (
     CAST(len(toks) AS BIGINT) AS n_words,
     ROUND(length(array_to_string(toks, '')) / GREATEST(len(toks), 1), 6) AS mean_word_len,
     ROUND(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) / GREATEST(len(toks), 1), 6) AS alpha_frac,
-    ROUND(((length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '...', ''))) / 3) / GREATEST(len(toks), 1), 6) AS symbol_ratio,
+    ROUND((length(t) - length(replace(t, '#', ''))) / GREATEST(len(toks), 1), 6) AS hash_ratio,
+    ROUND(((length(t) - length(replace(t, '...', ''))) / 3) / GREATEST(len(toks), 1), 6) AS ellipsis_char_ratio,
     ROUND(len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) / GREATEST(len(lines), 1), 6) AS bullet_frac,
     ROUND(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) / GREATEST(len(lines), 1), 6) AS ellipsis_frac,
     CAST({stops} AS BIGINT) AS stop_hits
@@ -942,7 +1015,8 @@ SELECT *,
        (n_words BETWEEN 50 AND 100000)
        AND (mean_word_len BETWEEN 3.0 AND 10.0)
        AND (alpha_frac >= 0.8)
-       AND (symbol_ratio <= 0.1)
+       AND (hash_ratio <= 0.1)
+       AND (ellipsis_char_ratio <= 0.1)
        AND (bullet_frac <= 0.9)
        AND (ellipsis_frac <= 0.3)
        AND (stop_hits >= 2) AS keep
@@ -2502,6 +2576,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "curated_corpus": curated_corpus,
     "dedup_winnow": dedup_winnow,
+    "dedup_substring": dedup_substring,
     "dedup_minhash": dedup_minhash,
     "dedup_simhash": dedup_simhash,
     "similarity_topk": similarity_topk,
@@ -2562,6 +2637,7 @@ ORACLES = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "curated_corpus": CURATED_CORPUS_SQL,
     "dedup_winnow": DEDUP_WINNOW_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_source_stats": LANG_SOURCE_STATS_SQL,

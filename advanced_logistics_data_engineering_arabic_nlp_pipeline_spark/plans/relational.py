@@ -543,7 +543,6 @@ ORACLES = {
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "active_suppliers": ACTIVE_SUPPLIERS_SQL,
     "pricing_summary": PRICING_SUMMARY_SQL,
-    "revenue_rollup": REVENUE_ROLLUP_SQL,
     "revenue_cube": REVENUE_CUBE_SQL,
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
@@ -562,4 +561,9 @@ ORACLES = {
 # (VERDICT r4 "Next round" #2) without losing the local hash check.
 LOCAL_ORACLES = {
     "priority_share_sql": ORDER_PRIORITY_SHARE_SQL,
+    # Demoted round 11 to fund a driver slot for dedup_substring (VERDICT
+    # r10 "Next round" #6): CUBE strictly supersets ROLLUP's grouping sets
+    # over the same aggregate, so revenue_cube's green driver row already
+    # covers every rollup cell; full hash parity still runs in pytest.
+    "revenue_rollup": REVENUE_ROLLUP_SQL,
 }

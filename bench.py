@@ -40,6 +40,8 @@ HEADLINE = [
     "dedup_clusters",
     "curated_corpus",
     "dedup_winnow",
+    # exact substring-level span dedup (r11, Lee et al. 2022)
+    "dedup_substring",
     "dedup_minhash",
     "dedup_simhash",
     "similarity_topk",

@@ -130,7 +130,10 @@ def test_gopher_rules_rule_by_rule(spark):
 
     assert s[1]["keep"] is False and s[1]["n_words"] < 50
 
-    assert s[2]["keep"] is False and s[2]["symbol_ratio"] > 0.1
+    assert s[2]["keep"] is False and s[2]["hash_ratio"] > 0.1
+    # the thresholds are INDEPENDENT (Rae et al. A1.1): doc 2 is hash-heavy
+    # but ellipsis-free — the other symbol probe must not inherit the fail
+    assert s[2]["ellipsis_char_ratio"] == 0.0
 
     assert s[3]["keep"] is False and s[3]["bullet_frac"] == 1.0
 
@@ -178,7 +181,7 @@ def test_gopher_null_text_fails_not_null(spark):
     s = {r["doc_id"]: r.asDict() for r in out.collect()}
     assert s[1]["keep"] is False
     assert s[1]["n_words"] == 0 and s[1]["stop_hits"] == 0
-    assert s[1]["symbol_ratio"] == 0.0
+    assert s[1]["hash_ratio"] == 0.0 and s[1]["ellipsis_char_ratio"] == 0.0
 
 
 def test_query_terms_ascii_whitespace_matches_corpus_tokenizer():
