@@ -1458,15 +1458,22 @@ def drop_duplicate_spans(
     predecessor is not cut (``array_except(cuts, cuts+1)``)."""
     occ = _pos_shingle_rows(df, text_col, id_col, k)
     cutarr = duplicate_span_cuts(occ, k, history)
+    return _span_rebuild(
+        df, cutarr, text_col, id_col, "left" if keep_uncut else "inner"
+    )
+
+
+def _span_rebuild(
+    df: DataFrame, cutarr: DataFrame, text_col: str, id_col: str, how: str
+) -> DataFrame:
+    """Join the per-doc cut arrays back and project the span-dedup output
+    — shared by :func:`drop_duplicate_spans` and
+    :func:`substring_increment`."""
     docs = df.select(
         F.col(id_col).alias("id"),
         tokens_expr(F.col(text_col)).alias("__toks"),
     )
-    joined = (
-        docs.join(cutarr, "id", "left" if keep_uncut else "inner")
-        if keep_uncut
-        else docs.join(cutarr, "id")
-    )
+    joined = docs.join(cutarr, "id", how)
     cuts = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
     n = F.coalesce(F.size("__toks"), F.lit(0))
     # keeps = ascending positions not cut (array_except preserves first-
@@ -1556,34 +1563,7 @@ def substring_increment(
         )
 
     cutarr = duplicate_span_cuts(occ, k, history)
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        tokens_expr(F.col(text_col)).alias("__toks"),
-    )
-    joined = docs.join(cutarr, "id", "left")
-    cuts = F.coalesce(F.col("cuts"), F.array().cast("array<int>"))
-    n = F.coalesce(F.size("__toks"), F.lit(0))
-    keeps = F.array_except(
-        F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-            F.array().cast("array<int>")
-        ),
-        cuts,
-    )
-    out = joined.select(
-        F.col("id").alias(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        F.coalesce(F.size(cuts), F.lit(0)).cast("bigint").alias("n_cut"),
-        F.coalesce(
-            F.size(F.array_except(cuts, F.transform(cuts, lambda p: p + 1))),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("n_spans"),
-        F.array_join(
-            F.transform(keeps, lambda p: F.element_at(F.col("__toks"), p)),
-            " ",
-        ).alias(text_col),
-    ).persist()
+    out = _span_rebuild(df, cutarr, text_col, id_col, "left").persist()
     track.append(out)
     try:
         out.count()  # materialize BEFORE the index write mutates history

@@ -534,3 +534,141 @@ def curriculum_order(
         .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
         .drop("__h")
     )
+
+
+# ── DSIR importance resampling (Xie et al. 2023) ─────────────────────────────
+# "Data Selection for Language Models via Importance Resampling": select raw
+# documents whose hashed-n-gram feature distribution resembles a TARGET
+# corpus — fit bag-of-hashed-ngrams models on target and raw, weight each
+# raw doc by the per-occurrence log-ratio sum, then Gumbel top-k resample.
+# Everything below is the mixture family's discipline applied to the paper:
+# the feature hash is the seeded md5-60-bit projection (layout-independent,
+# engine-mirrorable), the log-ratio table is a bounded n_buckets-row
+# broadcast artifact, scoring is one scan + broadcast join + per-doc
+# reduce, and the only "randomness" (the Gumbel noise) is a pure function
+# of (seed, id) — the same selection on any cluster, any engine.
+
+DSIR_N_BUCKETS = 256  # paper uses 10k; fixture corpora hash densely at 256
+DSIR_ALPHA = 0.5
+
+
+def dsir_bucket_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None = None,
+    n_buckets: int = DSIR_N_BUCKETS,
+    seed: int = 0,
+) -> DataFrame:
+    """(``id``?, ``bucket``) — one row per unigram AND bigram OCCURRENCE
+    (multiplicity preserved: the paper's features are counts), hashed
+    into ``n_buckets`` via the seeded 60-bit projection. One scan, one
+    explode; nothing shuffles here."""
+    from .curation import ngrams_expr
+    from .textanalysis import tokens_expr
+
+    grams = F.concat(
+        tokens_expr(F.col(text_col)), ngrams_expr(F.col(text_col), 2)
+    )
+    cols = [F.col(id_col).alias("id")] if id_col is not None else []
+    rows = df.select(*cols, F.explode(grams).alias("gram"))
+    bucket = F.pmod(
+        hash60_expr(F.col("gram"), seed, salt="dsir"), F.lit(n_buckets)
+    ).cast("int")
+    return rows.select(*(["id"] if id_col is not None else []), bucket.alias("bucket"))
+
+
+def dsir_log_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DSIR_N_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    seed: int = 0,
+) -> DataFrame:
+    """The bounded ``(bucket, lam)`` importance table: ``lam =
+    ln(p_target(bucket)) − ln(p_raw(bucket))`` under add-alpha smoothing
+    over the FULL bucket domain (``T + alpha·n_buckets`` mass), round-8.
+    Built over the buckets observed in RAW (a raw document can only
+    reference those, so the scoring join never misses); target counts
+    left-join in with 0 for unseen buckets. Two combiner-friendly
+    groupBys of O(n_buckets) keys — corpus size only affects the scan."""
+    rb = (
+        dsir_bucket_rows(raw, text_col, None, n_buckets, seed)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("__cr"))
+    )
+    tb = (
+        dsir_bucket_rows(target, text_col, None, n_buckets, seed)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("__ct"))
+    )
+    tot = (
+        rb.agg(F.sum("__cr").alias("__tr"))
+        .crossJoin(tb.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt")))
+    )
+    return (
+        rb.join(tb, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + alpha)
+                    / (F.col("__tt") + alpha * n_buckets)
+                )
+                - F.log(
+                    (F.col("__cr") + alpha) / (F.col("__tr") + alpha * n_buckets)
+                ),
+                8,
+            ).alias("lam"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_N_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR selection: ``(id_col, log_weight, gumbel_key)`` — the top-``k``
+    raw documents under Gumbel-top-k sampling ∝ importance weight (the
+    paper's resampling step: ``key = log w + Gumbel(0,1)``, take the k
+    largest — equivalent to sampling k docs without replacement with
+    probability proportional to w).
+
+    ``log w(doc) = Σ_occurrences lam(bucket)`` via one broadcast join of
+    the bounded log-ratio table + a per-doc decimal-sum reduce; the
+    Gumbel noise is ``−ln(−ln(u))`` with ``u = (hash60(seed, id) + 0.5)
+    / HASH_SPACE`` — strictly inside (0, 1), per-row deterministic, so
+    the selection is reproducible on any layout and mirrorable in SQL.
+    The top-k is a TakeOrdered (orderBy + limit — never a global sort at
+    scale); keys round to 6 dp with an id tiebreak so the boundary is
+    engine-stable. Documents with zero tokens have no features and are
+    not candidates (no rows)."""
+    from ..functions.coercion import dsum
+
+    lam = dsir_log_ratio_table(raw, target, text_col, n_buckets, alpha, seed)
+    occ = dsir_bucket_rows(raw, text_col, id_col, n_buckets, seed)
+    logw = (
+        occ.join(F.broadcast(lam), "bucket")
+        .groupBy("id")
+        .agg(dsum(F.col("lam"), scale=8).alias("__lw"))
+    )
+    u = (
+        hash60_expr(F.col("id"), seed, salt="dsirg").cast("double") + 0.5
+    ) / float(HASH_SPACE)
+    key = F.round(F.col("__lw") + -F.log(-F.log(u)), 6)
+    return (
+        logw.select(
+            F.col("id").alias(id_col),
+            F.round(F.col("__lw"), 6).alias("log_weight"),
+            key.alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), id_col)
+        .limit(k)
+    )

@@ -181,6 +181,28 @@ def bm25_topk_batch(
     )
 
 
+def _bm25_batch_stats(
+    docs: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """One delta's index rows: ``(term, df_docs)`` + the MERGEABLE
+    constants ``(__n_docs, __total_dl)`` — token-count SUM, not the
+    average, so increments recompose the union's exact avgdl
+    (``Σ total_dl / Σ n_docs``) without ever re-reading old batches'
+    text."""
+    toks = tokens_expr(F.col(text_col))
+    exploded = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
+    )
+    term_stats = exploded.groupBy("term").agg(F.count("*").alias("df_docs"))
+    consts = docs.agg(
+        F.count("*").alias("__n_docs"),
+        F.coalesce(F.sum(F.size(toks)), F.lit(0)).cast("bigint").alias(
+            "__total_dl"
+        ),
+    )
+    return term_stats, consts
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str | None = None,
@@ -194,12 +216,25 @@ def build_bm25_index(
     the vocabulary (combiner-friendly: a term's count is one key), one
     aggregate-only scan for the constants.
 
-    With ``path``, both land as parquet (``<path>/terms``,
-    ``<path>/consts``) and are re-read — the durable shape the ANN
-    index lifecycle uses (similarity.build_pq_index): the corpus is
-    scanned at BUILD time, never at serve time, and serve-side term
-    lookups prune the terms table by query term straight down to the
-    parquet scan."""
+    With ``path``, both land as parquet under the INCREMENTAL layout
+    (``<path>/terms/batch=0``, ``<path>/consts/batch=0`` — per-batch
+    ``(term, df_docs)`` deltas plus mergeable ``(__n_docs,
+    __total_dl)`` totals, the exact_increment/neardup_increment index
+    discipline) and the merged view is re-read via
+    :func:`load_bm25_index` — the durable shape the ANN index lifecycle
+    uses (similarity.build_pq_index): the corpus is scanned at BUILD
+    time, never at serve time, serve-side term lookups prune the terms
+    table by query term straight down to the parquet scan, and corpus
+    growth appends deltas through :func:`bm25_index_add` instead of a
+    full rebuild."""
+    if path is not None:
+        term_stats, consts = _bm25_batch_stats(docs, text_col, id_col)
+        base = path.rstrip("/")
+        term_stats.write.mode("overwrite").parquet(f"{base}/terms/batch=0")
+        consts.coalesce(1).write.mode("overwrite").parquet(
+            f"{base}/consts/batch=0"
+        )
+        return load_bm25_index(docs.sparkSession, path)
     toks = tokens_expr(F.col(text_col))
     exploded = docs.select(
         F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
@@ -209,24 +244,92 @@ def build_bm25_index(
         F.count("*").alias("__n_docs"),
         F.avg(F.size(toks)).alias("__avgdl"),
     )
-    if path is not None:
-        spark = docs.sparkSession
-        base = path.rstrip("/")
-        term_stats.write.mode("overwrite").parquet(f"{base}/terms")
-        consts.write.mode("overwrite").parquet(f"{base}/consts")
-        return spark.read.parquet(f"{base}/terms"), spark.read.parquet(
-            f"{base}/consts"
-        )
     return term_stats, consts
 
 
-def load_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """Re-open a :func:`build_bm25_index` artifact: ``(term_stats,
-    consts)`` frames backed by the parquet tables."""
+def bm25_index_add(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_id: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Append a corpus DELTA to a durable BM25 index — the lexical index
+    joins the nightly-delta story (VERDICT r10 #3): new documents'
+    ``(term, df_docs)`` counts and ``(__n_docs, __total_dl)`` totals land
+    as ``batch=<id>`` partitions; :func:`load_bm25_index` SUMS across
+    batches, which is exact because df and the avgdl numerator/denominator
+    are all additive over DISJOINT document sets (the increment contract
+    shared with the dedup increments: each document enters the index
+    once — run the delta through exact_increment first if re-delivery is
+    possible).
+
+    Discipline mirrors :func:`~.curation.scrub_boilerplate_increment`:
+    ``batch_id`` defaults past every id written in EITHER dir (a
+    half-written batch is taken; re-run it explicitly to repair);
+    explicit ``batch_id`` makes a re-run idempotent (per-batch overwrite).
+    The two writes are not atomic — a crash between them leaves a batch
+    that :func:`load_bm25_index` EXCLUDES (complete-in-both-dirs reads:
+    serving with the terms half but not its doc mass would skew idf for
+    every query) until the same delta re-runs with the same id. Single
+    writer at a time per index. Returns the merged ``(term_stats,
+    consts)`` view over the updated index."""
+    from ..streaming.pipeline import _fs_batch_ids
+
     base = path.rstrip("/")
-    return spark.read.parquet(f"{base}/terms"), spark.read.parquet(
-        f"{base}/consts"
+    terms_ids = set(_fs_batch_ids(docs.sparkSession, f"{base}/terms"))
+    consts_ids = set(_fs_batch_ids(docs.sparkSession, f"{base}/consts"))
+    if batch_id is None:
+        batch_id = max(terms_ids | consts_ids, default=-1) + 1
+    term_stats, consts = _bm25_batch_stats(docs, text_col, id_col)
+    term_stats.write.mode("overwrite").parquet(
+        f"{base}/terms/batch={batch_id}"
     )
+    consts.coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/consts/batch={batch_id}"
+    )
+    return load_bm25_index(docs.sparkSession, path)
+
+
+def load_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Re-open a durable BM25 index as the merged ``(term_stats,
+    consts)`` serve view: per-term df SUM over complete batches and the
+    one-row ``(__n_docs, __avgdl)`` with avgdl recomposed from the summed
+    totals. Only batches present in BOTH dirs are read (see
+    :func:`bm25_index_add`). The per-term aggregation stays
+    combiner-friendly and the serve path's term-prune filter still
+    reaches the parquet scan (filter on ``term`` below the groupBy)."""
+    from ..streaming.pipeline import _fs_batch_ids
+
+    base = path.rstrip("/")
+    complete = sorted(
+        set(_fs_batch_ids(spark, f"{base}/terms"))
+        & set(_fs_batch_ids(spark, f"{base}/consts"))
+    )
+    if not complete:
+        raise ValueError(
+            f"no complete (terms + consts) batches under {base!r} — build "
+            "the index with build_bm25_index(path=...) first"
+        )
+    terms = (
+        spark.read.option("basePath", f"{base}/terms")
+        .parquet(f"{base}/terms")
+        .filter(F.col("batch").isin(complete))
+        .groupBy("term")
+        .agg(F.sum("df_docs").alias("df_docs"))
+    )
+    consts = (
+        spark.read.option("basePath", f"{base}/consts")
+        .parquet(f"{base}/consts")
+        .filter(F.col("batch").isin(complete))
+        .agg(
+            F.sum("__n_docs").alias("__n_docs"),
+            (
+                F.sum("__total_dl").cast("double") / F.sum("__n_docs")
+            ).alias("__avgdl"),
+        )
+    )
+    return terms, consts
 
 
 def bm25_topk(

@@ -93,6 +93,169 @@ def lang_id(text: Column) -> Column:
     )
 
 
+# ── model-based language ID (char-n-gram profiles) ──────────────────────────
+# The production shape behind the stopword-vote heuristic above (VERDICT
+# r10 #4): train per-language character-n-gram profiles once, broadcast the
+# bounded (lang, gram, logp) table, and score documents with a join + mean
+# log-prob — the lm.py discipline applied to language classification
+# (Cavnar & Trenkle 1994 n-gram text categorization, naive-Bayes scoring).
+
+# deterministic seed corpus: public high-frequency function words per
+# language — enough signal for the classifier's fixtures; production swaps
+# in real per-language sample text via train_lang_profiles(seed_df=...)
+LANG_PROFILE_SEED = {
+    "en": "the of and to in is was he that it his her you for on are as"
+    " with they be at one have this from had we she which or their",
+    "es": "el la los las de y un una del en es que no se por para con su"
+    " al lo como mas pero sus le ya o fue este ha si porque",
+    "fr": "le la les de des et un une du en est il elle que qui ne pas"
+    " pour dans ce cette au aux sur avec son ses mais ou nous vous",
+    "de": "der die das und ist ein eine von den dem des im mit nicht sich"
+    " auf für auch als an es er sie nach bei aus zu wird oder",
+}
+
+LANG_NGRAM_N = 3
+LANG_NGRAM_ALPHA = 0.5
+
+
+def _char_norm(text: Column) -> Column:
+    """Lowercase + squeeze ASCII whitespace runs to one space + trim
+    spaces — the winnow_normalize rule, so the gram stream is identical
+    cross-engine (bare SQL trim strips Unicode Zs; spell the class)."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[ \\t\\n\\r\\f\\v]+", " ")
+    )
+
+
+def char_ngrams_expr(text: Column, n: int = LANG_NGRAM_N) -> Column:
+    """All overlapping character n-grams of the normalized text (empty
+    array below n chars). The normalized string binds as a LAMBDA
+    VARIABLE (``transform(array(norm), t -> …)``) so it is computed once
+    per row — referencing it through the projection re-inlines the
+    regexp_replace into every per-position substring (the shingles_expr
+    lesson, operators/dedup.py:54)."""
+    empty = F.array().cast("array<string>")
+    return F.coalesce(
+        F.try_element_at(
+            F.transform(
+                F.array(_char_norm(text)),
+                lambda t: F.when(
+                    F.length(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                        lambda i: F.substring(t, i, n),
+                    ),
+                ).otherwise(empty),
+            ),
+            F.lit(1),
+        ),
+        empty,
+    )
+
+
+def lang_profile_seed_df(spark, seed: dict[str, str] | None = None):
+    """The literal (lang, text) training frame for
+    :func:`train_lang_profiles` — :data:`LANG_PROFILE_SEED` by default."""
+    rows = sorted((seed or LANG_PROFILE_SEED).items())
+    return spark.createDataFrame(rows, "lang string, text string")
+
+
+def train_lang_profiles(
+    seed_df, text_col: str = "text", n: int = LANG_NGRAM_N,
+    alpha: float = LANG_NGRAM_ALPHA,
+):
+    """Train the per-language char-n-gram profiles: returns ``(profiles,
+    consts)`` — ``(lang, gram, logp)`` add-alpha log-probs over each
+    language's gram distribution and ``(lang, oov_logp)`` for grams
+    unseen by that language (smoothing over V_lang + 1 classes, the
+    unigram_lm_stats recipe per language). Both artifacts are bounded by
+    the seed corpus (languages × their gram vocab), so scoring
+    broadcasts them — the corpus side never shuffles on a content key."""
+    grams = seed_df.select(
+        "lang", F.explode(char_ngrams_expr(F.col(text_col), n)).alias("gram")
+    )
+    counts = grams.groupBy("lang", "gram").agg(F.count("*").alias("c"))
+    consts = counts.groupBy("lang").agg(
+        F.sum("c").alias("__t"), F.count("*").alias("__v")
+    )
+    denom = F.col("__t") + alpha * (F.col("__v") + 1.0)
+    profiles = (
+        counts.join(consts, "lang")
+        .select(
+            "lang",
+            "gram",
+            F.round(F.log((F.col("c") + alpha) / denom), 8).alias("logp"),
+        )
+    )
+    oov = consts.select(
+        "lang", F.round(F.log(F.lit(alpha) / denom), 8).alias("oov_logp")
+    )
+    return profiles, oov
+
+
+def lang_id_ngram_scores(
+    docs,
+    profiles,
+    oov,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = LANG_NGRAM_N,
+):
+    """Per-document language prediction under the trained profiles:
+    ``(id_col, pred_lang, score)`` — score is the MEAN per-gram log-prob
+    (length-normalized, so scores compare across documents), prediction
+    is the argmax language with a deterministic lang tiebreak; documents
+    with no grams predict ``unknown`` (score NULL).
+
+    Scale shape: one corpus scan explodes (id, gram); the only joins are
+    against the BROADCAST profile/oov tables; per-(doc, lang) partial
+    sums reduce map-side; the doc×lang grid (langs is O(10)) comes from a
+    broadcast cross join of the slim per-doc gram counts — the corpus
+    text never shuffles. Determinism: round-8 log-probs, decimal sum,
+    round-6 mean (the lm.py discipline)."""
+    from pyspark.sql import Window
+
+    from ..functions.coercion import dsum
+
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(char_ngrams_expr(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "lang")
+        .agg(dsum(F.col("logp"), scale=8).alias("__s"), F.count("*").alias("__h"))
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(char_ngrams_expr(F.col(text_col), n)).cast("bigint").alias("__n"),
+    ).crossJoin(F.broadcast(oov))
+    scored = base.join(hits, [id_col, "lang"], "left").select(
+        F.col(id_col),
+        F.col("lang"),
+        F.col("__n"),
+        F.round(
+            (
+                F.coalesce(F.col("__s"), F.lit(0.0))
+                + (F.col("__n") - F.coalesce(F.col("__h"), F.lit(0)))
+                * F.col("oov_logp")
+            )
+            / F.greatest(F.col("__n"), F.lit(1)),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), "lang")
+    best = scored.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1
+    )
+    return best.select(
+        F.col(id_col),
+        F.when(F.col("__n") > 0, F.col("lang"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_lang"),
+        F.when(F.col("__n") > 0, F.col("score")).alias("score"),
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic content fingerprint: md5 of the sorted distinct token
     set — bag-of-words identity, robust to word order (cheap near-dup key)."""

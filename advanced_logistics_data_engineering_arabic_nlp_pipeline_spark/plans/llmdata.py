@@ -252,7 +252,13 @@ def _quality_case_sql(mtl: str, sw: str) -> str:
     )
 
 
-def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curated_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    gopher: bool = False,
+    perplexity_max_ce: float | None = None,
+) -> DataFrame:
     """End-to-end curation — the pipeline this engine exists for, as ONE
     declarative plan: quality gate (Gopher-style cheap filters, strict
     ``CURATION_QUALITY_GATE`` profile) → exact-dup keeper (min doc_id per
@@ -261,6 +267,14 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     never collide on the fixtures) → near-dup cluster keeper (Jaccard
     pairs → connected components, drop non-representatives). Returns the
     surviving corpus ledger.
+
+    ``gopher`` / ``perplexity_max_ce`` (r11, both default OFF — the
+    registered driver row keeps its long-stable profile): enable the
+    ledger's published-recipe stages — the Gopher rules under the
+    ``LEDGER_GOPHER_*`` profile and the CCNet-style LM gate — as extra
+    semi-join filters in the same quality-before-dedup slot. The
+    curation_ledger audits EXACTLY ``curated_corpus(gopher=True,
+    perplexity_max_ce=LEDGER_MAX_CE)`` (one profile; invariant-pytested).
 
     Composition notes: dup structures are computed over the FULL corpus
     (curation must not resurrect a duplicate just because its twin failed
@@ -281,10 +295,27 @@ def curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     non_keepers = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
+    out = docs.withColumn("quality", ta.quality_score(t)).filter(
+        F.col("quality") >= CURATION_QUALITY_GATE
+    )
+    if gopher:
+        g = (
+            _ledger_gopher_ok(docs)
+            .filter(F.col("g_ok"))
+            .select("doc_id")
+        )
+        out = out.join(g, "doc_id", "semi")
+    if perplexity_max_ce is not None:
+        from ..operators.lm import perplexity_score
+
+        p = (
+            perplexity_score(docs, vocab_size=LM_VOCAB_SIZE, alpha=LM_ALPHA)
+            .filter(F.col("cross_entropy") <= perplexity_max_ce)
+            .select("doc_id")
+        )
+        out = out.join(p, "doc_id", "semi")
     return (
-        docs.withColumn("quality", ta.quality_score(t))
-        .filter(F.col("quality") >= CURATION_QUALITY_GATE)
-        .join(exact_keep, "doc_id", "semi")
+        out.join(exact_keep, "doc_id", "semi")
         .join(non_keepers, "doc_id", "anti")
         .select("doc_id", "lang", "source", "n_chars", "quality")
         .orderBy("doc_id")
@@ -457,6 +488,82 @@ ORDER BY t.doc_id
 """
 
 
+def dedup_substring_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly-delta exact-substring pass
+    (operators/dedup.substring_increment) end-to-end against a fresh
+    durable window-hash index: bootstrap from the historical 2/3 of the
+    corpus (``doc_id % 3 != 0``, batch 0), then cut the remaining third
+    as the arriving delta (batch 1) — spans the history has seen vanish
+    from tonight's documents without re-reading the history. Unlike the
+    near-dup increment this IS SQL-expressible for a fixed two-batch
+    split (an occurrence is cut iff its window hash is in the history's
+    distinct-hash set OR repeats earlier within the delta), so the whole
+    durable-index path is hash-oracle-checked, not rows-only.
+
+    Returns every delta doc (``keep_uncut=True`` shape). The result frame
+    is left persisted per the increment contract; the bench/driver
+    ``clearCache()`` between queries releases it."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    index_dir = _increment_index_dir("substring")
+    dedup.substring_increment(
+        hist, index_dir, "text", "doc_id", k=SUBSTR_K, batch_id=0
+    ).unpersist()
+    out = dedup.substring_increment(
+        delta, index_dir, "text", "doc_id", k=SUBSTR_K, batch_id=1
+    )
+    return out.withColumnRenamed("text", "text_dedup").orderBy("doc_id")
+
+
+DEDUP_SUBSTRING_INCREMENT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(unnest(range(1, len(toks) - {SUBSTR_K} + 2)) AS INT) AS pos, toks
+  FROM tok WHERE len(toks) >= {SUBSTR_K}
+),
+h AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos:pos + {SUBSTR_K - 1}], ' ')) AS hh
+  FROM occ
+),
+hist AS (SELECT DISTINCT hh FROM h WHERE doc_id % 3 <> 0),
+delta AS (SELECT doc_id, pos, hh FROM h WHERE doc_id % 3 = 0),
+marked AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           ROW_NUMBER() OVER (PARTITION BY hh ORDER BY doc_id, pos) AS rn
+    FROM delta)
+  WHERE rn > 1
+  UNION
+  SELECT doc_id, pos FROM delta WHERE hh IN (SELECT hh FROM hist)
+),
+cutpos AS (
+  SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + {SUBSTR_K})) AS INT) AS cp
+  FROM marked
+),
+cutarr AS (
+  SELECT doc_id, list(cp ORDER BY cp) AS cuts FROM cutpos GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(len(c.cuts), 0) AS BIGINT) AS n_cut,
+       CAST(COALESCE(len(list_filter(c.cuts, p -> NOT list_contains(c.cuts, p - 1))), 0) AS BIGINT) AS n_spans,
+       COALESCE(array_to_string(
+         list_transform(
+           list_filter(range(1, len(t.toks) + 1), p -> NOT list_contains(COALESCE(c.cuts, []), CAST(p AS INT))),
+           p -> t.toks[CAST(p AS INT)]),
+         ' '), '') AS text_dedup
+FROM tok t LEFT JOIN cutarr c ON t.doc_id = c.doc_id
+WHERE t.doc_id % 3 = 0
+ORDER BY t.doc_id
+"""
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.6)
@@ -625,6 +732,138 @@ SELECT doc_id, n_tokens, n_units, stop_ratio, mean_token_len,
        md5(COALESCE(array_to_string(list_sort(list_distinct(toks)), ' '), '')) AS fp
 FROM m
 ORDER BY doc_id
+"""
+
+
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based language ID (operators/textanalysis.train_lang_profiles
+    / lang_id_ngram_scores — Cavnar & Trenkle 1994 char-n-gram
+    categorization, VERDICT r10 #4): per-language trigram profiles
+    trained on the deterministic seed corpus, broadcast, and scored as a
+    length-normalized mean log-prob with an argmax prediction per doc.
+    The production upgrade path for the stopword-vote heuristic
+    (`text_quality.lang_pred`, which stays registered unchanged); the
+    fixtures' synthetic text is English-like for every `lang` label, so
+    prediction skew toward 'en' here is the honest output — the
+    labeled-fixture accuracy check lives in pytest with real per-language
+    sentences."""
+    docs = load_table(spark, sf_dir, "documents")
+    profiles, oov = ta.train_lang_profiles(ta.lang_profile_seed_df(spark))
+    return ta.lang_id_ngram_scores(docs, profiles, oov).orderBy("doc_id")
+
+
+def _lang_id_ngram_sql() -> str:
+    a = ta.LANG_NGRAM_ALPHA
+    seed_vals = ", ".join(
+        f"('{lang}', '{text}')"
+        for lang, text in sorted(ta.LANG_PROFILE_SEED.items())
+    )
+    grams = (
+        "CASE WHEN length(t2) >= 3 THEN list_transform(range(1, length(t2) - 1),"
+        " i -> substring(t2, CAST(i AS INT), 3)) ELSE [] END"
+    )
+    norm = "trim(regexp_replace(lower(COALESCE({c}, '')), '[ \\t\\n\\r\\f\\v]+', ' ', 'g'), ' ')"
+    return f"""
+WITH seed(lang, t) AS (VALUES {seed_vals}),
+sn AS (SELECT lang, {norm.format(c='t')} AS t2 FROM seed),
+sgr AS (SELECT lang, unnest({grams}) AS gram FROM sn),
+cnt AS (SELECT lang, gram, COUNT(*) AS c FROM sgr GROUP BY lang, gram),
+lcst AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS t, CAST(COUNT(*) AS DOUBLE) AS v FROM cnt GROUP BY lang),
+prof AS (
+  SELECT cnt.lang, gram, ROUND(ln((c + {a}) / (t + {a} * (v + 1.0))), 8) AS logp
+  FROM cnt JOIN lcst USING (lang)),
+oovt AS (SELECT lang, ROUND(ln({a} / (t + {a} * (v + 1.0))), 8) AS oov_logp FROM lcst),
+dt AS (SELECT doc_id, {norm.format(c='text')} AS t2 FROM documents),
+dg AS (SELECT doc_id, unnest({grams}) AS gram FROM dt),
+hits AS (
+  SELECT doc_id, lang, CAST(SUM(CAST(logp AS DECIMAL(28,8))) AS DOUBLE) AS s, COUNT(*) AS h
+  FROM dg JOIN prof USING (gram) GROUP BY doc_id, lang),
+base AS (SELECT doc_id, CAST(GREATEST(length(t2) - 2, 0) AS BIGINT) AS n FROM dt),
+scored AS (
+  SELECT b.doc_id, o.lang, b.n,
+         ROUND((COALESCE(h.s, 0) + (b.n - COALESCE(h.h, 0)) * o.oov_logp) / GREATEST(b.n, 1), 6) AS score
+  FROM base b CROSS JOIN oovt o LEFT JOIN hits h ON h.doc_id = b.doc_id AND h.lang = o.lang),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS r FROM scored)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN lang ELSE 'unknown' END AS pred_lang,
+       CASE WHEN n > 0 THEN score END AS score
+FROM rk WHERE r = 1
+ORDER BY doc_id
+"""
+
+
+DSIR_SEED = 7
+DSIR_K = 50
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023,
+    operators/mixture.dsir_resample): select the 50 raw docs whose hashed
+    unigram+bigram distribution best resembles the ``src0`` target slice,
+    by Gumbel-top-k over per-doc importance log-weights. Every decision is
+    a pure function of (seed, row) — layout-independent, SQL-mirrorable."""
+    from ..operators import mixture as mx
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == DSIR_TARGET_SOURCE)
+    raw = docs.filter(F.col("source") != DSIR_TARGET_SOURCE)
+    return mx.dsir_resample(raw, target, k=DSIR_K, seed=DSIR_SEED).orderBy(
+        F.desc("gumbel_key"), "doc_id"
+    )
+
+
+def _dsir_sql() -> str:
+    from ..operators.mixture import DSIR_ALPHA, DSIR_N_BUCKETS, HASH_SPACE
+
+    a, B = DSIR_ALPHA, DSIR_N_BUCKETS
+    grams = (
+        "list_concat(toks, CASE WHEN len(toks) >= 2 THEN "
+        "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+        " ELSE [] END)"
+    )
+    bucket = (
+        f"CAST(('0x' || substr(md5('dsir:{DSIR_SEED}:' || gram), 1, 15))::BIGINT"
+        f" % {B} AS INT)"
+    )
+    return f"""
+WITH rtok AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, source, {bucket} AS bucket
+  FROM (SELECT doc_id, source, unnest({grams}) AS gram FROM rtok)
+),
+rb AS (SELECT bucket, COUNT(*) AS cr FROM occ WHERE source <> '{DSIR_TARGET_SOURCE}' GROUP BY bucket),
+tb AS (SELECT bucket, COUNT(*) AS ct FROM occ WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY bucket),
+tot AS (
+  SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM rb) AS tr,
+         (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) FROM tb) AS tt
+),
+lam AS (
+  SELECT rb.bucket,
+         ROUND(ln((COALESCE(tb.ct, 0) + {a}) / (tot.tt + {a} * {B}))
+               - ln((rb.cr + {a}) / (tot.tr + {a} * {B})), 8) AS lam
+  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN tot
+),
+lw AS (
+  SELECT doc_id, CAST(SUM(CAST(lam AS DECIMAL(28,8))) AS DOUBLE) AS lwv
+  FROM (SELECT doc_id, bucket FROM occ WHERE source <> '{DSIR_TARGET_SOURCE}') o
+  JOIN lam USING (bucket)
+  GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         ROUND(lwv, 6) AS log_weight,
+         ROUND(lwv + -ln(-ln((CAST(('0x' || substr(md5('dsirg:{DSIR_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) + 0.5) / {float(HASH_SPACE)!r})), 6) AS gumbel_key
+  FROM lw
+)
+SELECT doc_id, log_weight, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {DSIR_K}
 """
 
 
@@ -1964,33 +2203,84 @@ ORDER BY tr.id
 """
 
 
+# The ledger's r11 stages (VERDICT r10 "Next round" #2): the published
+# Gopher rules and the CCNet-style LM perplexity gate join the audit as
+# first-failing-stage reasons. Thresholds are the published defaults
+# EXCEPT the two the fixtures force (same downsizing as SUBSTR_K /
+# JACCARD constants): min_words 30 (docs run 10-99 tokens; 50 would gut
+# the corpus) and min_stop_hits 1 (of the paper's 8 required stopwords
+# only 'the'/'to'-class words exist in the synthetic vocabulary —
+# stop_hits >= 2 is False for ALL 500 docs at every SF, a vacuous-fail
+# stage that would audit nothing). CE bound 5.4 sits at ~p90 of the
+# gate-surviving docs' self-perplexity (measured sf0.001/0.01), so the
+# reason is non-vacuous at both SFs without dominating the ledger.
+LEDGER_GOPHER_MIN_WORDS = 30
+LEDGER_GOPHER_MIN_STOP_HITS = 1
+LEDGER_MAX_CE = 5.4
+
+
+def _ledger_gopher_ok(docs: DataFrame) -> DataFrame:
+    """(doc_id, g_ok) — the ledger's Gopher verdict over RAW text (no
+    demo perturbation — the audit runs the real filter; gopher_quality's
+    suffix trick exists to exercise the line/symbol signals, which real
+    fixture text never trips)."""
+    return docs.select(
+        "doc_id", *ta.gopher_signals(F.col("text"))
+    ).select(
+        "doc_id",
+        ta.gopher_keep_expr(
+            min_words=LEDGER_GOPHER_MIN_WORDS,
+            min_stop_hits=LEDGER_GOPHER_MIN_STOP_HITS,
+        ).alias("g_ok"),
+    )
+
+
+def _ledger_ppl_ok(docs: DataFrame) -> DataFrame:
+    """(doc_id, ppl_ok) — the ledger's LM gate: self-perplexity under the
+    same capped unigram model doc_perplexity ships (corpus property, so
+    it is computed over the FULL corpus like the dup structures). Empty
+    docs score NULL → coalesced to a fail downstream (an empty doc has
+    already failed quality, so the reason never surfaces)."""
+    from ..operators.lm import perplexity_score
+
+    return perplexity_score(
+        docs, vocab_size=LM_VOCAB_SIZE, alpha=LM_ALPHA
+    ).select(
+        "doc_id", (F.col("cross_entropy") <= LEDGER_MAX_CE).alias("ppl_ok")
+    )
+
+
 def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-pipeline drop-reason AUDIT LEDGER — one row per TRAINING
     candidate doc (the eval slice doc_id % 97 = 0 is excluded by
     definition: eval docs never enter the train corpus) with ``kept`` and
     the FIRST failing stage in pipeline order:
 
-        quality → exact_dup → near_dup → repetition → contaminated
+        quality → gopher → perplexity → exact_dup → near_dup →
+        repetition → contaminated
 
-    Composes the five already-oracle-checked components (quality gate,
-    exact keeper, near-dup cluster keeper, repetition filter,
-    decontamination) into the artifact a curation run actually ships to
-    its operators: not just the surviving corpus (curated_corpus) but WHY
-    each drop happened — per-stage accounting is how a 100 TB pipeline
-    run is reviewed before anyone trains on it. Dup structures are
-    computed over the FULL corpus, like curated_corpus (a duplicate must
-    not resurrect because its twin was eval or failed quality).
+    Composes the already-oracle-checked components (quality gate, Gopher
+    rules, LM perplexity, exact keeper, near-dup cluster keeper,
+    repetition filter, decontamination) into the artifact a curation run
+    actually ships to its operators: not just the surviving corpus
+    (curated_corpus) but WHY each drop happened — per-stage accounting is
+    how a 100 TB pipeline run is reviewed before anyone trains on it.
+    Dup structures (and the LM, a corpus property) are computed over the
+    FULL corpus, like curated_corpus (a duplicate must not resurrect
+    because its twin was eval or failed quality).
 
     The ledger audits the SHIPPED pipeline: same ``CURATION_QUALITY_GATE``
     and same fingerprint-keyed exact stage as curated_corpus (one profile
     — r6 review finding; an audit of a hypothetical stricter pipeline
-    explains nothing about the corpus that trains), so within the train
-    slice, kept == curated_corpus ∩ repetition-keep − contaminated
+    explains nothing about the corpus that trains), with the r11
+    gopher/perplexity stages matching ``curated_corpus(gopher=True,
+    perplexity_max_ce=LEDGER_MAX_CE)`` — so within the train slice,
+    kept == that gated curated_corpus ∩ repetition-keep − contaminated
     (invariant-pytested). Every stage carries positive fixture evidence
-    (VERDICT r5 #3: quality and exact_dup were vacuous pass-throughs
-    before the profile got its fingerprint key and strict gate). At
-    sf0.01 every reason is nonzero: quality 186 / exact_dup 40 /
-    near_dup 14 / repetition 128 / contaminated 41, kept 85."""
+    (VERDICT r5 #3; stage-profile constants above). At sf0.01 every
+    reason is nonzero: quality 186 / gopher 70 / perplexity 23 /
+    exact_dup 39 / near_dup 10 / repetition 74 / contaminated 31,
+    kept 61."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
@@ -2001,6 +2291,8 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_ok"
         ),
     )
+    g_ok = _ledger_gopher_ok(docs)
+    ppl_ok = _ledger_ppl_ok(docs)
     exact_keep = (
         docs.groupBy(ta.fingerprint(F.col("text")).alias("fpk"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -2022,6 +2314,8 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     led = (
         train.select("doc_id")
         .join(q_ok, "doc_id", "left")
+        .join(g_ok, "doc_id", "left")
+        .join(ppl_ok, "doc_id", "left")
         .join(exact_keep, "doc_id", "left")
         .join(non_keep, "doc_id", "left")
         .join(rep, "doc_id", "left")
@@ -2029,6 +2323,8 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reason = (
         F.when(~F.coalesce(F.col("q_ok"), F.lit(False)), "quality")
+        .when(~F.coalesce(F.col("g_ok"), F.lit(False)), "gopher")
+        .when(~F.coalesce(F.col("ppl_ok"), F.lit(False)), "perplexity")
         .when(~F.coalesce(F.col("ex_ok"), F.lit(False)), "exact_dup")
         .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
         .when(~F.coalesce(F.col("rep_ok"), F.lit(False)), "repetition")
@@ -2040,6 +2336,11 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("drop_reason"),
     ).orderBy("doc_id")
 
+
+_GOPHER_STOPS_SQL = " + ".join(
+    f"CASE WHEN list_contains(gtoks, '{w}') THEN 1 ELSE 0 END"
+    for w in ta.GOPHER_REQUIRED_STOPS
+)
 
 CURATION_LEDGER_SQL = f"""
 WITH RECURSIVE jpairs AS (
@@ -2072,6 +2373,49 @@ lq AS (
   SELECT doc_id,
          ({_quality_case_sql("mtl", "sw")} >= {CURATION_QUALITY_GATE}) AS q_ok
   FROM lqm
+),
+-- r11 Gopher stage: the published signals over RAW text (no demo
+-- perturbation), ledger profile min_words/min_stop_hits (see the
+-- LEDGER_GOPHER_* rationale)
+lgt AS (
+  SELECT doc_id, COALESCE(text, '') AS gt,
+         list_filter(regexp_split_to_array(lower(COALESCE(text, '')), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS gtoks,
+         list_filter(string_split(COALESCE(text, ''), chr(10)), l -> trim(l) <> '') AS glines
+  FROM documents
+),
+lgk AS (
+  SELECT doc_id,
+    (len(gtoks) BETWEEN {LEDGER_GOPHER_MIN_WORDS} AND 100000
+     AND ROUND(length(array_to_string(gtoks, '')) / GREATEST(len(gtoks), 1), 6) BETWEEN 3.0 AND 10.0
+     AND ROUND(len(list_filter(gtoks, x -> regexp_matches(x, '[a-z]'))) / GREATEST(len(gtoks), 1), 6) >= 0.8
+     AND ROUND((length(gt) - length(replace(gt, '#', ''))) / GREATEST(len(gtoks), 1), 6) <= 0.1
+     AND ROUND(((length(gt) - length(replace(gt, '...', ''))) / 3) / GREATEST(len(gtoks), 1), 6) <= 0.1
+     AND ROUND(len(list_filter(glines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) / GREATEST(len(glines), 1), 6) <= 0.9
+     AND ROUND(len(list_filter(glines, l -> ends_with(rtrim(l), '...'))) / GREATEST(len(glines), 1), 6) <= 0.3
+     AND ({_GOPHER_STOPS_SQL}) >= {LEDGER_GOPHER_MIN_STOP_HITS}) AS g_ok
+  FROM lgt
+),
+-- r11 LM perplexity stage: doc_perplexity's exact model (capped smoothed
+-- unigram, round-8 log-probs, decimal sum) gated at LEDGER_MAX_CE
+lmc AS (SELECT term, COUNT(*) AS c FROM (SELECT unnest(toks) AS term FROM ltok) GROUP BY term),
+lmk AS (SELECT term, c FROM lmc ORDER BY c DESC, term LIMIT {LM_VOCAB_SIZE}),
+lmco AS (
+  SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM lmc) AS total,
+         (SELECT CAST(COUNT(*) AS DOUBLE) FROM lmk) AS vocab
+),
+lmf AS (
+  SELECT term, ROUND(ln((c + {LM_ALPHA}) / (total + {LM_ALPHA} * (vocab + 1.0))), 8) AS logp
+  FROM lmk CROSS JOIN lmco
+),
+lmo AS (SELECT ROUND(ln({LM_ALPHA} / (total + {LM_ALPHA} * (vocab + 1.0))), 8) AS oov_logp FROM lmco),
+lms AS (
+  SELECT doc_id, COALESCE(logp, oov_logp) AS lp
+  FROM (SELECT doc_id, unnest(toks) AS term FROM ltok) LEFT JOIN lmf USING (term) CROSS JOIN lmo
+),
+lppl AS (
+  SELECT doc_id,
+         (ROUND(-CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) <= {LEDGER_MAX_CE}) AS ppl_ok
+  FROM lms GROUP BY doc_id
 ),
 -- exact stage keys on the content fingerprint (dedup_exact's key): md5 of
 -- the sorted distinct token set — raw-text exact dups never exist in the
@@ -2134,6 +2478,8 @@ led AS (
   SELECT d.doc_id,
          CASE
            WHEN NOT COALESCE(lq.q_ok, FALSE) THEN 'quality'
+           WHEN NOT COALESCE(lgk.g_ok, FALSE) THEN 'gopher'
+           WHEN NOT COALESCE(lppl.ppl_ok, FALSE) THEN 'perplexity'
            WHEN d.doc_id NOT IN (SELECT doc_id FROM lexact) THEN 'exact_dup'
            WHEN COALESCE(jlab.doc_id <> jlab.cluster_id, FALSE) THEN 'near_dup'
            WHEN NOT COALESCE(lrep.rep_ok, FALSE) THEN 'repetition'
@@ -2141,6 +2487,8 @@ led AS (
          END AS drop_reason
   FROM documents d
   LEFT JOIN lq ON lq.doc_id = d.doc_id
+  LEFT JOIN lgk ON lgk.doc_id = d.doc_id
+  LEFT JOIN lppl ON lppl.doc_id = d.doc_id
   LEFT JOIN jlab ON jlab.doc_id = d.doc_id
   LEFT JOIN lrep ON lrep.doc_id = d.doc_id
   LEFT JOIN ldec ON ldec.doc_id = d.doc_id
@@ -2158,8 +2506,9 @@ def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships for review before anyone trains on its output: for every
     (lang, outcome) cell, document count, char mass, and the outcome's
     share of that language, where outcome is ``kept`` or the ledger's
-    first-failing-stage drop reason (quality / exact_dup / near_dup /
-    repetition / contaminated).
+    first-failing-stage drop reason (quality / gopher / perplexity /
+    exact_dup / near_dup / repetition / contaminated — the card explains
+    a Gopher- and perplexity-gated corpus as of r11).
 
     Pure composition: the ledger (already oracle-checked, one curation
     profile shared with curated_corpus) joins doc metadata on doc_id —
@@ -2629,6 +2978,9 @@ QUERIES = {
     "gopher_quality": gopher_quality,
     "doc_perplexity": doc_perplexity,
     "doc_perplexity_bigram": doc_perplexity_bigram,
+    "dedup_substring_increment": dedup_substring_increment,
+    "lang_id_ngram": lang_id_ngram,
+    "dsir_sample": dsir_sample,
 }
 
 ORACLES = {
@@ -2725,4 +3077,16 @@ LOCAL_ORACLES = {
     # bigram cap binds at every SF so the backoff arm (ln(0.4)+unigram,
     # python-literal backoff constant on both engines) is non-vacuous.
     "doc_perplexity_bigram": _perplexity_bigram_sql(),
+    # Exact-substring INCREMENT (r11): the durable window-hash index path
+    # is fully hash-checked — a fixed two-batch split makes the greedy
+    # history semantics SQL-expressible (unlike the near-dup increment).
+    "dedup_substring_increment": DEDUP_SUBSTRING_INCREMENT_SQL,
+    # Model-based char-n-gram language ID (r11): profiles train on a
+    # literal seed corpus in BOTH engines; round-8 log-probs, decimal
+    # sums, round-6 argmax with a lang tiebreak.
+    "lang_id_ngram": _lang_id_ngram_sql(),
+    # DSIR importance resampling (r11): hashed-n-gram log-ratio weights +
+    # Gumbel top-k, every decision a pure function of (seed, row) — the
+    # mixture family's integer-hash discipline.
+    "dsir_sample": _dsir_sql(),
 }

@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_winnow",
     # exact substring-level span dedup (r11, Lee et al. 2022)
     "dedup_substring",
+    "dedup_substring_increment",
     "dedup_minhash",
     "dedup_simhash",
     "similarity_topk",
@@ -86,6 +87,9 @@ HEADLINE = [
     "gopher_quality",
     "doc_perplexity",
     "doc_perplexity_bigram",
+    # model-based lang-ID + DSIR importance resampling (r11)
+    "lang_id_ngram",
+    "dsir_sample",
     # the heavy tail (r9 — VERDICT r8 Next-round #1): the most expensive
     # registered paths get standing round-over-round numbers instead of
     # one-time dedicated blocks

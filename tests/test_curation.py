@@ -281,13 +281,24 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
     train_ids = set(led)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # the ledger's audit profile: strict quality gate + fingerprint-keyed
-    # exact stage (see CURATION_QUALITY_GATE rationale)
+    # exact stage (see CURATION_QUALITY_GATE rationale) + the r11
+    # gopher/perplexity stages under the LEDGER_* profile
     strict_q = {
         r["doc_id"]
         for r in docs.select(
             "doc_id", ta.quality_score(F.col("text")).alias("q")
         ).collect()
         if r["q"] >= llmdata.CURATION_QUALITY_GATE
+    }
+    gopher_ok = {
+        r["doc_id"]
+        for r in llmdata._ledger_gopher_ok(docs).collect()
+        if r["g_ok"]
+    }
+    ppl_ok = {
+        r["doc_id"]
+        for r in llmdata._ledger_ppl_ok(docs).collect()
+        if r["ppl_ok"]
     }
     fp_keep = {
         r["doc_id"]
@@ -304,15 +315,30 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
     contam = {r["doc_id"] for r in llmdata.decontaminate_train(spark, sf_dir).collect() if r["contaminated"]}
 
     kept = {d for d, reason in led.items() if reason is None}
-    assert kept == (train_ids & strict_q & fp_keep & rep_keep) - near_nonkeep - contam
+    assert kept == (
+        train_ids & strict_q & gopher_ok & ppl_ok & fp_keep & rep_keep
+    ) - near_nonkeep - contam
     # ONE profile: the ledger's kept set is exactly the shipped corpus
-    # (curated_corpus) surviving the downstream gates - the audit explains
-    # the corpus that trains, not a hypothetical stricter pipeline
-    curated = {r["doc_id"] for r in llmdata.curated_corpus(spark, sf_dir).collect()}
+    # (curated_corpus under the ledger's gate profile) surviving the
+    # downstream gates - the audit explains the corpus that trains, not a
+    # hypothetical stricter pipeline
+    curated = {
+        r["doc_id"]
+        for r in llmdata.curated_corpus(
+            spark,
+            sf_dir,
+            gopher=True,
+            perplexity_max_ce=llmdata.LEDGER_MAX_CE,
+        ).collect()
+    }
     assert kept == (curated & rep_keep & train_ids) - contam
     for d, reason in led.items():
         if reason == "quality":
             assert d not in strict_q, d
+        elif reason == "gopher":
+            assert d in strict_q and d not in gopher_ok, d
+        elif reason == "perplexity":
+            assert d in strict_q and d in gopher_ok and d not in ppl_ok, d
         elif reason == "exact_dup":
             assert d in strict_q and d not in fp_keep, d
         elif reason == "near_dup":
@@ -326,6 +352,8 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
     reasons = {r for r in led.values() if r}
     assert kept and reasons == {
         "quality",
+        "gopher",
+        "perplexity",
         "exact_dup",
         "near_dup",
         "repetition",
