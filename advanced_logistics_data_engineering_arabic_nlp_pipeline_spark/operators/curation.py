@@ -946,7 +946,34 @@ def curate_increment(
                 batch_id=batch_id,
                 caches=caches,
             )
-            work = scrub_replace_join(work, cut, text_col, id_col).persist()
+            # Only CUT documents take the rebuilt (token-stream) text —
+            # an untouched doc keeps its ORIGINAL case/spacing/newlines
+            # (r11 self-review: swapping every doc's text for the
+            # normalized rebuild destroyed formatting corpus-wide the
+            # moment the stage was enabled). Fully-cut docs (rebuild
+            # empty) drop, like all-boilerplate docs.
+            stats = cut.select(
+                F.col(id_col),
+                F.col("n_cut").alias("__sub_n_cut"),
+                F.col(text_col).alias("__sub_text"),
+            )
+            work = (
+                work.join(stats, id_col)
+                .filter(
+                    ~(
+                        (F.col("__sub_n_cut") > 0)
+                        & (F.length("__sub_text") == 0)
+                    )
+                )
+                .withColumn(
+                    text_col,
+                    F.when(
+                        F.col("__sub_n_cut") > 0, F.col("__sub_text")
+                    ).otherwise(F.col(text_col)),
+                )
+                .drop("__sub_n_cut", "__sub_text")
+                .persist()
+            )
             caches.append(work)
         if neardup_threshold is not None:
             # materialize=False + caches: the pinned survivors frame and

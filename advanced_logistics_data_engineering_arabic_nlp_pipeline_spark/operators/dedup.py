@@ -1385,7 +1385,10 @@ def _pos_shingle_rows(
 
 
 def duplicate_span_cuts(
-    occ: DataFrame, k: int, history: DataFrame | None = None
+    occ: DataFrame,
+    k: int,
+    history: DataFrame | None = None,
+    max_window_df: int | None = None,
 ) -> DataFrame:
     """(id, cuts) — per document, the sorted array of 1-based token
     positions covered by some NON-FIRST duplicate k-window occurrence.
@@ -1398,7 +1401,25 @@ def duplicate_span_cuts(
     the Jaccard shingle join), or anywhere in ``history`` (a distinct-hash
     frame from prior batches: membership alone marks it, the increment
     path). Marked occurrences explode their k-position coverage; the
-    per-doc union (collect_set) is the cut set."""
+    per-doc union (collect_set) is the cut set.
+
+    ``max_window_df``: the hot-key fence (the Jaccard ``max_shingle_df``
+    discipline applied to the first-occurrence window): a span repeated
+    in millions of documents funnels every occurrence into ONE window
+    partition — a straggler AQE cannot split. With the cap set, hashes
+    occurring more than ``max_window_df`` times are EXCLUDED from
+    marking (deliberate under-cutting: mega-repeated spans are template
+    boilerplate, which the line-granularity scrub removes without the
+    per-position machinery). ``None`` (default, and the registered
+    queries' setting) keeps exact Lee-et-al. semantics."""
+    if max_window_df is not None:
+        hot = (
+            occ.groupBy("h")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_window_df)
+            .select("h")
+        )
+        occ = occ.join(hot, "h", "anti")
     marked = (
         occ.withColumn(
             "__rn",
@@ -1431,6 +1452,7 @@ def drop_duplicate_spans(
     k: int = SUBSTR_MIN_TOKENS,
     history: DataFrame | None = None,
     keep_uncut: bool = False,
+    max_window_df: int | None = None,
 ) -> DataFrame:
     """Exact substring-level dedup (Lee et al. 2022 ExactSubstr, see the
     section header above): remove every ≥ k-token span that occurred
@@ -1457,7 +1479,7 @@ def drop_duplicate_spans(
     ``n_spans`` counts maximal runs of cut positions: cut positions whose
     predecessor is not cut (``array_except(cuts, cuts+1)``)."""
     occ = _pos_shingle_rows(df, text_col, id_col, k)
-    cutarr = duplicate_span_cuts(occ, k, history)
+    cutarr = duplicate_span_cuts(occ, k, history, max_window_df)
     return _span_rebuild(
         df, cutarr, text_col, id_col, "left" if keep_uncut else "inner"
     )
@@ -1513,6 +1535,7 @@ def substring_increment(
     k: int = SUBSTR_MIN_TOKENS,
     batch_id: int | None = None,
     caches: list[DataFrame] | None = None,
+    max_window_df: int | None = None,
 ) -> DataFrame:
     """Nightly-delta twin of :func:`drop_duplicate_spans` over a durable
     span-fingerprint index: cut from NEW documents every ≥ k-token span
@@ -1562,7 +1585,7 @@ def substring_increment(
             .select("h")
         )
 
-    cutarr = duplicate_span_cuts(occ, k, history)
+    cutarr = duplicate_span_cuts(occ, k, history, max_window_df)
     out = _span_rebuild(df, cutarr, text_col, id_col, "left").persist()
     track.append(out)
     try:

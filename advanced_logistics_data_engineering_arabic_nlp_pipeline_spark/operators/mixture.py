@@ -584,6 +584,7 @@ def dsir_log_ratio_table(
     n_buckets: int = DSIR_N_BUCKETS,
     alpha: float = DSIR_ALPHA,
     seed: int = 0,
+    raw_bucket_rows: DataFrame | None = None,
 ) -> DataFrame:
     """The bounded ``(bucket, lam)`` importance table: ``lam =
     ln(p_target(bucket)) − ln(p_raw(bucket))`` under add-alpha smoothing
@@ -591,9 +592,16 @@ def dsir_log_ratio_table(
     Built over the buckets observed in RAW (a raw document can only
     reference those, so the scoring join never misses); target counts
     left-join in with 0 for unseen buckets. Two combiner-friendly
-    groupBys of O(n_buckets) keys — corpus size only affects the scan."""
+    groupBys of O(n_buckets) keys — corpus size only affects the scan.
+    ``raw_bucket_rows``: a precomputed :func:`dsir_bucket_rows` frame
+    over ``raw`` (any extra columns ignored) — :func:`dsir_resample`
+    passes its scoring frame so both sides share one derivation."""
     rb = (
-        dsir_bucket_rows(raw, text_col, None, n_buckets, seed)
+        (
+            raw_bucket_rows
+            if raw_bucket_rows is not None
+            else dsir_bucket_rows(raw, text_col, None, n_buckets, seed)
+        )
         .groupBy("bucket")
         .agg(F.count("*").alias("__cr"))
     )
@@ -649,11 +657,20 @@ def dsir_resample(
     The top-k is a TakeOrdered (orderBy + limit — never a global sort at
     scale); keys round to 6 dp with an id tiebreak so the boundary is
     engine-stable. Documents with zero tokens have no features and are
-    not candidates (no rows)."""
+    not candidates (no rows).
+
+    Cost shape, documented: the raw-side feature explode executes TWICE
+    per action — once collapsing to the O(n_buckets) count table (the
+    broadcast artifact must exist before scoring can start) and once
+    under the scoring join. That is the uncached minimum; persisting the
+    exploded features to skip the second pass is a corpus-sized cache —
+    the caller's cluster-memory trade, not a default."""
     from ..functions.coercion import dsum
 
-    lam = dsir_log_ratio_table(raw, target, text_col, n_buckets, alpha, seed)
     occ = dsir_bucket_rows(raw, text_col, id_col, n_buckets, seed)
+    lam = dsir_log_ratio_table(
+        raw, target, text_col, n_buckets, alpha, seed, raw_bucket_rows=occ
+    )
     logw = (
         occ.join(F.broadcast(lam), "bucket")
         .groupBy("id")

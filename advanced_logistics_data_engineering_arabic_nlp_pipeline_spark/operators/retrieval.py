@@ -140,7 +140,11 @@ def bm25_topk_batch(
     if consts is None:
         consts = docs.agg(
             F.count("*").alias("__n_docs"),
-            F.avg(F.size(toks)).alias("__avgdl"),
+            # NULL text is an EMPTY document (length 0, counted) — the
+            # durable index path's sum/count semantics; a bare avg(size)
+            # SKIPS null sizes and scores the same corpus differently
+            # depending on which path built the stats (r11 self-review)
+            F.avg(F.coalesce(F.size(toks), F.lit(0))).alias("__avgdl"),
         )
     idf = F.log(
         1.0
@@ -226,15 +230,24 @@ def build_bm25_index(
     time, never at serve time, serve-side term lookups prune the terms
     table by query term straight down to the parquet scan, and corpus
     growth appends deltas through :func:`bm25_index_add` instead of a
-    full rebuild."""
+    full rebuild. A rebuild over an EXISTING index dir deletes the whole
+    ``terms``/``consts`` trees first — batch=0 alone would silently merge
+    with stale delta partitions from earlier :func:`bm25_index_add`
+    calls, double-counting their documents (r11 self-review)."""
     if path is not None:
+        spark = docs.sparkSession
         term_stats, consts = _bm25_batch_stats(docs, text_col, id_col)
         base = path.rstrip("/")
+        jvm = spark._jvm
+        fs_path = jvm.org.apache.hadoop.fs.Path(base)
+        fs = fs_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        for sub in ("terms", "consts"):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{sub}"), True)
         term_stats.write.mode("overwrite").parquet(f"{base}/terms/batch=0")
         consts.coalesce(1).write.mode("overwrite").parquet(
             f"{base}/consts/batch=0"
         )
-        return load_bm25_index(docs.sparkSession, path)
+        return load_bm25_index(spark, path)
     toks = tokens_expr(F.col(text_col))
     exploded = docs.select(
         F.col(id_col), F.explode(F.array_distinct(toks)).alias("term")
@@ -242,7 +255,7 @@ def build_bm25_index(
     term_stats = exploded.groupBy("term").agg(F.count("*").alias("df_docs"))
     consts = docs.agg(
         F.count("*").alias("__n_docs"),
-        F.avg(F.size(toks)).alias("__avgdl"),
+        F.avg(F.coalesce(F.size(toks), F.lit(0))).alias("__avgdl"),
     )
     return term_stats, consts
 
@@ -279,6 +292,17 @@ def bm25_index_add(
     base = path.rstrip("/")
     terms_ids = set(_fs_batch_ids(docs.sparkSession, f"{base}/terms"))
     consts_ids = set(_fs_batch_ids(docs.sparkSession, f"{base}/consts"))
+    if not (terms_ids | consts_ids) and _legacy_bm25_frames(
+        docs.sparkSession, base
+    ) is not None:
+        # a pre-r11 flat artifact stores the already-divided __avgdl, not
+        # the mergeable totals — appending to it would mix incompatible
+        # constants; it stays readable (load_bm25_index) but not growable
+        raise ValueError(
+            f"{base!r} holds a legacy flat BM25 index (pre-incremental "
+            "layout) — rebuild it once with build_bm25_index(path=...) "
+            "to migrate, then append deltas"
+        )
     if batch_id is None:
         batch_id = max(terms_ids | consts_ids, default=-1) + 1
     term_stats, consts = _bm25_batch_stats(docs, text_col, id_col)
@@ -289,6 +313,25 @@ def bm25_index_add(
         f"{base}/consts/batch={batch_id}"
     )
     return load_bm25_index(docs.sparkSession, path)
+
+
+def _legacy_bm25_frames(
+    spark, base: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """Read a pre-r11 FLAT BM25 artifact (``<base>/terms`` /
+    ``<base>/consts`` parquet files with the final ``(__n_docs,
+    __avgdl)`` row, no ``batch=`` partitions) — returns None when the
+    layout doesn't match. Keeps r10-built indexes readable after the
+    incremental re-layout; they can't grow (see :func:`bm25_index_add`'s
+    migration error) but they serve."""
+    try:
+        terms = spark.read.parquet(f"{base}/terms")
+        consts = spark.read.parquet(f"{base}/consts")
+    except Exception:
+        return None
+    if set(terms.columns) >= {"term", "df_docs"} and "__avgdl" in consts.columns:
+        return terms, consts
+    return None
 
 
 def load_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -307,6 +350,9 @@ def load_bm25_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
         & set(_fs_batch_ids(spark, f"{base}/consts"))
     )
     if not complete:
+        legacy = _legacy_bm25_frames(spark, base)
+        if legacy is not None:
+            return legacy
         raise ValueError(
             f"no complete (terms + consts) batches under {base!r} — build "
             "the index with build_bm25_index(path=...) first"
@@ -391,7 +437,7 @@ def bm25_topk(
     if consts is None:
         consts = docs.agg(
             F.count("*").alias("__n_docs"),
-            F.avg(F.size(toks)).alias("__avgdl"),
+            F.avg(F.coalesce(F.size(toks), F.lit(0))).alias("__avgdl"),
         )
 
     idf = F.log(

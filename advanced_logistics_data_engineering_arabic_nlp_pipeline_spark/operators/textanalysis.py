@@ -121,9 +121,16 @@ LANG_NGRAM_ALPHA = 0.5
 def _char_norm(text: Column) -> Column:
     """Lowercase + squeeze ASCII whitespace runs to one space + trim
     spaces — the winnow_normalize rule, so the gram stream is identical
-    cross-engine (bare SQL trim strips Unicode Zs; spell the class)."""
+    cross-engine (bare SQL trim strips Unicode Zs; spell the class).
+    The vertical tab is spelled ``\\x0B``, NOT ``\\v``: in Java regex
+    ``\\v`` is the vertical-whitespace CLASS (U+000B..U+000D, U+0085,
+    U+2028, U+2029) while RE2/DuckDB's ``\\v`` is the single char — a
+    U+2028 in web text would normalize on one engine only (r11
+    self-review, verified live on both engines)."""
     return F.trim(
-        F.regexp_replace(F.lower(F.coalesce(text, F.lit(""))), "[ \\t\\n\\r\\f\\v]+", " ")
+        F.regexp_replace(
+            F.lower(F.coalesce(text, F.lit(""))), "[ \\t\\n\\r\\f\\x0B]+", " "
+        )
     )
 
 

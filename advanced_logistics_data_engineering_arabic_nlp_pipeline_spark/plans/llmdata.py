@@ -1108,7 +1108,7 @@ tf AS (
   GROUP BY doc_id, term, dl
 ),
 dfd AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
-c AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tok)
+c AS (SELECT COUNT(*) AS n_docs, AVG(COALESCE(len(toks), 0)) AS avgdl FROM tok)
 SELECT doc_id,
        CAST(SUM(CAST(ROUND(
          ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
@@ -1173,7 +1173,7 @@ dfd AS (
   SELECT term, COUNT(*) AS df_docs
   FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term
 ),
-c AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM tok),
+c AS (SELECT COUNT(*) AS n_docs, AVG(COALESCE(len(toks), 0)) AS avgdl FROM tok),
 sc AS (
   SELECT query_id, doc_id,
          CAST(SUM(CAST(ROUND(

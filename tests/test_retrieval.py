@@ -379,3 +379,50 @@ def test_lang_id_ngram_profiles_broadcast_only(spark):
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         if "gram" in m.group(1):
             assert "lang" in m.group(1), m.group(0)
+
+
+def test_bm25_rebuild_purges_stale_delta_batches(spark, tmp_path):
+    """A full rebuild over an existing index must DELETE earlier delta
+    partitions — batch=0 alone would merge with them and double-count
+    the delta's documents (r11 self-review)."""
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    retrieval.build_bm25_index(df.limit(3), idx)
+    retrieval.bm25_index_add(df.filter(F.col("doc_id") >= 4), idx)
+    # rebuild over the full corpus: stale batch=1 must vanish
+    _, consts = retrieval.build_bm25_index(df, idx)
+    assert consts.collect()[0]["__n_docs"] == 5
+
+
+def test_bm25_legacy_flat_index_readable_not_growable(spark, tmp_path):
+    """A pre-r11 flat artifact (terms/ + consts/ parquet with the final
+    __avgdl row, no batch= partitions) still SERVES via load_bm25_index;
+    appending raises the migration error instead of mixing incompatible
+    constants."""
+    import pytest
+
+    df = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    base = str(tmp_path / "legacy")
+    terms, consts = retrieval.build_bm25_index(df)  # in-memory shapes
+    terms.write.parquet(f"{base}/terms")
+    consts.write.parquet(f"{base}/consts")
+    ls, lc = retrieval.load_bm25_index(spark, base)
+    got = retrieval.bm25_topk(
+        df, "spark merge", k=10, term_stats=ls, consts=lc
+    ).collect()
+    want = retrieval.bm25_topk(df, "spark merge", k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    with pytest.raises(ValueError, match="legacy flat BM25 index"):
+        retrieval.bm25_index_add(df, base)
+
+
+def test_bm25_null_text_avgdl_consistent_across_paths(spark, tmp_path):
+    """NULL text = empty doc (length 0, COUNTED) in every stats path —
+    derived, in-memory build, and durable index must agree (r11
+    self-review: avg(size) skipped null sizes on one path only)."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, None), (3, "c d e f")], "doc_id long, text string"
+    )
+    _, mem = retrieval.build_bm25_index(df)
+    _, dur = retrieval.build_bm25_index(df, str(tmp_path / "i"))
+    assert mem.collect()[0]["__avgdl"] == dur.collect()[0]["__avgdl"] == 2.0

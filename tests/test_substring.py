@@ -171,9 +171,11 @@ def test_curate_increment_substring_stage(spark, tmp_path):
 
     # docs long enough to clear the downstream repetition gate (its
     # top-bigram-frac ≤ 0.06 bound needs ≥ ~18 tokens even for fully
-    # distinct text) — both before AND after the span cut
+    # distinct text) — both before AND after the span cut. Doc 0 carries
+    # MIXED CASE + a newline: an UNCUT doc must keep its original
+    # formatting, not the normalized token stream (r11 self-review).
     span = "sierra tango uniform victor whiskey xray"
-    filler_a = " ".join(f"aw{i}" for i in range(24))
+    filler_a = " ".join(f"AW{i}" for i in range(23)) + "\naw23"
     filler_b = " ".join(f"bw{i}" for i in range(24))
     df = spark.createDataFrame(
         [
@@ -195,5 +197,23 @@ def test_curate_increment_substring_stage(spark, tmp_path):
     # doc 3 is a whole-doc exact duplicate — the EXACT stage drops it
     # before the substring stage ever sees it; doc 1 loses the span
     assert set(got) == {0, 1}
+    # UNCUT doc 0 keeps original case + newline, byte for byte
     assert got[0] == f"{filler_a} {span}"
     assert got[1] == filler_b
+
+
+def test_duplicate_span_cuts_hot_hash_cap(spark):
+    """max_window_df excludes mega-repeated windows from marking (the
+    Jaccard stop-shingle discipline): with the cap below the hot span's
+    df nothing is cut; without it the repeats are."""
+    hot = "lorem ipsum dolor sit"
+    docs = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b {hot} u{i}c") for i in range(6)],
+        "doc_id long, text string",
+    )
+    uncapped = dedup.drop_duplicate_spans(docs, "text", "doc_id", k=K)
+    assert uncapped.count() == 5  # every non-first occurrence cut
+    capped = dedup.drop_duplicate_spans(
+        docs, "text", "doc_id", k=K, max_window_df=3
+    )
+    assert capped.count() == 0  # hot hash (df 6 > 3) excluded entirely
