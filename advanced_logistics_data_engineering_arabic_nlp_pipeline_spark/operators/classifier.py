@@ -1,0 +1,326 @@
+"""Model-based quality classification for training-data curation.
+
+Two published shapes, both Spark-first:
+
+- **Linear probe on embeddings** — FineWeb-Edu (Penedo et al. 2024,
+  "The FineWeb Datasets") scores documents with a small regression head
+  trained on embedding vectors; the head here is binary logistic
+  regression over the fixtures' ``array<float>`` embedding column.
+- **Hashed bag-of-n-gram linear model** — fastText (Joulin et al. 2017,
+  "Bag of Tricks for Efficient Text Classification"): token features
+  hashed into a bounded bucket space (the DSIR featurizer,
+  operators/mixture.dsir_bucket_rows, is reused verbatim), weights live
+  in a ``(bucket, weight)`` table that scales past driver memory.
+
+Training is full-batch gradient descent where EVERY iteration is a
+fixed, small number of distributed jobs over a persisted projection of
+the data — gradients are sums over rows, so they map-side combine and
+one aggregation returns the whole gradient:
+
+- dense: one ``agg`` with dim+2 sum expressions → a single collected
+  row; the model (dim+1 doubles) stays on the driver and re-enters the
+  next iteration as literals. At 100 TB the per-iteration cost is one
+  combiner-friendly scan of the persisted (vector, label) projection.
+- hashed: weights never leave the cluster — margins come from a
+  features⋈weights join + per-doc sum, the gradient from a per-bucket
+  sum, and the update from a full-outer join, lineage truncated per
+  iteration with ``localCheckpoint``.
+
+Determinism discipline (the repo-wide cross-engine float-sum rule,
+functions/coercion.dsum): per-row gradient/margin contributions are
+decimal-cast at scale 8 before summing, so an iterate is bit-identical
+on any partition layout and any executor count — and exactly mirrorable
+by the pure-numpy reference in tests/test_classifier.py (which replays
+the same left-fold dot products and round-8 contribution sums).
+
+The reference engine has no model-based filtering surface; this extends
+the M3/M6 families (quality scoring / curation) with the
+published-recipe classifier gate those pipelines deploy in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.coercion import dsum
+from .similarity import dot_expr
+
+# Contribution quantization for order-independent gradient sums. Scale 8
+# keeps ~1e-9 quantization noise per row — far below GD step sizes — while
+# decimal(28,8) leaves 1e20 of headroom for the summed magnitude.
+GRAD_SCALE = 8
+
+
+def sigmoid_expr(z: Column) -> Column:
+    return 1.0 / (1.0 + F.exp(-z))
+
+
+def _w_lit(weights: list[float]) -> Column:
+    return F.array(*[F.lit(float(w)) for w in weights])
+
+
+def score_linear(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> Column:
+    """``sigmoid(w·x + b)`` as a pure Column over an array column — the
+    serve path: weights are literals folded into whole-stage codegen, no
+    join, no UDF. The margin pre-rounds to 6 dp before the sigmoid so
+    the scored value is reproducible cross-engine (libm ``exp`` is the
+    only non-arithmetic step; rounding its input pins it)."""
+    z = F.round(dot_expr(F.col(vec_col), _w_lit(weights)) + F.lit(float(bias)), 6)
+    s = sigmoid_expr(z)
+    return F.round(s, round_to) if round_to is not None else s
+
+
+def train_logreg_dense(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+    n_iters: int = 25,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[list[float], float, list[float]]:
+    """Full-batch logistic regression on a dense vector column.
+
+    Returns ``(weights, bias, loss_history)``; weights start at 0 (the
+    deterministic convex-problem init — no RNG anywhere). Each iteration
+    is ONE aggregation job collecting dim+2 decimal sums (per-feature
+    gradient, bias gradient, log-loss); the (vector, label) projection is
+    persisted once so iterations rescan executor-local blocks, not the
+    source — at 100 TB that projection is the working set (vectors +
+    one double), a small fraction of the corpus.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    base = df.select(
+        F.col(vec_col).alias("__x"), F.col(label_col).cast("double").alias("__y")
+    ).persist()
+    try:
+        n = base.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty frame")
+        w = [0.0] * dim
+        b = 0.0
+        history: list[float] = []
+        eps = 1e-12  # log-loss clamp; keeps the history finite
+        for _ in range(n_iters):
+            z = dot_expr(F.col("__x"), _w_lit(w)) + F.lit(b)
+            p = sigmoid_expr(z)
+            r = p - F.col("__y")
+            loss = -(
+                F.col("__y") * F.log(F.greatest(p, F.lit(eps)))
+                + (1.0 - F.col("__y")) * F.log(F.greatest(1.0 - p, F.lit(eps)))
+            )
+            # One contribution ARRAY per row (grads | bias-grad | loss),
+            # posexploded and decimal-summed per position: a 3-expression
+            # plan + a dim+2-key combiner shuffle. Measured 4-5× faster
+            # per iteration than dim+2 separate agg expressions (whose
+            # whole-stage codegen compile dominated each job) and the
+            # same quantized sums either way.
+            carr = F.concat(
+                F.transform(F.col("__x"), lambda v: r * v),
+                F.array(r),
+                F.array(loss),
+            )
+            sums = dict(
+                base.select(F.posexplode(carr).alias("pos", "__c"))
+                .groupBy("pos")
+                .agg(dsum(F.col("__c"), GRAD_SCALE).alias("g"))
+                .collect()
+            )
+            w = [w[j] - lr * (sums[j] / n + l2 * w[j]) for j in range(dim)]
+            b = b - lr * (sums[dim] / n)
+            history.append(sums[dim + 1] / n)
+        return w, b, history
+    finally:
+        base.unpersist()
+
+
+BIAS_BUCKET = -1
+
+
+def _with_bias(feats: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
+    bias_rows = labels.select(
+        F.col(id_col),
+        F.lit(BIAS_BUCKET).alias("bucket"),
+        F.lit(1.0).alias("x"),
+    )
+    return feats.select(
+        F.col(id_col), F.col("bucket").cast("int").alias("bucket"),
+        F.col("x").cast("double").alias("x"),
+    ).unionByName(bias_rows)
+
+
+def train_logreg_hashed(
+    feats: DataFrame,
+    labels: DataFrame,
+    n_iters: int = 15,
+    lr: float = 1.0,
+    id_col: str = "id",
+) -> DataFrame:
+    """Full-batch logistic regression over SPARSE hashed features — the
+    fastText shape, with the weight vector as a distributed ``(bucket,
+    weight)`` table (2³⁰-bucket models never touch the driver).
+
+    ``feats``: ``(id, bucket, x)`` rows (e.g. hashed token counts from
+    operators/mixture.dsir_bucket_rows aggregated per (id, bucket));
+    ``labels``: ``(id, y)`` with y ∈ {0, 1}. A bias feature (bucket −1,
+    x = 1) is appended for every labeled id. Returns the weight table
+    including the bias row.
+
+    Per iteration: margin = feats⋈weights (left; absent bucket = 0)
+    summed per id; residual joins back onto feats; gradient = per-bucket
+    sum / n; update = full-outer join, ``localCheckpoint`` to truncate
+    the growing lineage (without it iteration t recomputes t−1's plan).
+    All sums go through the scale-8 decimal cast — iterates are
+    partition-layout-independent and numpy-mirrorable."""
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    fb = _with_bias(feats, labels, id_col).persist()
+    lab = labels.select(
+        F.col(id_col), F.col("y").cast("double").alias("__y")
+    ).persist()
+    try:
+        n = lab.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty frame")
+        weights = fb.sparkSession.createDataFrame([], "bucket int, w double")
+        for _ in range(n_iters):
+            z = (
+                fb.join(weights, "bucket", "left")
+                .groupBy(id_col)
+                .agg(
+                    dsum(
+                        F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)),
+                        GRAD_SCALE,
+                    ).alias("__z")
+                )
+            )
+            resid = lab.join(z, id_col, "left").select(
+                id_col,
+                (
+                    sigmoid_expr(F.coalesce(F.col("__z"), F.lit(0.0)))
+                    - F.col("__y")
+                ).alias("__r"),
+            )
+            grad = (
+                fb.join(resid, id_col)
+                .groupBy("bucket")
+                .agg((dsum(F.col("__r") * F.col("x"), GRAD_SCALE) / n).alias("__g"))
+            )
+            weights = (
+                weights.join(grad, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0.0))
+                        - lr * F.coalesce(F.col("__g"), F.lit(0.0))
+                    ).alias("w"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return weights
+    finally:
+        fb.unpersist()
+        lab.unpersist()
+
+
+EXPR_MODEL_MAX_BUCKETS = 4096
+
+
+def collect_hashed_model(
+    weights: DataFrame, max_buckets: int = EXPR_MODEL_MAX_BUCKETS
+) -> tuple[dict[int, float], float]:
+    """Collect a trained hashed model (:func:`train_logreg_hashed`) into
+    driver-side ``({bucket: w}, bias)`` for the EXPRESSION scoring path
+    (:func:`score_hashed_expr`). Bounded collect — raises past
+    ``max_buckets``; hash into fewer buckets for gate-sized models (the
+    lm.collect_lm_expr_model discipline)."""
+    rows = weights.limit(max_buckets + 2).collect()
+    if len(rows) > max_buckets + 1:  # +1: the bias row
+        raise ValueError(
+            f"weight table exceeds max_buckets={max_buckets}; train with "
+            "n_buckets <= that cap for the expression gate (the join "
+            "path, score_hashed, serves unbounded models)"
+        )
+    wmap = {int(r["bucket"]): float(r["w"]) for r in rows}
+    bias = wmap.pop(BIAS_BUCKET, 0.0)
+    return wmap, bias
+
+
+def score_hashed_expr(
+    text: Column,
+    wmap: dict[int, float],
+    bias: float,
+    n_buckets: int,
+    seed: int = 0,
+) -> Column:
+    """``sigmoid(Σ w[bucket(gram)] + b)`` as a PURE EXPRESSION — the
+    streaming-safe serve form (the lm.perplexity_ce_expr discipline):
+    the weight table rides the plan as a literal map, grams hash with
+    the SAME seeded projection the training featurizer used
+    (operators/mixture.dsir_bucket_rows: unigrams + bigrams, hash60 mod
+    n_buckets), and the per-gram sum is a higher-order fold — no join,
+    no aggregation, legal in a stream filter before stateful stages.
+
+    Tradeoff, documented: HOF lambdas run interpreted, so this form is
+    for GATES (per-row decisions on arriving data), not bulk scoring —
+    that's :func:`score_hashed`'s join path. The two agree to float-fold
+    precision (the fold sums doubles in gram order, the join path sums
+    scale-8 decimals; parity pytest at 2e-6 after the shared round-6
+    margin pin)."""
+    from .curation import ngrams_expr
+    from .mixture import hash60_expr
+    from .textanalysis import tokens_expr
+
+    if not wmap:  # bias-only model: a constant gate, no map to ride
+        return F.round(sigmoid_expr(F.round(F.lit(float(bias)), 6)), 6)
+    m = F.create_map(
+        *[F.lit(x) for bkt, w in sorted(wmap.items()) for x in (bkt, w)]
+    )
+    grams = F.concat(tokens_expr(text), ngrams_expr(text, 2))
+    bucket = lambda g: F.pmod(  # noqa: E731 — mirrors dsir_bucket_rows
+        hash60_expr(g, seed, salt="dsir"), F.lit(n_buckets)
+    ).cast("int")
+    s = F.aggregate(
+        grams,
+        F.lit(0.0),
+        lambda acc, g: acc + F.coalesce(F.element_at(m, bucket(g)), F.lit(0.0)),
+    )
+    return F.round(sigmoid_expr(F.round(s + F.lit(float(bias)), 6)), 6)
+
+
+def score_hashed(
+    feats: DataFrame,
+    labels_or_ids: DataFrame,
+    weights: DataFrame,
+    id_col: str = "id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """``(id, score)`` for every id in ``labels_or_ids`` under a trained
+    hashed-feature model — features join the weight table (broadcast it
+    upstream when the model is small), sum per id through the decimal
+    cast, bias row included via the same synthetic feature. Ids with no
+    features still score (bias-only), matching training's margin."""
+    ids = labels_or_ids.select(id_col).distinct()
+    fb = _with_bias(feats, ids.select(id_col, F.lit(0.0).alias("y")), id_col)
+    z = (
+        fb.join(weights, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            dsum(F.col("x") * F.coalesce(F.col("w"), F.lit(0.0)), GRAD_SCALE).alias(
+                "__z"
+            )
+        )
+    )
+    s = sigmoid_expr(F.round(F.col("__z"), 6))
+    return ids.join(z, id_col, "left").select(
+        id_col,
+        (F.round(s, round_to) if round_to is not None else s).alias("score"),
+    )

@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .textanalysis import tokens_expr
@@ -473,4 +473,83 @@ def bm25_topk(
         )
         .orderBy(F.desc("score"), id_col)
         .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 10,
+    k0: int = 60,
+    query_col: str | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two or
+    more ranked retrieval lists — the standard way to combine lexical
+    (:func:`bm25_topk`) and dense (operators/similarity) results into one
+    hybrid ranking without score calibration.
+
+    ``ranked``: ``[(name, df), ...]`` where each frame carries ``id_col``
+    (+ ``query_col`` for the batched shape) and an integer ``rank``
+    column, 1 = best. Output: the join keys, one ``{name}_rank`` column
+    per input list (NULL where the document missed that list), the fused
+    ``rrf_score = Σ 1/(k0 + rank)`` and the final ``rank``, top-``k``
+    per query best-first with an id tiebreak.
+
+    Scale shape: fusion is arithmetic over the *top-k lists*, not the
+    corpus — each input is already ≤ fusion-depth rows per query, so the
+    full-outer joins here touch k·|queries| rows no matter how big the
+    corpus behind them is. Joining (rather than union + groupBy-sum)
+    keeps the score a fixed-arity expression: the same literal sum of
+    ``1/(k0+rank)`` terms on any engine and any partition order, no
+    float-accumulation-order hazard. Per-list ranks must be deterministic
+    (both component operators tiebreak on id), so the fused ranking is
+    reproducible end to end.
+
+    Beyond-reference capability (the reference engine has no retrieval
+    surface), completing the M2 family: BM25 and ANN existed separately;
+    production RAG/decontamination retrieval serves the fusion."""
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    if k0 < 1:
+        raise ValueError("k0 must be >= 1 (RRF dampening constant)")
+    keys = ([query_col] if query_col else []) + [id_col]
+
+    def prep(name: str, df: DataFrame) -> DataFrame:
+        missing = [c for c in keys + ["rank"] if c not in df.columns]
+        if missing:
+            raise ValueError(f"list '{name}' lacks columns {missing}")
+        return df.select(*keys, F.col("rank").alias(f"{name}_rank"))
+
+    fused = prep(*ranked[0])
+    for name, df in ranked[1:]:
+        fused = fused.join(prep(name, df), on=keys, how="full_outer")
+
+    # fixed-arity sum: one term per list, 0.0 where the list missed the
+    # doc — deterministic regardless of engine or partition order, then
+    # rounded to 9 dp so the hash-compared value is exact cross-engine
+    contribs = [
+        F.coalesce(
+            1.0 / (F.lit(float(k0)) + F.col(f"{name}_rank").cast("double")),
+            F.lit(0.0),
+        )
+        for name, _ in ranked
+    ]
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    fused = fused.withColumn("rrf_score", F.round(score, 9))
+
+    w = Window.partitionBy(
+        *([query_col] if query_col else [F.lit(1)])
+    ).orderBy(F.desc("rrf_score"), id_col)
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            *keys,
+            *[f"{name}_rank" for name, _ in ranked],
+            "rrf_score",
+            "rank",
+        )
+        .orderBy(*keys[:-1], "rank")
     )

@@ -1195,6 +1195,268 @@ ORDER BY query_id, score DESC, doc_id
 """
 
 
+HYBRID_VEC_ID = 0
+HYBRID_DEPTH = 50
+HYBRID_K = 25
+HYBRID_K0 = 60
+
+
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval (operators/retrieval.rrf_fuse):
+    BM25 top-50 for the fixed probe text and exact-cosine top-50 for the
+    probe embedding (doc_id ≡ vec_id in the fixtures), fused by
+    reciprocal-rank fusion (k0=60) into one top-25. The fusion is a
+    full-outer join of two ≤depth-row lists — corpus size never touches
+    it; at 100 TB the cost lives in the component retrievals, which keep
+    their own scan-prune (BM25) / index (ANN) disciplines. Ranks surface
+    as DOUBLE (NULL = missed that list) so the cross-engine hash sees one
+    dtype; rrf_score is a fixed-arity two-term sum rounded to 9 dp —
+    deterministic on any engine and partition order."""
+    from ..operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = bm25_topk(docs, BM25_QUERY, k=HYBRID_DEPTH)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    lex = lex.withColumn("rank", F.row_number().over(w))
+
+    dense = similarity.topk_bruteforce(
+        emb.filter(F.col("vec_id") == HYBRID_VEC_ID),
+        emb,
+        "embedding",
+        "vec_id",
+        k=HYBRID_DEPTH,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+
+    fused = rrf_fuse(
+        [("bm25", lex), ("dense", dense)],
+        id_col="doc_id",
+        k=HYBRID_K,
+        k0=HYBRID_K0,
+    )
+    return fused.select(
+        "doc_id",
+        F.col("bm25_rank").cast("double").alias("bm25_rank"),
+        F.col("dense_rank").cast("double").alias("dense_rank"),
+        "rrf_score",
+        "rank",
+    ).orderBy("rank")
+
+
+def _hybrid_sql() -> str:
+    from ..operators.retrieval import query_terms
+
+    terms = ", ".join(f"'{t}'" for t in query_terms(BM25_QUERY))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\v\\f\\r]+'), t -> t <> '') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tok
+),
+q AS (SELECT unnest([{terms}]) AS term),
+tf AS (
+  SELECT doc_id, term, dl, COUNT(*) AS tf
+  FROM hits JOIN q USING (term)
+  GROUP BY doc_id, term, dl
+),
+dfd AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+c AS (SELECT COUNT(*) AS n_docs, AVG(COALESCE(len(toks), 0)) AS avgdl FROM tok),
+bm AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ROUND(
+           ln(1.0 + (n_docs - df_docs + 0.5) / (df_docs + 0.5))
+           * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+           / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+         , 6) AS DECIMAL(28,6))) AS DOUBLE) AS score
+  FROM tf JOIN dfd USING (term) CROSS JOIN c
+  GROUP BY doc_id
+),
+bmr AS (
+  SELECT doc_id, bm25_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank FROM bm
+  ) WHERE bm25_rank <= {HYBRID_DEPTH}
+),
+qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {HYBRID_VEC_ID}),
+cand AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+cos AS (
+  SELECT doc_id, {_COS} AS score
+  FROM cand CROSS JOIN qv
+  WHERE doc_id <> {HYBRID_VEC_ID}
+),
+der AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS dense_rank FROM cos
+  ) WHERE dense_rank <= {HYBRID_DEPTH}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+         CAST(b.bm25_rank AS DOUBLE) AS bm25_rank,
+         CAST(d.dense_rank AS DOUBLE) AS dense_rank,
+         ROUND(COALESCE(1.0 / ({HYBRID_K0} + b.bm25_rank), 0.0)
+               + COALESCE(1.0 / ({HYBRID_K0} + d.dense_rank), 0.0), 9) AS rrf_score
+  FROM bmr b FULL OUTER JOIN der d ON b.doc_id = d.doc_id
+)
+SELECT doc_id, bm25_rank, dense_rank, rrf_score, CAST(rank AS INT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+WHERE rank <= {HYBRID_K}
+ORDER BY rank
+"""
+
+
+# ── model-based quality classifier (r11) ───────────────────────────────────
+# Fixed serve-path model for the oracle-checked scoring query: weights are
+# DYADIC literals (multiples of 1/8) so both engines parse bit-identical
+# doubles — the only cross-engine float risk left is libm exp, which the
+# round-6 margin pin absorbs (operators/classifier.score_linear).
+CLF_DIM = 64
+CLF_WEIGHTS = [((j * 7) % 13 - 6) / 8.0 for j in range(CLF_DIM)]
+CLF_BIAS = -0.25
+# Deterministic linear-probe target for the in-query trainer: a hyperplane
+# that EXISTS in embedding space, so the trained head's accuracy measures
+# optimizer correctness, not label noise (the fixtures' `label` column is
+# not linearly separable — measured, see tests/test_classifier.py).
+CLF_TARGET_U = [float((j % 7) - 3) for j in range(CLF_DIM)]
+CLF_PROBE_ITERS = 40
+CLF_PROBE_LR = 40.0
+
+
+def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve path of the FineWeb-Edu-style linear quality head
+    (operators/classifier.score_linear): sigmoid(w·x + b) as a pure
+    codegen expression over the embedding column — literal weights, no
+    join, no UDF; the shape a 100 TB scoring pass wants (one scan,
+    column-pruned to the vector)."""
+    from ..operators.classifier import score_linear
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    score = score_linear(emb, CLF_WEIGHTS, CLF_BIAS)
+    return (
+        emb.select(
+            "vec_id",
+            score.alias("score"),
+            (score >= 0.5).alias("pred"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _classifier_score_sql() -> str:
+    wlist = ", ".join(repr(w) for w in CLF_WEIGHTS)
+    return f"""
+WITH z AS (
+  SELECT vec_id,
+         ROUND(list_sum(list_transform(list_zip(embedding, [{wlist}]),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               + ({CLF_BIAS!r}), 6) AS zz
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(1.0 / (1.0 + exp(-zz)), 6) AS score,
+       (ROUND(1.0 / (1.0 + exp(-zz)), 6) >= 0.5) AS pred
+FROM z
+ORDER BY vec_id
+"""
+
+
+def classifier_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-evaluate the linear probe IN the query (the k-means-
+    in-query precedent, similarity_topk_ivf_kmeans): full-batch logistic
+    GD (operators/classifier.train_logreg_dense — one combiner-friendly
+    aggregation job per iteration, model stays driver-side literals) on
+    a deterministic hyperplane target over the embeddings, 80/20
+    id-hash split; returns the per-split confusion matrix. Rows-only to
+    the driver (the iterate sequence is not SQL-expressible); exact
+    numpy-iterate parity and learnability are pytest-pinned
+    (tests/test_classifier.py)."""
+    from ..operators.classifier import score_linear, train_logreg_dense
+    from ..operators.similarity import dot_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    u = F.array(*[F.lit(v) for v in CLF_TARGET_U])
+    y = (dot_expr(F.col("embedding"), u) > 0).cast("double")
+    holdout = (F.col("vec_id") % 5 == 0)
+    labeled = emb.select("vec_id", "embedding", y.alias("y"), holdout.alias("ho"))
+
+    w, b, _ = train_logreg_dense(
+        labeled.filter(~F.col("ho")),
+        "embedding",
+        "y",
+        dim=CLF_DIM,
+        n_iters=CLF_PROBE_ITERS,
+        lr=CLF_PROBE_LR,
+    )
+    pred = (score_linear(labeled, w, b) >= 0.5).cast("int")
+    scored = labeled.select(
+        F.when(F.col("ho"), F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
+        F.col("y").cast("int").alias("y"),
+        pred.alias("pred"),
+    )
+    agg = scored.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("y") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 1)).cast("long")).alias("fn"),
+        F.sum(((F.col("pred") == 0) & (F.col("y") == 0)).cast("long")).alias("tn"),
+    )
+    return agg.select(
+        "split", "n", "tp", "fp", "fn", "tn",
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 4).alias("accuracy"),
+    ).orderBy("split")
+
+
+# ── distributed BPE (r11) ───────────────────────────────────────────────────
+BPE_N_MERGES = 40
+BPE_MIN_COUNT = 2
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn a BPE merge table from the documents corpus
+    (operators/bpe.train_bpe — one corpus pass builds the word-frequency
+    table, every merge iteration is O(vocabulary) not O(corpus)).
+    Rows-only to the driver (the argmax-merge iteration is not
+    SQL-expressible); the merge sequence is pinned EXACTLY against a
+    pure-Python Sennrich-reference trainer and is partition-layout
+    independent (tests/test_bpe.py)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT
+    )
+    return bpe.merge_table(spark, merges)
+
+
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode (operators/bpe.encode_bpe — Arrow mapInPandas
+    with a per-partition word→segmentation memo): per-document subword
+    counts, the real-token budgeting input for the M7 mixture family.
+    Rows-only; encoder parity vs the reference greedy and the
+    lossless-roundtrip invariant are pytest-pinned."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT
+    )
+    enc = bpe.encode_bpe(docs, merges)
+    return (
+        enc.join(
+            docs.select("doc_id", ta.token_count(F.col("text")).alias("n_words")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.size("bpe_tokens").alias("n_subwords"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 GOPHER_PERTURB = "\n- alpha bullet...\n# note line..."
 
 
@@ -2981,6 +3243,11 @@ QUERIES = {
     "dedup_substring_increment": dedup_substring_increment,
     "lang_id_ngram": lang_id_ngram,
     "dsir_sample": dsir_sample,
+    "hybrid_search": hybrid_search,
+    "classifier_score": classifier_score,
+    "classifier_probe_eval": classifier_probe_eval,
+    "bpe_train": bpe_train,
+    "bpe_encode_stats": bpe_encode_stats,
 }
 
 ORACLES = {
@@ -3089,4 +3356,12 @@ LOCAL_ORACLES = {
     # Gumbel top-k, every decision a pure function of (seed, row) — the
     # mixture family's integer-hash discipline.
     "dsir_sample": _dsir_sql(),
+    # Hybrid BM25+dense RRF retrieval (r11): same headroom rule; the
+    # mirror composes the two already-hash-green component CTEs and the
+    # fixed-arity fusion sum (round-9), so full parity runs in pytest.
+    "hybrid_search": _hybrid_sql(),
+    # Linear quality-head serve path (r11): dyadic literal weights parse
+    # bit-identical on both engines; the round-6 margin pin bounds the
+    # libm-exp divergence before the sigmoid.
+    "classifier_score": _classifier_score_sql(),
 }

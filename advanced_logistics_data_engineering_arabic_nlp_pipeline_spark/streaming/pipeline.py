@@ -837,6 +837,10 @@ def run_stream_curation(
     quality_gate: float | None = None,
     perplexity_max_ce: float | None = None,
     perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
+    classifier_min_score: float | None = None,
+    classifier_model: DataFrame | None = None,
+    classifier_n_buckets: int | None = None,
+    classifier_seed: int = 0,
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
     curation pass composed over a stream — exact dedup, near-dup dedup
@@ -864,6 +868,14 @@ def run_stream_curation(
        EXPR_MODEL_MAX_VOCAB), so the gate is a pure stateless per-row
        filter with no join and no aggregation, streaming-legal before
        the stateful stage for the same keeper-slot reason.
+       When ``classifier_min_score`` is given (requires
+       ``classifier_model`` + ``classifier_n_buckets`` — a PRE-TRAINED
+       hashed-feature weight table from
+       :func:`..operators.classifier.train_logreg_hashed`), the
+       model-based quality gate runs in the same slot via
+       :func:`..operators.classifier.score_hashed_expr` — the weight
+       table rides the plan as a bounded literal map (raises past
+       EXPR_MODEL_MAX_BUCKETS), same stateless-expression discipline.
     1. streaming exact dedup on the CONTENT FINGERPRINT (md5 of the sorted
        distinct token set — operators/textanalysis.fingerprint, the same
        key dedup_exact and the curation ledger use): the one stateful
@@ -1001,6 +1013,35 @@ def run_stream_curation(
         stream = stream.where(
             perplexity_ce_expr(F.col(text_col), _lm_map, _lm_oov)
             <= perplexity_max_ce
+        )
+
+    if classifier_min_score is not None:
+        # model-based quality gate (r11) in the same pre-state slot: the
+        # trained hashed-feature model (a PRE-TRAINED weight table from
+        # operators.classifier.train_logreg_hashed over labeled reference
+        # data — a stream cannot train on itself) collects into a literal
+        # map and scores via a pure fold expression, so like the quality
+        # and LM gates it is stateless, join-free, and keeps low-scoring
+        # docs out of the dedup state store
+        if classifier_model is None or classifier_n_buckets is None:
+            raise ValueError(
+                "classifier_min_score needs classifier_model (the trained "
+                "(bucket, w) table) AND classifier_n_buckets (the hash "
+                "space the features were trained in) — train with "
+                "operators.classifier.train_logreg_hashed on labeled "
+                "reference data"
+            )
+        from ..operators.classifier import (
+            collect_hashed_model,
+            score_hashed_expr,
+        )
+
+        _cw, _cb = collect_hashed_model(classifier_model)
+        stream = stream.where(
+            score_hashed_expr(
+                F.col(text_col), _cw, _cb, classifier_n_buckets, classifier_seed
+            )
+            >= classifier_min_score
         )
 
     deduped = (

@@ -90,6 +90,12 @@ HEADLINE = [
     # model-based lang-ID + DSIR importance resampling (r11)
     "lang_id_ngram",
     "dsir_sample",
+    # hybrid lexical+dense RRF retrieval + linear quality head + BPE (r11)
+    "hybrid_search",
+    "classifier_score",
+    "classifier_probe_eval",
+    "bpe_train",
+    "bpe_encode_stats",
     # the heavy tail (r9 — VERDICT r8 Next-round #1): the most expensive
     # registered paths get standing round-over-round numbers instead of
     # one-time dedicated blocks

@@ -426,3 +426,77 @@ def test_bm25_null_text_avgdl_consistent_across_paths(spark, tmp_path):
     _, mem = retrieval.build_bm25_index(df)
     _, dur = retrieval.build_bm25_index(df, str(tmp_path / "i"))
     assert mem.collect()[0]["__avgdl"] == dur.collect()[0]["__avgdl"] == 2.0
+
+
+# ── RRF hybrid fusion (r11) ─────────────────────────────────────────────────
+
+def _py_rrf(lists, k0=60):
+    """Independent reference: dict per list of id -> rank."""
+    ids = set()
+    for d in lists:
+        ids |= set(d)
+    return {
+        i: round(sum(1.0 / (k0 + d[i]) for d in lists if i in d), 9)
+        for i in ids
+    }
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3), (50, 4)], ["doc_id", "rank"]
+    )
+    got = retrieval.rrf_fuse([("lex", a), ("den", b)], k=10).collect()
+    want = _py_rrf([{10: 1, 20: 2, 30: 3}, {20: 1, 40: 2, 10: 3, 50: 4}])
+    assert {r["doc_id"]: r["rrf_score"] for r in got} == want
+    # ranks: fused order by score desc then id; 20 wins (ranks 2+1),
+    # then 10 (1+3); one-list docs trail
+    order = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order[:2] == [20, 10]
+    # per-list rank columns surface, NULL where the doc missed a list
+    row30 = next(r for r in got if r["doc_id"] == 30)
+    assert row30["lex_rank"] == 3 and row30["den_rank"] is None
+
+
+def test_rrf_fuse_batched_per_query(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (2, 10, 1)], ["qid", "doc_id", "rank"]
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 1), (2, 30, 1), (2, 10, 2)], ["qid", "doc_id", "rank"]
+    )
+    got = retrieval.rrf_fuse(
+        [("lex", a), ("den", b)], k=2, query_col="qid"
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    # q1: doc 20 (2+1) beats doc 10 (1+miss); q2: doc 10 (1+2) beats 30
+    assert [r["doc_id"] for r in sorted(by_q[1], key=lambda r: r["rank"])] == [20, 10]
+    assert [r["doc_id"] for r in sorted(by_q[2], key=lambda r: r["rank"])] == [10, 30]
+
+
+def test_rrf_fuse_validates_inputs(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+    with pytest.raises(ValueError, match="at least two"):
+        retrieval.rrf_fuse([("only", a)])
+    with pytest.raises(ValueError, match="k0 must be"):
+        retrieval.rrf_fuse([("a", a), ("b", a)], k0=0)
+    bad = spark.createDataFrame([(1,)], ["doc_id"])
+    with pytest.raises(ValueError, match="lacks columns"):
+        retrieval.rrf_fuse([("a", a), ("b", bad)])
+
+
+def test_rrf_fuse_three_lists_and_tiebreak(spark):
+    # symmetric ranks -> equal scores -> id ascending breaks the tie
+    a = spark.createDataFrame([(1, 1), (2, 2)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(2, 1), (1, 2)], ["doc_id", "rank"])
+    c = spark.createDataFrame([(3, 1)], ["doc_id", "rank"])
+    got = retrieval.rrf_fuse([("x", a), ("y", b), ("z", c)], k=3).collect()
+    rows = sorted(got, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows] == [1, 2, 3]
+    assert rows[0]["rrf_score"] == rows[1]["rrf_score"]

@@ -2247,3 +2247,99 @@ def test_stream_perplexity_gate_drops_out_of_domain(spark, tmp_path):
             str(tmp_path / "x_ckpt"),
             perplexity_max_ce=1.0,
         )
+
+
+def test_stream_classifier_gate_drops_low_scoring(spark, tmp_path):
+    """The model-based quality gate (r11) runs in the pre-state slot:
+    documents scoring below the threshold under the PRE-TRAINED
+    hashed-feature model never ship; high-scoring docs pass. Kept set
+    equals the batch-side expression filter over the same rows (the
+    stateless-gate parity argument, checked literally). Also pins the
+    config contract: a threshold without model+bucket-count raises."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import classifier
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        dsir_bucket_rows,
+    )
+
+    labeled = [
+        (1, "spark shuffle join spark", 1.0),
+        (2, "merge rows batch", 0.0),
+        (3, "spark window spark", 1.0),
+        (4, "batch rows rows merge", 0.0),
+        (5, "spark join", 1.0),
+        (6, "window merge rows", 0.0),
+    ]
+    N_BKT = 1024  # few collisions between signal grams and filler grams
+    ref = spark.createDataFrame([(i, t) for i, t, _ in labeled], ["id", "text"])
+    feats = (
+        dsir_bucket_rows(ref, "text", id_col="id", n_buckets=N_BKT)
+        .groupBy("id", "bucket")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    labels = spark.createDataFrame([(i, y) for i, _, y in labeled], ["id", "y"])
+    model = classifier.train_logreg_hashed(feats, labels, n_iters=25, lr=5.0)
+
+    # arriving docs must survive the ALWAYS-ON repetition gate (≥9 tokens,
+    # top token ≤12%): pad each with doc-unique filler tokens, which hash
+    # to untrained (zero-weight) buckets and leave the score to the signal
+    def _doc(i, signal):
+        return " ".join(signal.split() + [f"u{i}x{j}" for j in range(36)])
+
+    arriving = [
+        (10, _doc(10, "spark join spark window"), "2024-01-01 10:00:00"),
+        (11, _doc(11, "rows merge batch rows"), "2024-01-01 10:01:00"),
+        (12, _doc(12, "spark shuffle join spark"), "2024-01-01 10:02:00"),
+    ]
+    src = str(tmp_path / "clf_src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        arriving, "doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # batch-side expression over the same rows = the expected kept set
+    wmap, bias = classifier.collect_hashed_model(model)
+    batch_scores = {
+        r["doc_id"]: r["s"]
+        for r in spark.createDataFrame(
+            [(i, t) for i, t, _ in arriving], ["doc_id", "text"]
+        )
+        .select(
+            "doc_id",
+            classifier.score_hashed_expr(F.col("text"), wmap, bias, N_BKT).alias("s"),
+        )
+        .collect()
+    }
+    want_kept = {i for i, s in batch_scores.items() if s >= 0.5}
+    assert want_kept and want_kept != set(batch_scores)  # gate non-vacuous
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = pipeline.run_stream_curation(
+        stream,
+        str(tmp_path / "clf_sink"),
+        str(tmp_path / "clf_ckpt"),
+        classifier_min_score=0.5,
+        classifier_model=model,
+        classifier_n_buckets=N_BKT,
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "clf_sink")).collect()
+    }
+    assert got == want_kept
+
+    with pytest.raises(ValueError, match="classifier_model"):
+        pipeline.run_stream_curation(
+            spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).parquet(src),
+            str(tmp_path / "x2_sink"),
+            str(tmp_path / "x2_ckpt"),
+            classifier_min_score=0.5,
+        )
