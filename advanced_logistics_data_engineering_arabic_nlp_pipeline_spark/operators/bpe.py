@@ -153,14 +153,28 @@ def train_bpe(
     compute the IDENTICAL merge sequence (pinned by pytest)."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
-    if words is None:
-        words = word_freq_table(docs, text_col)
-    if (
-        max_driver_words is not None
-        and words.limit(max_driver_words + 1).count() <= max_driver_words
-    ):
-        freqs = {r["word"]: int(r["freq"]) for r in words.collect()}
-        return _train_bpe_driver(freqs, n_merges, min_count)
+    owns_words = words is None
+    if owns_words:
+        # persist: the mode fence's count and the subsequent read would
+        # otherwise each re-run the full corpus scan+aggregation — the
+        # single most expensive step of training, paid twice
+        words = word_freq_table(docs, text_col).persist()
+    try:
+        if (
+            max_driver_words is not None
+            and words.limit(max_driver_words + 1).count() <= max_driver_words
+        ):
+            freqs = {r["word"]: int(r["freq"]) for r in words.collect()}
+            return _train_bpe_driver(freqs, n_merges, min_count)
+        return _train_bpe_distributed(words, n_merges, min_count)
+    finally:
+        if owns_words:
+            words.unpersist()
+
+
+def _train_bpe_distributed(
+    words: DataFrame, n_merges: int, min_count: int
+) -> list[tuple[str, str, int]]:
     state = words.select(
         _initial_symbols(F.col("word")).alias("syms"), F.col("freq")
     ).localCheckpoint(eager=True)
@@ -234,8 +248,15 @@ def encode_bpe(
     spark = docs.sparkSession
     bc = spark.sparkContext.broadcast(ranks)
     base = docs.select(
-        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("id"),
+        # NULL text = empty doc (the corpus-wide convention, same as the
+        # BM25 avgdl paths): tokens_expr(NULL) is a NULL array, which
+        # would arrive in pandas as None and crash the iteration
+        F.coalesce(
+            tokens_expr(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("__toks"),
     )
+    id_type = base.schema["id"].dataType.simpleString()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rk = bc.value
@@ -253,6 +274,6 @@ def encode_bpe(
                 out.append(enc)
             yield pd.DataFrame({"id": pdf["id"], "bpe_tokens": out})
 
-    return base.mapInPandas(run, "id long, bpe_tokens array<string>").withColumnsRenamed(
-        {"id": id_col, "bpe_tokens": out_col}
-    )
+    return base.mapInPandas(
+        run, f"id {id_type}, bpe_tokens array<string>"
+    ).withColumnsRenamed({"id": id_col, "bpe_tokens": out_col})

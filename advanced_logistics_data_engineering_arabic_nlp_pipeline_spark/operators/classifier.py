@@ -61,7 +61,6 @@ def _w_lit(weights: list[float]) -> Column:
 
 
 def score_linear(
-    df: DataFrame,
     weights: list[float],
     bias: float,
     vec_col: str = "embedding",
@@ -102,9 +101,29 @@ def train_logreg_dense(
         F.col(vec_col).alias("__x"), F.col(label_col).cast("double").alias("__y")
     ).persist()
     try:
-        n = base.count()
+        counts = base.agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(
+                    F.col("__y").isNull()
+                    | (F.coalesce(F.size("__x"), F.lit(-1)) != dim),
+                    1,
+                )
+            ).alias("bad"),
+        ).collect()[0]
+        n = counts["n"]
         if n == 0:
             raise ValueError("cannot train on an empty frame")
+        if counts["bad"]:
+            # NULL contributions would silently vanish from the decimal
+            # sums while still counting in n — every gradient (and the
+            # loss history) scaled down with no signal. Fail loudly.
+            raise ValueError(
+                f"{counts['bad']} rows have a NULL label or a vector whose"
+                f" length != dim={dim}; clean or filter them before"
+                " training (NULL contributions would silently drop from"
+                " the gradient sums while still counting in n)"
+            )
         w = [0.0] * dim
         b = 0.0
         history: list[float] = []
@@ -187,9 +206,19 @@ def train_logreg_hashed(
         F.col(id_col), F.col("y").cast("double").alias("__y")
     ).persist()
     try:
-        n = lab.count()
+        counts = lab.agg(
+            F.count("*").alias("n"),
+            F.count(F.when(F.col("__y").isNull(), 1)).alias("bad"),
+        ).collect()[0]
+        n = counts["n"]
         if n == 0:
             raise ValueError("cannot train on an empty frame")
+        if counts["bad"]:
+            raise ValueError(
+                f"{counts['bad']} labels are NULL; clean or filter them"
+                " before training (NULL residuals would silently drop"
+                " from the gradient sums while still counting in n)"
+            )
         weights = fb.sparkSession.createDataFrame([], "bucket int, w double")
         for _ in range(n_iters):
             z = (
@@ -214,7 +243,7 @@ def train_logreg_hashed(
                 .groupBy("bucket")
                 .agg((dsum(F.col("__r") * F.col("x"), GRAD_SCALE) / n).alias("__g"))
             )
-            weights = (
+            nxt = (
                 weights.join(grad, "bucket", "full_outer")
                 .select(
                     "bucket",
@@ -225,6 +254,8 @@ def train_logreg_hashed(
                 )
                 .localCheckpoint(eager=True)
             )
+            weights.unpersist()  # free the superseded checkpoint's blocks
+            weights = nxt
         return weights
     finally:
         fb.unpersist()
@@ -309,6 +340,11 @@ def score_hashed(
     cast, bias row included via the same synthetic feature. Ids with no
     features still score (bias-only), matching training's margin."""
     ids = labels_or_ids.select(id_col).distinct()
+    # bound the margin work to the REQUESTED ids before the weights join:
+    # against a corpus-wide feature table, scoring a handful of ids must
+    # not aggregate every document's features just to discard them at the
+    # final join (semi-join prunes first; AQE broadcasts small id sets)
+    feats = feats.join(ids, id_col, "left_semi")
     fb = _with_bias(feats, ids.select(id_col, F.lit(0.0).alias("y")), id_col)
     z = (
         fb.join(weights, "bucket", "left")

@@ -512,6 +512,12 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least two ranked lists")
     if k0 < 1:
         raise ValueError("k0 must be >= 1 (RRF dampening constant)")
+    names = [name for name, _ in ranked]
+    if len(set(names)) != len(names):
+        raise ValueError(
+            f"list names must be unique (got {names}) — they become the"
+            " per-list rank column names"
+        )
     keys = ([query_col] if query_col else []) + [id_col]
 
     def prep(name: str, df: DataFrame) -> DataFrame:

@@ -1333,7 +1333,7 @@ def classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.classifier import score_linear
 
     emb = load_table(spark, sf_dir, "embeddings")
-    score = score_linear(emb, CLF_WEIGHTS, CLF_BIAS)
+    score = score_linear(CLF_WEIGHTS, CLF_BIAS)
     return (
         emb.select(
             "vec_id",
@@ -1389,7 +1389,7 @@ def classifier_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_iters=CLF_PROBE_ITERS,
         lr=CLF_PROBE_LR,
     )
-    pred = (score_linear(labeled, w, b) >= 0.5).cast("int")
+    pred = (score_linear(w, b) >= 0.5).cast("int")
     scored = labeled.select(
         F.when(F.col("ho"), F.lit("holdout")).otherwise(F.lit("train")).alias("split"),
         F.col("y").cast("int").alias("y"),

@@ -144,3 +144,20 @@ def test_merge_table_shape(spark):
     rows = t.orderBy("rank").collect()
     assert [r["rank"] for r in rows] == list(range(len(merges)))
     assert all(r["merged"] == r["left"] + r["right"] for r in rows)
+
+
+def test_encode_null_text_is_empty_doc(spark):
+    """NULL text = empty doc (the corpus-wide convention): encodes to an
+    empty token array instead of crashing the Arrow task."""
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["bpe_tokens"] for r in bpe.encode_bpe(docs, []).collect()}
+    assert got[1] == ["a", "b", END]
+    assert got[2] == []
+
+
+def test_encode_non_bigint_id_column(spark):
+    docs = spark.createDataFrame([("u1", "ab")], "url string, text string")
+    got = bpe.encode_bpe(docs, [], id_col="url").collect()
+    assert got[0]["url"] == "u1" and got[0]["bpe_tokens"] == ["a", "b", END]

@@ -107,7 +107,7 @@ def test_dense_trainer_loss_decreases_and_learns(spark, probe_data):
     scored = df.select(
         "vec_id",
         "y",
-        (classifier.score_linear(df, w, b) >= 0.5).cast("double").alias("p"),
+        (classifier.score_linear(w, b) >= 0.5).cast("double").alias("p"),
     )
     acc = scored.agg(
         F.avg((F.col("p") == F.col("y")).cast("double")).alias("a"),
@@ -144,7 +144,7 @@ def test_fixture_labels_not_linearly_separable_documented(spark, sf_dir):
     )
     acc = df.agg(
         F.avg(
-            ((classifier.score_linear(df, w, b) >= 0.5).cast("double") == F.col("y")).cast("double")
+            ((classifier.score_linear(w, b) >= 0.5).cast("double") == F.col("y")).cast("double")
         )
     ).collect()[0][0]
     assert acc < 0.80  # far from the hyperplane target's 0.95+
@@ -289,3 +289,27 @@ def test_score_hashed_expr_bias_only_model(spark):
         classifier.score_hashed_expr(F.col("text"), {}, 1.0, 64).alias("s")
     ).collect()[0]["s"]
     assert s == pytest.approx(1.0 / (1.0 + math.exp(-1.0)), abs=1e-6)
+
+
+def test_dense_trainer_rejects_null_labels_and_bad_vectors(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], 1.0), ([0.0, 1.0], None)],
+        "embedding array<double>, y double",
+    )
+    with pytest.raises(ValueError, match="NULL label"):
+        classifier.train_logreg_dense(df, "embedding", "y", dim=2, n_iters=1)
+    df2 = spark.createDataFrame(
+        [([1.0, 0.0], 1.0), ([0.0], 0.0), (None, 1.0)],
+        "embedding array<double>, y double",
+    )
+    with pytest.raises(ValueError, match="length != dim"):
+        classifier.train_logreg_dense(df2, "embedding", "y", dim=2, n_iters=1)
+
+
+def test_sparse_trainer_rejects_null_labels(spark):
+    feats = spark.createDataFrame([(1, 3, 1.0)], "id long, bucket int, x double")
+    labels = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "id long, y double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        classifier.train_logreg_hashed(feats, labels, n_iters=1)

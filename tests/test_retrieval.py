@@ -500,3 +500,11 @@ def test_rrf_fuse_three_lists_and_tiebreak(spark):
     rows = sorted(got, key=lambda r: r["rank"])
     assert [r["doc_id"] for r in rows] == [1, 2, 3]
     assert rows[0]["rrf_score"] == rows[1]["rrf_score"]
+
+
+def test_rrf_fuse_rejects_duplicate_list_names(spark):
+    import pytest
+
+    a = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
+    with pytest.raises(ValueError, match="unique"):
+        retrieval.rrf_fuse([("lex", a), ("lex", a)])
