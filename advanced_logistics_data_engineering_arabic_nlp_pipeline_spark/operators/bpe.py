@@ -217,6 +217,27 @@ def merge_table(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
     )
 
 
+def save_bpe(spark, merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a trained merge table as a parquet artifact (build once /
+    serve many — the BM25/ANN index-lifecycle discipline). Overwrite
+    semantics: a rebuild replaces the artifact atomically enough for
+    batch use; rank order is the contract, re-derived on load."""
+    merge_table(spark, merges).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str, int]]:
+    """Load a :func:`save_bpe` artifact back into rank-ordered merges —
+    a one-time bounded read (vocabularies are 10⁴-10⁵ rows); encoders
+    broadcast the rank dict from here."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    if [r["rank"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"corrupt BPE artifact at {path}: ranks are not contiguous "
+            "from 0 — retrain or re-save"
+        )
+    return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Reference greedy encoder: repeatedly merge the lowest-rank
     applicable pair (the standard BPE inference loop)."""

@@ -476,6 +476,77 @@ def bm25_topk(
     )
 
 
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Standard IR quality metrics at cutoff ``k`` — Recall@k, MRR@k and
+    binary-gain nDCG@k (Järvelin & Kekäläinen 2002) — for a ranked result
+    table against a relevance-judgment table, per query.
+
+    ``results``: ``(query_col, id_col, rank_col)`` with rank 1 = best
+    (the shape every retrieval operator here emits); ``qrels``:
+    ``(query_col, id_col)`` relevant pairs. Output per query that HAS
+    judgments: ``(query, n_rel, n_hits, recall, mrr, ndcg)`` round-6,
+    zeros when nothing relevant was retrieved.
+
+    Scale shape: one inner join of the rank-pruned results against the
+    qrels (both shuffle on query+id — at evaluation scale these are
+    top-k lists and bounded judgment sets, not corpora), two
+    combiner-friendly groupBys, and the ideal-DCG denominator as a pure
+    ``sequence`` fold (≤ k terms). DCG terms round to 8 dp and sum
+    through the decimal cast; the fold sides are literal-order identical
+    cross-engine — the repo's float discipline, so the metric table
+    hash-matches its SQL mirror."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from ..functions.coercion import dsum
+
+    q, d, r = query_col, id_col, rank_col
+    judged = qrels.select(q, d).distinct()
+    rel_counts = judged.groupBy(q).agg(F.count("*").alias("n_rel"))
+    hits = (
+        results.where(F.col(r) <= k)
+        .join(judged, [q, d])
+        .groupBy(q)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min(r).alias("__first"),
+            dsum(
+                F.round(1.0 / F.log2(F.col(r).cast("double") + 1.0), 8), 8
+            ).alias("__dcg"),
+        )
+    )
+    ideal_m = F.least(F.col("n_rel"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), ideal_m),
+        F.lit(0.0),
+        lambda acc, i: acc + F.round(1.0 / F.log2(i.cast("double") + 1.0), 8),
+    )
+    return (
+        rel_counts.join(hits, q, "left")
+        .select(
+            q,
+            "n_rel",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall"),
+            F.round(
+                F.coalesce(1.0 / F.col("__first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg"),
+        )
+        .orderBy(q)
+    )
+
+
 def rrf_fuse(
     ranked: list[tuple[str, DataFrame]],
     id_col: str = "doc_id",

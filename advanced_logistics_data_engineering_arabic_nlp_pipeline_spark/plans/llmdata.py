@@ -1408,6 +1408,76 @@ def classifier_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("split")
 
 
+# ── retrieval evaluation (r11) ──────────────────────────────────────────────
+RM_K = 10
+RM_N_QUERIES = 5
+
+
+def retrieval_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric evaluation (operators/retrieval.retrieval_metrics):
+    score the exact-cosine top-10 against same-label relevance judgments
+    (label(query) == label(doc), the fixtures' natural qrel) — Recall@10,
+    MRR@10, binary nDCG@10 per query. The evaluation harness every
+    retrieval/dedup family here needs to grade itself at corpus scale;
+    joins touch only top-k lists and judgment sets, never the corpus."""
+    from ..operators.retrieval import retrieval_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < RM_N_QUERIES)
+    results = similarity.topk_bruteforce(
+        queries, emb, "embedding", "vec_id", k=RM_K
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    qrels = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("__ql"))
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("__cl")),
+            F.col("__ql") == F.col("__cl"),
+        )
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(results, qrels, k=RM_K)
+
+
+RETRIEVAL_QUALITY_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlab
+           FROM embeddings WHERE vec_id < {RM_N_QUERIES}),
+c AS (SELECT vec_id AS doc_id, embedding AS cv, label AS clab FROM embeddings),
+s AS (
+  SELECT query_id, doc_id, {_COS} AS score
+  FROM q CROSS JOIN c WHERE query_id <> doc_id
+),
+res AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM s
+  ) WHERE rank <= {RM_K}
+),
+qrels AS (
+  SELECT q.query_id, c.doc_id FROM q JOIN c ON q.qlab = c.clab
+  WHERE c.doc_id <> q.query_id
+),
+relc AS (SELECT query_id, COUNT(*) AS n_rel FROM qrels GROUP BY query_id),
+hits AS (
+  SELECT r.query_id, COUNT(*) AS n_hits, MIN(rank) AS first_rank,
+         CAST(SUM(CAST(ROUND(1.0 / log2(rank + 1.0), 8) AS DECIMAL(28,8))) AS DOUBLE) AS dcg
+  FROM res r JOIN qrels USING (query_id, doc_id)
+  GROUP BY r.query_id
+)
+SELECT relc.query_id,
+       n_rel,
+       CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(n_hits, 0) / n_rel, 6) AS recall,
+       ROUND(COALESCE(1.0 / first_rank, 0.0), 6) AS mrr,
+       ROUND(COALESCE(dcg, 0.0)
+             / list_sum(list_transform(range(1, least(n_rel, {RM_K}) + 1),
+                        i -> ROUND(1.0 / log2(i + 1.0), 8))), 6) AS ndcg
+FROM relc LEFT JOIN hits USING (query_id)
+ORDER BY query_id
+"""
+
+
 # ── distributed BPE (r11) ───────────────────────────────────────────────────
 BPE_N_MERGES = 40
 BPE_MIN_COUNT = 2
@@ -3248,6 +3318,7 @@ QUERIES = {
     "classifier_probe_eval": classifier_probe_eval,
     "bpe_train": bpe_train,
     "bpe_encode_stats": bpe_encode_stats,
+    "retrieval_quality": retrieval_quality,
 }
 
 ORACLES = {
@@ -3364,4 +3435,8 @@ LOCAL_ORACLES = {
     # bit-identical on both engines; the round-6 margin pin bounds the
     # libm-exp divergence before the sigmoid.
     "classifier_score": _classifier_score_sql(),
+    # IR metrics (r11): Recall/MRR/nDCG over the cosine top-10 vs
+    # same-label qrels — DCG terms round-8 through the decimal sum, the
+    # ideal-DCG fold is literal-order identical on both engines.
+    "retrieval_quality": RETRIEVAL_QUALITY_SQL,
 }

@@ -161,3 +161,23 @@ def test_encode_non_bigint_id_column(spark):
     docs = spark.createDataFrame([("u1", "ab")], "url string, text string")
     got = bpe.encode_bpe(docs, [], id_col="url").collect()
     assert got[0]["url"] == "u1" and got[0]["bpe_tokens"] == ["a", "b", END]
+
+
+def test_save_load_roundtrip_and_serve_parity(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    merges = bpe.train_bpe(docs, n_merges=8)
+    path = str(tmp_path / "vocab")
+    bpe.save_bpe(spark, merges, path)
+    loaded = bpe.load_bpe(spark, path)
+    assert loaded == merges
+    a = {r["doc_id"]: r["bpe_tokens"] for r in bpe.encode_bpe(docs, merges).collect()}
+    b = {r["doc_id"]: r["bpe_tokens"] for r in bpe.encode_bpe(docs, loaded).collect()}
+    assert a == b
+
+
+def test_load_rejects_corrupt_artifact(spark, tmp_path):
+    path = str(tmp_path / "bad")
+    t = bpe.merge_table(spark, [("a", "b", 5), ("b", "c", 4)])
+    t.where(F.col("rank") == 1).write.parquet(path)  # rank 0 missing
+    with pytest.raises(ValueError, match="contiguous"):
+        bpe.load_bpe(spark, path)

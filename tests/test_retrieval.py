@@ -508,3 +508,70 @@ def test_rrf_fuse_rejects_duplicate_list_names(spark):
     a = spark.createDataFrame([(1, 1)], ["doc_id", "rank"])
     with pytest.raises(ValueError, match="unique"):
         retrieval.rrf_fuse([("lex", a), ("lex", a)])
+
+
+# ── IR metrics (r11) ────────────────────────────────────────────────────────
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math as _m
+
+    results = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 2), (1, 103, 3),
+         (2, 201, 1), (2, 202, 2),
+         (3, 301, 1)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(1, 102), (1, 103), (1, 104),   # 2 of 3 relevant retrieved
+         (2, 999),                        # nothing retrieved
+         (3, 301)],                       # perfect
+        ["query_id", "doc_id"],
+    )
+    got = {r["query_id"]: r for r in retrieval.retrieval_metrics(results, qrels, k=3).collect()}
+    # q1: hits at ranks 2,3 -> recall 2/3, mrr 1/2,
+    #     dcg = 1/log2(3)+1/log2(4); idcg = 1/log2(2)+1/log2(3)+1/log2(4)
+    dcg = round(1 / _m.log2(3), 8) + round(1 / _m.log2(4), 8)
+    idcg = round(1 / _m.log2(2), 8) + round(1 / _m.log2(3), 8) + round(1 / _m.log2(4), 8)
+    assert got[1]["recall"] == round(2 / 3, 6)
+    assert got[1]["mrr"] == 0.5
+    assert got[1]["ndcg"] == round(dcg / idcg, 6)
+    assert (got[2]["recall"], got[2]["mrr"], got[2]["ndcg"]) == (0.0, 0.0, 0.0)
+    assert (got[3]["recall"], got[3]["mrr"], got[3]["ndcg"]) == (1.0, 1.0, 1.0)
+    assert got[1]["n_rel"] == 3 and got[1]["n_hits"] == 2
+
+
+def test_retrieval_metrics_respects_cutoff_and_validates(spark):
+    import pytest
+
+    results = spark.createDataFrame(
+        [(1, 101, 1), (1, 102, 5)], ["query_id", "doc_id", "rank"]
+    )
+    qrels = spark.createDataFrame([(1, 102)], ["query_id", "doc_id"])
+    got = retrieval.retrieval_metrics(results, qrels, k=3).collect()[0]
+    assert got["n_hits"] == 0 and got["recall"] == 0.0  # hit is past the cutoff
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval.retrieval_metrics(results, qrels, k=0)
+
+
+def test_retrieval_metrics_hybrid_beats_components_or_ties(spark, sf_dir):
+    """Smoke the harness on real operators: the same qrels grade the
+    dense top-10; metrics are in [0,1] and queries all judged."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = similarity.topk_bruteforce(queries, emb, "embedding", "vec_id", k=10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    qrels = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("label").alias("ql"))
+        .join(emb.select(F.col("vec_id").alias("doc_id"), F.col("label").alias("cl")),
+              F.col("ql") == F.col("cl"))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    rows = retrieval.retrieval_metrics(res, qrels, k=10).collect()
+    assert len(rows) == 5
+    for r in rows:
+        for m in ("recall", "mrr", "ndcg"):
+            assert 0.0 <= r[m] <= 1.0, (r["query_id"], m)
