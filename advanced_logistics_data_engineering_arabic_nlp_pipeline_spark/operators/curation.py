@@ -841,12 +841,18 @@ def curate_increment(
     cc_checkpoint_dir: str | None = None,
     perplexity_max_ce: float | None = None,
     perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
+    classifier_min_score: float | None = None,
+    classifier_model: DataFrame | None = None,
+    classifier_n_buckets: int | None = None,
+    classifier_seed: int = 0,
 ) -> DataFrame:
     """The BATCH twin of ``run_stream_curation``'s full stack: curate one
     nightly delta against durable history without re-reading the corpus —
     quality gate (+ optional LM perplexity gate, ``perplexity_max_ce`` /
-    ``perplexity_lm`` — the stream's gate expression verbatim, so the
-    two shapes drop the same documents) → exact dedup (durable fingerprint index,
+    ``perplexity_lm``, and optional model-based classifier gate,
+    ``classifier_min_score`` / ``classifier_model`` /
+    ``classifier_n_buckets`` — the stream's gate expressions verbatim, so
+    the two shapes drop the same documents) → exact dedup (durable fingerprint index,
     :func:`..dedup.exact_increment`) → boilerplate scrub (durable
     segment-frequency index, :func:`scrub_boilerplate_increment`) →
     optional exact-substring span cut (``substring_k``, durable window-
@@ -910,6 +916,26 @@ def curate_increment(
             work = work.filter(
                 perplexity_ce_expr(F.col(text_col), _m, _oov)
                 <= perplexity_max_ce
+            )
+        if classifier_min_score is not None:
+            # the stream's model-based quality gate (r11), same slot,
+            # same literal-map expression — batch/stream parity by
+            # construction, like the LM gate above
+            if classifier_model is None or classifier_n_buckets is None:
+                raise ValueError(
+                    "classifier_min_score needs classifier_model (the "
+                    "trained (bucket, w) table from operators.classifier."
+                    "train_logreg_hashed) AND classifier_n_buckets"
+                )
+            from .classifier import collect_hashed_model, score_hashed_expr
+
+            _cw, _cb = collect_hashed_model(classifier_model)
+            work = work.filter(
+                score_hashed_expr(
+                    F.col(text_col), _cw, _cb, classifier_n_buckets,
+                    classifier_seed,
+                )
+                >= classifier_min_score
             )
         work = exact_increment(
             work,

@@ -1,0 +1,150 @@
+"""Embedding-space preprocessing: distributed mean/covariance moments and
+PCA dimensionality reduction (Pearson 1901; Jolliffe, "Principal
+Component Analysis") — the standard preprocessing step in front of
+large-scale embedding workloads (FAISS-style OPQ/IVF train pipelines,
+SemDeDup-style clustering) where reducing 64-4096-dim vectors to the
+top-k variance directions cuts every downstream distance computation.
+
+Scale shape (the `_lloyd_distributed` discipline, operators/similarity.py):
+
+- **Moments are mapInPandas PARTIAL sums.** Each partition emits ONE row
+  — (count, Σv, flattened Σ v·vᵀ) computed with numpy BLAS — so only
+  O(dim²) bytes per partition cross to the driver; the corpus vectors
+  never leave the executors, and the pass is one scan pruned to the
+  vector column.
+- **The eigendecomposition is driver-side and tiny.** dim×dim (64×64
+  here; even 4096² is megabytes) — `numpy.linalg.eigh` on the summed
+  covariance. Component signs are canonicalized (largest-|coefficient|
+  entry positive) so the model is reproducible run-to-run.
+- **Projection is a pure fold expression.** k literal component arrays
+  ride the plan; each output dimension is one `dot_expr` fold minus a
+  precomputed mean offset — no UDF in the serve path, column-pruned to
+  the vector at the scan.
+
+Determinism note, documented honestly: partition partial sums are
+float64 and the driver adds them in a SORTED order, so a fixed
+partitioning reproduces bit-identically; different partition layouts
+agree to float precision (~1e-9 relative — pytest pins a tolerance, not
+a hash). That is the right trade at 100 TB: a decimal-cast gram at
+dim²·partitions scale buys nothing the tolerance doesn't.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import dot_expr
+
+
+def embedding_moments(
+    df: DataFrame, vec_col: str, dim: int
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """``(n, mean, cov)`` of a vector column — population covariance,
+    computed from per-partition (count, Σv, Σ v·vᵀ) partials."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if X.shape[1] != dim:
+                raise ValueError(
+                    f"vector length {X.shape[1]} != dim={dim}"
+                )
+            s += X.sum(axis=0)
+            g += X.T @ X
+            n += len(X)
+        yield pd.DataFrame(
+            {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+        )
+
+    parts = (
+        df.select(F.col(vec_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .mapInPandas(run, "n long, s array<double>, g array<double>")
+        .collect()
+    )
+    # sorted partial order: a fixed partitioning sums bit-identically
+    parts = sorted(
+        (r for r in parts if r["n"] > 0), key=lambda r: (r["n"], r["s"])
+    )
+    if not parts:
+        raise ValueError("no non-null vectors to compute moments over")
+    n = sum(r["n"] for r in parts)
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in parts:
+        s += np.asarray(r["s"])
+        g += np.asarray(r["g"]).reshape(dim, dim)
+    mean = s / n
+    cov = g / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+@dataclass(frozen=True)
+class PCAModel:
+    mean: list[float]
+    components: list[list[float]]  # k rows of dim coefficients
+    explained_variance: list[float]  # per component, descending
+    total_variance: float
+
+    @property
+    def k(self) -> int:
+        return len(self.components)
+
+    def explained_ratio(self) -> list[float]:
+        return [v / self.total_variance for v in self.explained_variance]
+
+
+def train_pca(df: DataFrame, vec_col: str, dim: int, k: int) -> PCAModel:
+    """Fit the top-``k`` principal components of a vector column. One
+    distributed moments pass + a driver-side dim×dim ``eigh``; component
+    signs canonicalized (largest-|coeff| entry positive)."""
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, dim]; got k={k}, dim={dim}")
+    _, mean, cov = embedding_moments(df, vec_col, dim)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = []
+    variances = []
+    for idx in order:
+        v = evecs[:, idx]
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        variances.append(float(max(evals[idx], 0.0)))
+    return PCAModel(
+        mean=[float(x) for x in mean],
+        components=comps,
+        explained_variance=variances,
+        total_variance=float(max(np.trace(cov), 1e-300)),
+    )
+
+
+def project_expr(
+    vec_col: str | Column, model: PCAModel, round_to: int | None = 6
+) -> Column:
+    """``array<double>`` of length k: the centered projection
+    ``[(x − μ)·c₁, …, (x − μ)·cₖ]`` as pure fold expressions — each
+    component is one dot fold of the raw vector minus the PRECOMPUTED
+    scalar ``μ·cᵢ`` (centering never materializes a shifted copy)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    outs = []
+    for comp, _ in zip(model.components, range(model.k)):
+        lit = F.array(*[F.lit(x) for x in comp])
+        offset = float(np.dot(model.mean, comp))
+        e = dot_expr(c, lit) - F.lit(offset)
+        outs.append(F.round(e, round_to) if round_to is not None else e)
+    return F.array(*outs)

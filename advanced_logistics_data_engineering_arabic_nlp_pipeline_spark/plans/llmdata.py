@@ -1478,6 +1478,26 @@ ORDER BY query_id
 """
 
 
+PCA_K = 16
+
+
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/embeddings.train_pca): one mapInPandas
+    partial-moments pass (O(dim²) bytes per partition to the driver,
+    vectors never leave executors), driver-side 64×64 eigh, then the
+    top-16 projection as pure fold expressions — the dimensionality-
+    reduction front end for clustering/ANN at scale. Rows-only (the
+    eigendecomposition is not SQL-expressible); moments/orthonormality/
+    isometry are pytest-pinned (tests/test_embeddings.py)."""
+    from ..operators import embeddings as emb_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = emb_ops.train_pca(emb, "embedding", dim=64, k=PCA_K)
+    return emb.select(
+        "vec_id", emb_ops.project_expr("embedding", model).alias("pca")
+    ).orderBy("vec_id")
+
+
 # ── distributed BPE (r11) ───────────────────────────────────────────────────
 BPE_N_MERGES = 40
 BPE_MIN_COUNT = 2
@@ -3319,6 +3339,7 @@ QUERIES = {
     "bpe_train": bpe_train,
     "bpe_encode_stats": bpe_encode_stats,
     "retrieval_quality": retrieval_quality,
+    "embedding_pca": embedding_pca,
 }
 
 ORACLES = {

@@ -97,6 +97,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_encode_stats",
     "retrieval_quality",
+    "embedding_pca",
     # the heavy tail (r9 — VERDICT r8 Next-round #1): the most expensive
     # registered paths get standing round-over-round numbers instead of
     # one-time dedicated blocks

@@ -1067,3 +1067,67 @@ def test_curate_increment_perplexity_gate_parity_slot(spark, tmp_path):
         curation.curate_increment(
             df, str(tmp_path / "ppl_idx2"), batch_id=0, perplexity_max_ce=1.0
         )
+
+
+def test_curate_increment_classifier_gate_parity_slot(spark, tmp_path):
+    """The batch classifier gate (r11) is the stream's gate EXPRESSION in
+    the stream's slot: docs scoring below the threshold under the
+    pre-trained hashed model drop before any index stage; a threshold
+    without model+bucket-count raises."""
+    from pyspark.sql import functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import classifier
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.mixture import (
+        dsir_bucket_rows,
+    )
+
+    labeled = [
+        (1, "spark shuffle join spark", 1.0),
+        (2, "merge rows batch", 0.0),
+        (3, "spark window spark", 1.0),
+        (4, "batch rows rows merge", 0.0),
+    ]
+    N_BKT = 1024
+    ref = spark.createDataFrame([(i, t) for i, t, _ in labeled], ["id", "text"])
+    feats = (
+        dsir_bucket_rows(ref, "text", id_col="id", n_buckets=N_BKT)
+        .groupBy("id", "bucket")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    labels = spark.createDataFrame([(i, y) for i, _, y in labeled], ["id", "y"])
+    model = classifier.train_logreg_hashed(feats, labels, n_iters=25, lr=5.0)
+
+    # arriving docs sized to pass the repetition gate (unique fillers)
+    def _doc(i, signal):
+        return " ".join(signal.split() + [f"q{i}z{j}" for j in range(36)])
+
+    df = spark.createDataFrame(
+        [(10, _doc(10, "spark join spark window")),
+         (11, _doc(11, "rows merge batch rows"))],
+        ["doc_id", "text"],
+    )
+    wmap, bias = classifier.collect_hashed_model(model)
+    scores = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            classifier.score_hashed_expr(F.col("text"), wmap, bias, N_BKT).alias("s"),
+        ).collect()
+    }
+    want = sorted(i for i, s in scores.items() if s >= 0.5)
+    assert want and want != sorted(scores)  # gate non-vacuous
+
+    out = curation.curate_increment(
+        df,
+        str(tmp_path / "clf_idx"),
+        batch_id=0,
+        classifier_min_score=0.5,
+        classifier_model=model,
+        classifier_n_buckets=N_BKT,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == want
+
+    with pytest.raises(ValueError, match="classifier_model"):
+        curation.curate_increment(
+            df, str(tmp_path / "clf_idx2"), batch_id=0, classifier_min_score=0.5
+        )

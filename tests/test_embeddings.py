@@ -1,0 +1,119 @@
+"""Distributed PCA (r11): moments pinned against numpy, components
+orthonormal with descending variance, the k=dim projection is an isometry
+(identical cosine neighbors), and layout independence holds to float
+tolerance (the documented non-hash determinism trade)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import embeddings as emb_ops
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def X(emb):
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    return np.asarray([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def test_moments_match_numpy(emb, X):
+    n, mean, cov = emb_ops.embedding_moments(emb.coalesce(1), "embedding", DIM)
+    assert n == len(X)
+    np.testing.assert_allclose(mean, X.mean(axis=0), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(
+        cov, (X.T @ X) / len(X) - np.outer(X.mean(0), X.mean(0)),
+        rtol=0, atol=1e-12,
+    )
+
+
+def test_moments_layout_independent_to_tolerance(emb):
+    _, m1, c1 = emb_ops.embedding_moments(emb.coalesce(1), "embedding", DIM)
+    _, m2, c2 = emb_ops.embedding_moments(emb.repartition(13), "embedding", DIM)
+    np.testing.assert_allclose(m1, m2, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(c1, c2, rtol=0, atol=1e-9)
+
+
+def test_pca_components_orthonormal_descending(emb):
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=16)
+    C = np.asarray(model.components)
+    np.testing.assert_allclose(C @ C.T, np.eye(16), rtol=0, atol=1e-8)
+    ev = model.explained_variance
+    assert all(a >= b for a, b in zip(ev, ev[1:]))
+    assert 0 < sum(model.explained_ratio()) <= 1.0 + 1e-9
+    # sign canonicalization: largest-|coeff| entry is positive
+    for row in C:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+
+
+def test_projection_matches_numpy(emb, X):
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=8)
+    got = {
+        r["vec_id"]: np.asarray(r["p"])
+        for r in emb.select(
+            "vec_id", emb_ops.project_expr("embedding", model).alias("p")
+        ).collect()
+    }
+    C = np.asarray(model.components)
+    mu = np.asarray(model.mean)
+    want = (X - mu) @ C.T
+    ids = sorted(got)
+    G = np.asarray([got[i] for i in ids])
+    np.testing.assert_allclose(G, np.round(want, 6), rtol=0, atol=2e-6)
+    # projected per-dim variance tracks the eigenvalues
+    np.testing.assert_allclose(
+        want.var(axis=0), model.explained_variance, rtol=1e-6, atol=1e-9
+    )
+
+
+def test_full_rank_projection_is_isometry_for_neighbors(spark, emb):
+    """k=dim PCA is a rotation (+ centering): cosine on centered vectors
+    is unchanged, so the top-5 neighbor SETS in projected space match the
+    centered-space brute-force exactly."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    proj = emb.select(
+        "vec_id",
+        emb_ops.project_expr("embedding", model, round_to=None).alias("embedding"),
+    )
+    mu = F.array(*[F.lit(v) for v in model.mean])
+    centered = emb.select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding"), mu, lambda a, b: a.cast("double") - b
+        ).alias("embedding"),
+    )
+
+    def top5(df):
+        out = {}
+        rows = similarity.topk_bruteforce(
+            df.filter(F.col("vec_id") < 5), df, "embedding", "vec_id", k=5
+        ).collect()
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    a, b = top5(proj), top5(centered)
+    assert a == b
+
+
+def test_pca_validates(spark, emb):
+    with pytest.raises(ValueError, match="k must be"):
+        emb_ops.train_pca(emb, "embedding", DIM, k=0)
+    with pytest.raises(ValueError, match="k must be"):
+        emb_ops.train_pca(emb, "embedding", DIM, k=DIM + 1)
+    empty = spark.createDataFrame([], "embedding array<double>")
+    with pytest.raises(ValueError, match="no non-null"):
+        emb_ops.embedding_moments(empty, "embedding", DIM)
+    bad = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
+    with pytest.raises(Exception, match="vector length"):
+        emb_ops.embedding_moments(bad, "embedding", DIM)
