@@ -106,7 +106,13 @@ def train_logreg_dense(
             F.count(
                 F.when(
                     F.col("__y").isNull()
-                    | (F.coalesce(F.size("__x"), F.lit(-1)) != dim),
+                    | (F.coalesce(F.size("__x"), F.lit(-1)) != dim)
+                    # one NULL ELEMENT nulls the whole dot fold — the
+                    # row's entire contribution array would vanish from
+                    # the decimal sums while still counting in n
+                    # (ADVICE r11), the exact silent-scaling failure the
+                    # length check guards against
+                    | F.exists("__x", lambda x: x.isNull()),
                     1,
                 )
             ).alias("bad"),
@@ -119,22 +125,41 @@ def train_logreg_dense(
             # sums while still counting in n — every gradient (and the
             # loss history) scaled down with no signal. Fail loudly.
             raise ValueError(
-                f"{counts['bad']} rows have a NULL label or a vector whose"
-                f" length != dim={dim}; clean or filter them before"
-                " training (NULL contributions would silently drop from"
-                " the gradient sums while still counting in n)"
+                f"{counts['bad']} rows have a NULL label, a vector whose"
+                f" length != dim={dim}, or a NULL element inside the"
+                " vector; clean or filter them before training (NULL"
+                " contributions would silently drop from the gradient"
+                " sums while still counting in n)"
             )
         w = [0.0] * dim
         b = 0.0
         history: list[float] = []
         eps = 1e-12  # log-loss clamp; keeps the history finite
         for _ in range(n_iters):
-            z = dot_expr(F.col("__x"), _w_lit(w)) + F.lit(b)
-            p = sigmoid_expr(z)
-            r = p - F.col("__y")
+            # Materialize the margin and residual ONCE per row as named
+            # projections (ADVICE r11): inlining the full w·x dot fold
+            # into every element of the transform lambda would make the
+            # per-row gradient work O(dim²) per iteration unless Catalyst
+            # CSEs across HOF lambda bodies — fatal at 4096 dims.
+            # CollapseProject does NOT re-inline these: it only
+            # substitutes aliases that are cheap or referenced once, and
+            # __z (an aggregate fold, 3 references) and __r (dim+1
+            # references) are neither — verified in the optimized plan
+            # (one Project chain, the fold appears exactly once).
+            row = base.select(
+                "__x",
+                "__y",
+                (dot_expr(F.col("__x"), _w_lit(w)) + F.lit(b)).alias("__z"),
+            )
+            p = sigmoid_expr(F.col("__z"))
             loss = -(
                 F.col("__y") * F.log(F.greatest(p, F.lit(eps)))
                 + (1.0 - F.col("__y")) * F.log(F.greatest(1.0 - p, F.lit(eps)))
+            )
+            row = row.select(
+                "__x",
+                (p - F.col("__y")).alias("__r"),
+                loss.alias("__loss"),
             )
             # One contribution ARRAY per row (grads | bias-grad | loss),
             # posexploded and decimal-summed per position: a 3-expression
@@ -143,12 +168,12 @@ def train_logreg_dense(
             # whole-stage codegen compile dominated each job) and the
             # same quantized sums either way.
             carr = F.concat(
-                F.transform(F.col("__x"), lambda v: r * v),
-                F.array(r),
-                F.array(loss),
+                F.transform(F.col("__x"), lambda v: F.col("__r") * v),
+                F.array(F.col("__r")),
+                F.array(F.col("__loss")),
             )
             sums = dict(
-                base.select(F.posexplode(carr).alias("pos", "__c"))
+                row.select(F.posexplode(carr).alias("pos", "__c"))
                 .groupBy("pos")
                 .agg(dsum(F.col("__c"), GRAD_SCALE).alias("g"))
                 .collect()
@@ -262,6 +287,144 @@ def train_logreg_hashed(
         lab.unpersist()
 
 
+# ── durable model artifacts (r12) ───────────────────────────────────────────
+# Build-once / serve-many persistence for trained models — the save_bpe /
+# BM25-index parquet discipline (operators/bpe.py:220, retrieval.py:210):
+# a training run is expensive (n_iters × one corpus scan), so the weights
+# must outlive the session; a nightly curate_increment or a stream restart
+# loads the artifact instead of retraining. Layout under one root:
+#   <path>/meta     one row: (kind, dim, n_buckets, seed)
+#   <path>/weights  dense:  (pos int, w double), pos −1 = bias
+#                   hashed: (bucket int, w double), bucket −1 = bias
+# Overwrite semantics like save_bpe: a rebuild replaces the artifact; the
+# loaders re-derive and VALIDATE the contract (contiguous dense positions,
+# single bias row, coherent meta) so a half-written or mixed-up artifact
+# fails loudly instead of serving garbage scores.
+
+_META_SCHEMA = "kind string, dim int, n_buckets int, seed int"
+
+
+def save_dense_model(
+    spark, weights: list[float], bias: float, path: str
+) -> None:
+    """Persist a :func:`train_logreg_dense` model (weights + bias) as a
+    parquet artifact."""
+    rows = [(j, float(w)) for j, w in enumerate(weights)]
+    rows.append((BIAS_BUCKET, float(bias)))
+    spark.createDataFrame(rows, "pos int, w double").write.mode(
+        "overwrite"
+    ).parquet(path.rstrip("/") + "/weights")
+    spark.createDataFrame(
+        [("dense", len(weights), None, None)], _META_SCHEMA
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+def load_dense_model(spark, path: str) -> tuple[list[float], float]:
+    """Load a :func:`save_dense_model` artifact back into ``(weights,
+    bias)`` — a bounded read (dim+1 rows); the serve path folds them into
+    literals (:func:`score_linear`), so loaded ≡ trained bit-exactly
+    (parquet doubles roundtrip)."""
+    meta = _load_meta(spark, path, want_kind="dense")
+    rows = spark.read.parquet(path.rstrip("/") + "/weights").collect()
+    by_pos = {int(r["pos"]): float(r["w"]) for r in rows}
+    if len(by_pos) != len(rows):
+        raise ValueError(
+            f"corrupt dense model at {path}: duplicate positions"
+        )
+    bias = by_pos.pop(BIAS_BUCKET, None)
+    if bias is None or sorted(by_pos) != list(range(meta["dim"])):
+        raise ValueError(
+            f"corrupt dense model at {path}: expected positions 0.."
+            f"{meta['dim'] - 1} plus one bias row ({BIAS_BUCKET}) — "
+            "retrain and re-save"
+        )
+    return [by_pos[j] for j in range(meta["dim"])], bias
+
+
+def save_hashed_model(
+    weights: DataFrame, n_buckets: int, path: str, seed: int = 0
+) -> None:
+    """Persist a :func:`train_logreg_hashed` weight table WITH its
+    featurizer identity (``n_buckets``, ``seed``) — serving against the
+    wrong hash space is the classic silent-corruption failure, so the
+    artifact carries the projection parameters, not just the weights."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    weights.select(
+        F.col("bucket").cast("int"), F.col("w").cast("double")
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/weights")
+    weights.sparkSession.createDataFrame(
+        [("hashed", None, int(n_buckets), int(seed))], _META_SCHEMA
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+def load_hashed_model(spark, path: str) -> tuple[DataFrame, int, int]:
+    """``(weights, n_buckets, seed)`` from a :func:`save_hashed_model`
+    artifact. The weight table stays a DataFrame — unbounded models serve
+    through the join path (:func:`score_hashed`); gate-sized ones collect
+    via :func:`collect_hashed_model` exactly like a just-trained table."""
+    meta = _load_meta(spark, path, want_kind="hashed")
+    w = spark.read.parquet(path.rstrip("/") + "/weights")
+    return w, meta["n_buckets"], meta["seed"]
+
+
+def resolve_hashed_model(
+    spark,
+    model: "DataFrame | str",
+    n_buckets: int | None,
+    seed: int,
+) -> tuple[DataFrame, int, int]:
+    """Accept either an in-memory weight table or a
+    :func:`save_hashed_model` artifact PATH (the gate-wiring contract of
+    ``curate_increment`` / ``run_stream_curation``). For a path, the
+    artifact's featurizer identity is authoritative: ``n_buckets`` must
+    be None or match (a mismatch is the silent-corruption case the
+    artifact exists to prevent), and the stored seed wins over the
+    caller's (the caller's default can't be distinguished from an
+    explicit 0 — documented asymmetry, err on the artifact)."""
+    if isinstance(model, str):
+        w, nb, sd = load_hashed_model(spark, model)
+        if n_buckets is not None and n_buckets != nb:
+            raise ValueError(
+                f"classifier_n_buckets={n_buckets} conflicts with the"
+                f" model artifact's n_buckets={nb} ({model}) — the"
+                " artifact's featurizer identity is authoritative; pass"
+                " None or the matching value"
+            )
+        return w, nb, sd
+    if n_buckets is None:
+        raise ValueError(
+            "classifier_n_buckets is required when classifier_model is an"
+            " in-memory weight table (only a saved artifact carries its"
+            " own featurizer identity)"
+        )
+    return model, n_buckets, seed
+
+
+def _load_meta(spark, path: str, want_kind: str) -> dict:
+    rows = spark.read.parquet(path.rstrip("/") + "/meta").collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt model artifact at {path}: meta must be exactly one"
+            f" row, found {len(rows)}"
+        )
+    m = rows[0].asDict()
+    if m["kind"] != want_kind:
+        raise ValueError(
+            f"model artifact at {path} is kind={m['kind']!r}, not"
+            f" {want_kind!r} — load with the matching loader"
+        )
+    if want_kind == "dense" and (m["dim"] is None or m["dim"] < 1):
+        raise ValueError(f"corrupt dense model at {path}: bad dim={m['dim']}")
+    if want_kind == "hashed" and (
+        m["n_buckets"] is None or m["n_buckets"] < 1 or m["seed"] is None
+    ):
+        raise ValueError(
+            f"corrupt hashed model at {path}: bad n_buckets/seed"
+        )
+    return m
+
+
 EXPR_MODEL_MAX_BUCKETS = 4096
 
 
@@ -315,7 +478,16 @@ def score_hashed_expr(
     m = F.create_map(
         *[F.lit(x) for bkt, w in sorted(wmap.items()) for x in (bkt, w)]
     )
-    grams = F.concat(tokens_expr(text), ngrams_expr(text, 2))
+    # NULL text = no features (the encode_bpe convention): without the
+    # coalesce, concat(tokens, ngrams) is NULL, the fold returns NULL and
+    # the gate silently DROPS NULL-text docs while the join path
+    # (score_hashed) scores the same doc bias-only — breaking the
+    # documented gate-vs-bulk parity contract (ADVICE r11). With it,
+    # NULL text scores sigmoid(bias) in both paths.
+    grams = F.coalesce(
+        F.concat(tokens_expr(text), ngrams_expr(text, 2)),
+        F.array().cast("array<string>"),
+    )
     bucket = lambda g: F.pmod(  # noqa: E731 — mirrors dsir_bucket_rows
         hash60_expr(g, seed, salt="dsir"), F.lit(n_buckets)
     ).cast("int")

@@ -278,10 +278,11 @@ def repetition_stats_exploded(df: DataFrame, text_col: str, id_col: str) -> Data
 
 def pack_sequences(
     df: DataFrame,
-    text_col: str,
+    text_col: str | None,
     id_col: str,
     max_len: int = 512,
     n_shards: int = 8,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """GPT-style concat-then-chunk packing ledger: documents are laid
     end-to-end in a deterministic order and cut into fixed ``max_len``
@@ -303,14 +304,21 @@ def pack_sequences(
     assignment and intra-shard order are pure functions of the id.
 
     Token counts use the whitespace tokenizer (textanalysis.token_count)
-    so the ledger composes with the rest of the text stack. Null text
-    occupies 0 tokens (clamped — non-ANSI ``size(null)`` is −1, which
-    would DECREMENT every later offset in the shard)."""
+    so the ledger composes with the rest of the text stack — OR, when
+    ``tokens_col`` names a pre-tokenized ``array<string>`` column (r12:
+    e.g. operators/bpe.encode_bpe output), its length: the ledger then
+    bookkeeps REAL tokenizer units, which is what a trainer's packing
+    actually counts (``text_col`` is ignored in that mode). Null
+    text/array occupies 0 tokens (clamped — non-ANSI ``size(null)`` is
+    −1, which would DECREMENT every later offset in the shard)."""
+    n_tok = (
+        F.size(F.col(tokens_col)).cast("bigint")
+        if tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     d = df.select(
         F.col(id_col).alias("id"),
-        F.greatest(
-            F.coalesce(token_count(F.col(text_col)), F.lit(0)), F.lit(0)
-        ).alias("n_tok"),
+        F.greatest(F.coalesce(n_tok, F.lit(0)), F.lit(0)).alias("n_tok"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
     )
     # explicit ROWS frame: the default with orderBy is RANGE, under which
@@ -344,11 +352,12 @@ def pack_sequences(
 
 def materialize_chunks(
     df: DataFrame,
-    text_col: str,
+    text_col: str | None,
     id_col: str,
     max_len: int = 512,
     n_shards: int = 8,
     carry: tuple[str, ...] = (),
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Materialize the packed training windows :func:`pack_sequences` only
     bookkeeps (VERDICT r5 "Next round" #4): one row per (chunk, doc) SLICE
@@ -372,7 +381,16 @@ def materialize_chunks(
     chunk_text (the slice, space-joined lowercase whitespace tokens —
     the tokenizer the whole text stack shares), plus any ``carry``
     columns (per-doc metadata riding along — avoids re-joining the input
-    subtree, which would recompute it)."""
+    subtree, which would recompute it).
+
+    ``tokens_col`` (r12): chunk over a pre-tokenized ``array<string>``
+    column instead of whitespace words — the BPE-token-aware export
+    shape (VERDICT r11 Next-round #1): a trainer packs tokenizer UNITS,
+    not words, so the 512-unit windows cut real token ids' worth of
+    text. ``text_col`` is ignored in that mode; every offset/slice
+    invariant holds over the provided units verbatim (chunk_text is the
+    space-joined unit slice — with the ``</w>`` markers intact for BPE,
+    so per-shard streams reconstruct losslessly)."""
     # A carry column named like an internal working column would be
     # silently shadowed mid-plan; one named like an output column would
     # produce duplicate/ambiguous columns downstream (ADVICE r6). Reject
@@ -389,9 +407,14 @@ def materialize_chunks(
             f" internal/output column names {sorted(reserved)}; rename"
             f" them before chunking"
         )
+    toks = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else tokens_expr(F.col(text_col))
+    )
     d = df.select(
         F.col(id_col).alias("id"),
-        tokens_expr(F.col(text_col)).alias("__toks"),
+        toks.alias("__toks"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
         *[F.col(c) for c in carry],
     ).withColumn(
@@ -842,7 +865,7 @@ def curate_increment(
     perplexity_max_ce: float | None = None,
     perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
     classifier_min_score: float | None = None,
-    classifier_model: DataFrame | None = None,
+    classifier_model: DataFrame | str | None = None,
     classifier_n_buckets: int | None = None,
     classifier_seed: int = 0,
 ) -> DataFrame:
@@ -920,21 +943,32 @@ def curate_increment(
         if classifier_min_score is not None:
             # the stream's model-based quality gate (r11), same slot,
             # same literal-map expression — batch/stream parity by
-            # construction, like the LM gate above
-            if classifier_model is None or classifier_n_buckets is None:
+            # construction, like the LM gate above. classifier_model may
+            # be a saved artifact PATH (r12 — operators.classifier.
+            # save_hashed_model): the build-once/serve-many shape a
+            # nightly delta wants; n_buckets/seed then come from the
+            # artifact's own featurizer identity.
+            if classifier_model is None:
                 raise ValueError(
                     "classifier_min_score needs classifier_model (the "
                     "trained (bucket, w) table from operators.classifier."
-                    "train_logreg_hashed) AND classifier_n_buckets"
+                    "train_logreg_hashed, or a save_hashed_model artifact"
+                    " path) — plus classifier_n_buckets for the in-memory"
+                    " form"
                 )
-            from .classifier import collect_hashed_model, score_hashed_expr
+            from .classifier import (
+                collect_hashed_model,
+                resolve_hashed_model,
+                score_hashed_expr,
+            )
 
-            _cw, _cb = collect_hashed_model(classifier_model)
+            _cm, _cnb, _csd = resolve_hashed_model(
+                df.sparkSession, classifier_model, classifier_n_buckets,
+                classifier_seed,
+            )
+            _cw, _cb = collect_hashed_model(_cm)
             work = work.filter(
-                score_hashed_expr(
-                    F.col(text_col), _cw, _cb, classifier_n_buckets,
-                    classifier_seed,
-                )
+                score_hashed_expr(F.col(text_col), _cw, _cb, _cnb, _csd)
                 >= classifier_min_score
             )
         work = exact_increment(

@@ -55,13 +55,28 @@ def embedding_moments(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
-            )
-            if X.shape[1] != dim:
-                raise ValueError(
-                    f"vector length {X.shape[1]} != dim={dim}"
-                )
+            # Per-row build with explicit guards (ADVICE r11): a ragged
+            # batch would make the stacked np.asarray fail (or build an
+            # object array) BEFORE a shape check could run, and a NULL
+            # element arrives as None → NaN, silently poisoning
+            # mean/cov (train_pca would return NaN components with no
+            # error). Both cases fail loudly here instead.
+            rows = []
+            for v in pdf["__v"]:
+                a = np.asarray(v, dtype=np.float64)
+                if a.shape != (dim,):
+                    raise ValueError(
+                        f"vector length {a.shape[0] if a.ndim == 1 else a.shape}"
+                        f" != dim={dim}"
+                    )
+                if np.isnan(a).any():
+                    raise ValueError(
+                        "vector contains NULL/NaN elements; clean or"
+                        " filter them before computing moments (NaN"
+                        " would silently poison mean/cov)"
+                    )
+                rows.append(a)
+            X = np.vstack(rows)
             s += X.sum(axis=0)
             g += X.T @ X
             n += len(X)

@@ -258,6 +258,7 @@ def curated_corpus(
     *,
     gopher: bool = False,
     perplexity_max_ce: float | None = None,
+    classifier: bool = False,
 ) -> DataFrame:
     """End-to-end curation — the pipeline this engine exists for, as ONE
     declarative plan: quality gate (Gopher-style cheap filters, strict
@@ -268,13 +269,15 @@ def curated_corpus(
     pairs → connected components, drop non-representatives). Returns the
     surviving corpus ledger.
 
-    ``gopher`` / ``perplexity_max_ce`` (r11, both default OFF — the
-    registered driver row keeps its long-stable profile): enable the
-    ledger's published-recipe stages — the Gopher rules under the
-    ``LEDGER_GOPHER_*`` profile and the CCNet-style LM gate — as extra
-    semi-join filters in the same quality-before-dedup slot. The
+    ``gopher`` / ``perplexity_max_ce`` (r11) / ``classifier`` (r12, all
+    default OFF — the registered driver row keeps its long-stable
+    profile): enable the ledger's published-recipe stages — the Gopher
+    rules under the ``LEDGER_GOPHER_*`` profile, the CCNet-style LM
+    gate, and the fixed ``LEDGER_CLF_*`` hashed-feature model gate — as
+    extra semi-join filters in the same quality-before-dedup slot. The
     curation_ledger audits EXACTLY ``curated_corpus(gopher=True,
-    perplexity_max_ce=LEDGER_MAX_CE)`` (one profile; invariant-pytested).
+    perplexity_max_ce=LEDGER_MAX_CE, classifier=True)`` (one profile;
+    invariant-pytested).
 
     Composition notes: dup structures are computed over the FULL corpus
     (curation must not resurrect a duplicate just because its twin failed
@@ -314,6 +317,9 @@ def curated_corpus(
             .select("doc_id")
         )
         out = out.join(p, "doc_id", "semi")
+    if classifier:
+        c = _ledger_clf_ok(docs).filter(F.col("clf_ok")).select("doc_id")
+        out = out.join(c, "doc_id", "semi")
     return (
         out.join(exact_keep, "doc_id", "semi")
         .join(non_keepers, "doc_id", "anti")
@@ -2570,6 +2576,29 @@ LEDGER_GOPHER_MIN_WORDS = 30
 LEDGER_GOPHER_MIN_STOP_HITS = 1
 LEDGER_MAX_CE = 5.4
 
+# r12 classifier stage (VERDICT r11 Next-round #6): a FIXED hashed-feature
+# model in the ledger's gate cascade, so a classifier-gated corpus's data
+# card can attribute those drops. The weights are DYADIC literals
+# (multiples of 1/16) over the DSIR featurizer's 64-bucket hash space:
+# dyadic addends sum EXACTLY in double, so the gram-order fold (Spark)
+# and the unordered SUM (DuckDB) agree bit-for-bit before the round-6
+# margin pin — the same cross-engine float discipline as CLF_WEIGHTS.
+# Threshold/bias tuned so the reason is non-vacuous at sf0.001 AND
+# sf0.01 without starving the downstream dup/repetition/contamination
+# stages (the LEDGER_GOPHER_* fixture-profile rationale).
+LEDGER_CLF_N_BUCKETS = 64
+LEDGER_CLF_SEED = 0
+LEDGER_CLF_WMAP = {b: ((b * 11) % 17 - 8) / 16.0 for b in range(64)}
+# Margins under this wmap are dyadic (multiples of 1/16) and run ≈ −20…+2
+# over the fixture survivors; bias +14 puts the 0.5 decision point at raw
+# margin −14 ≈ p10-p12 of the quality/gopher/perplexity survivors at BOTH
+# sf0.001 and sf0.01 (measured) — non-vacuous without starving the dup /
+# repetition / contamination stages behind it. The decision is also
+# ulp-safe cross-engine: the smallest nonzero |margin+bias| is 1/16, and
+# sigmoid(±1/16) rounds 6 decimals away from 0.5.
+LEDGER_CLF_BIAS = 14.0
+LEDGER_CLF_MIN = 0.5
+
 
 def _ledger_gopher_ok(docs: DataFrame) -> DataFrame:
     """(doc_id, g_ok) — the ledger's Gopher verdict over RAW text (no
@@ -2602,14 +2631,36 @@ def _ledger_ppl_ok(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ledger_clf_ok(docs: DataFrame) -> DataFrame:
+    """(doc_id, clf_ok) — the ledger's model-based quality verdict:
+    :func:`...operators.classifier.score_hashed_expr` under the fixed
+    dyadic ``LEDGER_CLF_*`` model (a pure fold expression; NULL/empty
+    text scores sigmoid(bias), the gate-vs-bulk parity convention)."""
+    from ..operators.classifier import score_hashed_expr
+
+    return docs.select(
+        "doc_id",
+        (
+            score_hashed_expr(
+                F.col("text"),
+                LEDGER_CLF_WMAP,
+                LEDGER_CLF_BIAS,
+                LEDGER_CLF_N_BUCKETS,
+                LEDGER_CLF_SEED,
+            )
+            >= LEDGER_CLF_MIN
+        ).alias("clf_ok"),
+    )
+
+
 def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full-pipeline drop-reason AUDIT LEDGER — one row per TRAINING
     candidate doc (the eval slice doc_id % 97 = 0 is excluded by
     definition: eval docs never enter the train corpus) with ``kept`` and
     the FIRST failing stage in pipeline order:
 
-        quality → gopher → perplexity → exact_dup → near_dup →
-        repetition → contaminated
+        quality → gopher → perplexity → classifier → exact_dup →
+        near_dup → repetition → contaminated
 
     Composes the already-oracle-checked components (quality gate, Gopher
     rules, LM perplexity, exact keeper, near-dup cluster keeper,
@@ -2625,14 +2676,12 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     and same fingerprint-keyed exact stage as curated_corpus (one profile
     — r6 review finding; an audit of a hypothetical stricter pipeline
     explains nothing about the corpus that trains), with the r11
-    gopher/perplexity stages matching ``curated_corpus(gopher=True,
-    perplexity_max_ce=LEDGER_MAX_CE)`` — so within the train slice,
-    kept == that gated curated_corpus ∩ repetition-keep − contaminated
+    gopher/perplexity stages and the r12 classifier stage matching
+    ``curated_corpus(gopher=True, perplexity_max_ce=LEDGER_MAX_CE,
+    classifier=True)`` — so within the train slice, kept == that gated
+    curated_corpus ∩ repetition-keep − contaminated
     (invariant-pytested). Every stage carries positive fixture evidence
-    (VERDICT r5 #3; stage-profile constants above). At sf0.01 every
-    reason is nonzero: quality 186 / gopher 70 / perplexity 23 /
-    exact_dup 39 / near_dup 10 / repetition 74 / contaminated 31,
-    kept 61."""
+    (VERDICT r5 #3; stage-profile constants above)."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
@@ -2645,6 +2694,7 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g_ok = _ledger_gopher_ok(docs)
     ppl_ok = _ledger_ppl_ok(docs)
+    c_ok = _ledger_clf_ok(docs)
     exact_keep = (
         docs.groupBy(ta.fingerprint(F.col("text")).alias("fpk"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -2668,6 +2718,7 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q_ok, "doc_id", "left")
         .join(g_ok, "doc_id", "left")
         .join(ppl_ok, "doc_id", "left")
+        .join(c_ok, "doc_id", "left")
         .join(exact_keep, "doc_id", "left")
         .join(non_keep, "doc_id", "left")
         .join(rep, "doc_id", "left")
@@ -2677,6 +2728,7 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~F.coalesce(F.col("q_ok"), F.lit(False)), "quality")
         .when(~F.coalesce(F.col("g_ok"), F.lit(False)), "gopher")
         .when(~F.coalesce(F.col("ppl_ok"), F.lit(False)), "perplexity")
+        .when(~F.coalesce(F.col("clf_ok"), F.lit(False)), "classifier")
         .when(~F.coalesce(F.col("ex_ok"), F.lit(False)), "exact_dup")
         .when(F.coalesce(F.col("near_dup"), F.lit(False)), "near_dup")
         .when(~F.coalesce(F.col("rep_ok"), F.lit(False)), "repetition")
@@ -2692,6 +2744,18 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOPS_SQL = " + ".join(
     f"CASE WHEN list_contains(gtoks, '{w}') THEN 1 ELSE 0 END"
     for w in ta.GOPHER_REQUIRED_STOPS
+)
+
+# r12 classifier stage mirror: the fixed dyadic weight table as a literal
+# list indexed by the DSIR bucket projection (the _dsir_sql hash mirror);
+# dyadic addends make the unordered SUM here equal Spark's gram-order
+# fold exactly, so the round-6 margin (and hence clf_ok) matches.
+_CLF_WLIST_SQL = "[" + ", ".join(
+    repr(LEDGER_CLF_WMAP[b]) for b in range(LEDGER_CLF_N_BUCKETS)
+) + "]"
+_CLF_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5('dsir:{LEDGER_CLF_SEED}:' || gram), 1, 15))"
+    f"::BIGINT % {LEDGER_CLF_N_BUCKETS} AS INT)"
 )
 
 CURATION_LEDGER_SQL = f"""
@@ -2769,6 +2833,24 @@ lppl AS (
          (ROUND(-CAST(SUM(CAST(lp AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*), 6) <= {LEDGER_MAX_CE}) AS ppl_ok
   FROM lms GROUP BY doc_id
 ),
+-- r12 classifier stage: fixed dyadic hashed-feature model (LEDGER_CLF_*),
+-- unigram+bigram grams through the DSIR bucket projection; docs with no
+-- grams (empty/NULL text) score sigmoid(bias) via the COALESCE
+lclf_s AS (
+  SELECT doc_id,
+         SUM({_CLF_WLIST_SQL}[{_CLF_BUCKET_SQL} + 1]) AS s
+  FROM (SELECT doc_id,
+               unnest(list_concat(toks, CASE WHEN len(toks) >= 2 THEN
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END)) AS gram
+        FROM ltok)
+  GROUP BY doc_id
+),
+lclf AS (
+  SELECT d.doc_id,
+         (ROUND(1.0 / (1.0 + exp(-ROUND(COALESCE(lclf_s.s, 0) + {LEDGER_CLF_BIAS!r}, 6))), 6) >= {LEDGER_CLF_MIN!r}) AS clf_ok
+  FROM documents d LEFT JOIN lclf_s ON lclf_s.doc_id = d.doc_id
+),
 -- exact stage keys on the content fingerprint (dedup_exact's key): md5 of
 -- the sorted distinct token set — raw-text exact dups never exist in the
 -- fixtures, fingerprint collisions do
@@ -2832,6 +2914,7 @@ led AS (
            WHEN NOT COALESCE(lq.q_ok, FALSE) THEN 'quality'
            WHEN NOT COALESCE(lgk.g_ok, FALSE) THEN 'gopher'
            WHEN NOT COALESCE(lppl.ppl_ok, FALSE) THEN 'perplexity'
+           WHEN NOT COALESCE(lclf.clf_ok, FALSE) THEN 'classifier'
            WHEN d.doc_id NOT IN (SELECT doc_id FROM lexact) THEN 'exact_dup'
            WHEN COALESCE(jlab.doc_id <> jlab.cluster_id, FALSE) THEN 'near_dup'
            WHEN NOT COALESCE(lrep.rep_ok, FALSE) THEN 'repetition'
@@ -2841,6 +2924,7 @@ led AS (
   LEFT JOIN lq ON lq.doc_id = d.doc_id
   LEFT JOIN lgk ON lgk.doc_id = d.doc_id
   LEFT JOIN lppl ON lppl.doc_id = d.doc_id
+  LEFT JOIN lclf ON lclf.doc_id = d.doc_id
   LEFT JOIN jlab ON jlab.doc_id = d.doc_id
   LEFT JOIN lrep ON lrep.doc_id = d.doc_id
   LEFT JOIN ldec ON ldec.doc_id = d.doc_id
@@ -2859,8 +2943,9 @@ def data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, outcome) cell, document count, char mass, and the outcome's
     share of that language, where outcome is ``kept`` or the ledger's
     first-failing-stage drop reason (quality / gopher / perplexity /
-    exact_dup / near_dup / repetition / contaminated — the card explains
-    a Gopher- and perplexity-gated corpus as of r11).
+    classifier / exact_dup / near_dup / repetition / contaminated — the
+    card explains a Gopher-, perplexity- and classifier-gated corpus as
+    of r12).
 
     Pure composition: the ledger (already oracle-checked, one curation
     profile shared with curated_corpus) joins doc metadata on doc_id —
@@ -3186,6 +3271,75 @@ def training_export_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sequence_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training windows over REAL tokenizer units (VERDICT r11
+    Next-round #1): the corpus is BPE-encoded (operators/bpe.train_bpe →
+    encode_bpe, the bpe_train/bpe_encode_stats model) and the SUBWORD
+    stream — not whitespace words — is laid end-to-end per shard and cut
+    into fixed 512-unit windows via ``materialize_chunks(tokens_col=)``.
+    This is what a trainer actually loads: 512 token ids' worth of text
+    per sequence (the unit↔id mapping is a bounded vocab dictionary;
+    invariants are over the unit stream, which determines the id stream
+    verbatim). Chunk slices keep the ``</w>`` markers, so concatenating
+    a shard's chunks reconstructs its exact subword stream (pytested:
+    every unit lands in exactly one slice, all-but-last chunks are
+    exactly 512 units per shard, and the stream round-trips to the
+    whitespace words). Rows-only by necessity — the encode step is the
+    sanctioned Arrow mapInPandas path; the chunk-level invariants are
+    the oracle (tests/test_curation.py)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT
+    )
+    enc = bpe.encode_bpe(docs, merges)
+    return (
+        curation.materialize_chunks(
+            enc, None, "doc_id", max_len=512, n_shards=8,
+            tokens_col="bpe_tokens",
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("chunk_uid", "pos_in_chunk")
+    )
+
+
+def training_export_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """training_export_chunks with the r12 BPE-unit windows: the kept
+    corpus (curation + embedding near-dup anti-join, the same
+    ``_export_encoded`` subtree) is BPE-encoded and cut into 512-SUBWORD
+    training windows, each slice carrying lang/quality/PQ codes. The
+    tokenizer is trained ONCE on the raw corpus (the build-once
+    bpe_train model — a tokenizer is a corpus-level artifact, not a
+    per-export derivation); the export's texts are then encoded with
+    those merges and chunked over the unit stream. Rows-only (LSH + PQ
+    + mapInPandas encode); the whitespace twin's invariants re-proven
+    over BPE units in pytest."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT
+    )
+    exported = (
+        _export_encoded(spark, sf_dir)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", "text", "lang", "quality", "pq_codes")
+    )
+    enc = bpe.encode_bpe(exported, merges).join(
+        exported.select("doc_id", "lang", "quality", "pq_codes"), "doc_id"
+    )
+    return (
+        curation.materialize_chunks(
+            enc, None, "doc_id", max_len=512, n_shards=8,
+            carry=("lang", "quality", "pq_codes"),
+            tokens_col="bpe_tokens",
+        )
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("chunk_uid", "pos_in_chunk")
+    )
+
+
 # Deterministic 2-word segmentation shared by the Spark plan and the SQL
 # mirror: the synthetic corpus has no newlines, so the query derives
 # "lines" by breaking the single-spaced word stream every BOILER_SEG_WORDS
@@ -3318,6 +3472,8 @@ QUERIES = {
     "sequence_packing": sequence_packing,
     "sequence_chunks": sequence_chunks,
     "training_export_chunks": training_export_chunks,
+    "sequence_chunks_bpe": sequence_chunks_bpe,
+    "training_export_chunks_bpe": training_export_chunks_bpe,
     "boilerplate_scrub": boilerplate_scrub,
     "semdedup": semdedup_ledger,
     "data_card": data_card,

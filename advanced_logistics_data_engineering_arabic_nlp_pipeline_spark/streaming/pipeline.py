@@ -838,7 +838,7 @@ def run_stream_curation(
     perplexity_max_ce: float | None = None,
     perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
     classifier_min_score: float | None = None,
-    classifier_model: DataFrame | None = None,
+    classifier_model: DataFrame | str | None = None,
     classifier_n_buckets: int | None = None,
     classifier_seed: int = 0,
 ) -> StreamingQuery:
@@ -1023,24 +1023,31 @@ def run_stream_curation(
         # map and scores via a pure fold expression, so like the quality
         # and LM gates it is stateless, join-free, and keeps low-scoring
         # docs out of the dedup state store
-        if classifier_model is None or classifier_n_buckets is None:
+        if classifier_model is None:
             raise ValueError(
                 "classifier_min_score needs classifier_model (the trained "
-                "(bucket, w) table) AND classifier_n_buckets (the hash "
-                "space the features were trained in) — train with "
+                "(bucket, w) table, or a save_hashed_model artifact path) "
+                "— plus classifier_n_buckets (the hash space the features "
+                "were trained in) for the in-memory form; train with "
                 "operators.classifier.train_logreg_hashed on labeled "
                 "reference data"
             )
         from ..operators.classifier import (
             collect_hashed_model,
+            resolve_hashed_model,
             score_hashed_expr,
         )
 
-        _cw, _cb = collect_hashed_model(classifier_model)
+        # a saved artifact path (r12) resolves here exactly like the
+        # batch twin — a stream restart loads the weights instead of
+        # needing the training session alive
+        _cm, _cnb, _csd = resolve_hashed_model(
+            stream.sparkSession, classifier_model, classifier_n_buckets,
+            classifier_seed,
+        )
+        _cw, _cb = collect_hashed_model(_cm)
         stream = stream.where(
-            score_hashed_expr(
-                F.col(text_col), _cw, _cb, classifier_n_buckets, classifier_seed
-            )
+            score_hashed_expr(F.col(text_col), _cw, _cb, _cnb, _csd)
             >= classifier_min_score
         )
 

@@ -306,6 +306,33 @@ def test_dense_trainer_rejects_null_labels_and_bad_vectors(spark):
         classifier.train_logreg_dense(df2, "embedding", "y", dim=2, n_iters=1)
 
 
+def test_dense_trainer_rejects_null_elements_inside_vectors(spark):
+    """ADVICE r11: one NULL element nulls the whole dot fold — the row's
+    entire contribution array would silently drop from the gradient sums
+    while still counting in n. The guard must flag it, not just NULL
+    labels / wrong lengths."""
+    df = spark.createDataFrame(
+        [([1.0, 0.0], 1.0), ([None, 1.0], 0.0)],
+        "embedding array<double>, y double",
+    )
+    with pytest.raises(ValueError, match="NULL element"):
+        classifier.train_logreg_dense(df, "embedding", "y", dim=2, n_iters=1)
+
+
+def test_score_hashed_expr_null_text_scores_bias_only(spark):
+    """ADVICE r11: NULL text must score sigmoid(bias) in the expression
+    gate — the join path (score_hashed) scores a featureless id
+    bias-only, and the documented parity contract covers NULL text too
+    (a gate returning NULL would silently drop those docs)."""
+    wmap = {3: 0.7, 5: -0.2}
+    bias = 0.4
+    docs = spark.createDataFrame([(1, None)], "id long, text string")
+    s = docs.select(
+        classifier.score_hashed_expr(F.col("text"), wmap, bias, 64).alias("s")
+    ).collect()[0]["s"]
+    assert s == pytest.approx(1.0 / (1.0 + math.exp(-bias)), abs=1e-6)
+
+
 def test_sparse_trainer_rejects_null_labels(spark):
     feats = spark.createDataFrame([(1, 3, 1.0)], "id long, bucket int, x double")
     labels = spark.createDataFrame(
@@ -313,3 +340,108 @@ def test_sparse_trainer_rejects_null_labels(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         classifier.train_logreg_hashed(feats, labels, n_iters=1)
+
+
+# ── durable model artifacts (r12) ───────────────────────────────────────────
+
+def test_dense_model_roundtrip_and_serve_parity(spark, tmp_path):
+    """save → load → serve ≡ serve(trained) bit-exactly (parquet doubles
+    roundtrip; score_linear folds the same literals either way)."""
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 2.0], 1.0), ([0.0, 1.0, -1.0], 0.0),
+         ([2.0, 0.5, 0.25], 1.0), ([-1.0, 2.0, 0.0], 0.0)],
+        "embedding array<double>, y double",
+    )
+    w, b, _ = classifier.train_logreg_dense(df, "embedding", "y", dim=3, n_iters=5)
+    path = str(tmp_path / "dense_model")
+    classifier.save_dense_model(spark, w, b, path)
+    w2, b2 = classifier.load_dense_model(spark, path)
+    assert w2 == w and b2 == b
+    s1 = df.select(classifier.score_linear(w, b).alias("s")).collect()
+    s2 = df.select(classifier.score_linear(w2, b2).alias("s")).collect()
+    assert [r["s"] for r in s1] == [r["s"] for r in s2]
+
+
+def test_hashed_model_roundtrip_and_serve_parity(spark, tmp_path):
+    feats, labels = _sparse_frames(spark)
+    w = classifier.train_logreg_hashed(feats, labels, n_iters=5, lr=2.0)
+    path = str(tmp_path / "hashed_model")
+    classifier.save_hashed_model(w, 64, path, seed=0)
+    w2, nb, seed = classifier.load_hashed_model(spark, path)
+    assert (nb, seed) == (64, 0)
+    trained = {(r["bucket"], r["w"]) for r in w.collect()}
+    loaded = {(r["bucket"], r["w"]) for r in w2.collect()}
+    assert trained == loaded
+    s1 = {r["id"]: r["score"] for r in classifier.score_hashed(feats, labels, w).collect()}
+    s2 = {r["id"]: r["score"] for r in classifier.score_hashed(feats, labels, w2).collect()}
+    assert s1 == s2
+
+
+def test_model_artifact_corruption_detected(spark, tmp_path):
+    feats, labels = _sparse_frames(spark)
+    w = classifier.train_logreg_hashed(feats, labels, n_iters=2)
+    hp = str(tmp_path / "h")
+    classifier.save_hashed_model(w, 64, hp)
+    # wrong-kind load
+    with pytest.raises(ValueError, match="kind"):
+        classifier.load_dense_model(spark, hp)
+    # dense artifact with a hole in the positions
+    dp = str(tmp_path / "d")
+    classifier.save_dense_model(spark, [0.1, 0.2, 0.3], -0.5, dp)
+    spark.createDataFrame(
+        [(0, 0.1), (2, 0.3), (classifier.BIAS_BUCKET, -0.5)], "pos int, w double"
+    ).write.mode("overwrite").parquet(dp + "/weights")
+    with pytest.raises(ValueError, match="corrupt dense model"):
+        classifier.load_dense_model(spark, dp)
+    # meta with the wrong cardinality
+    mp = str(tmp_path / "m")
+    classifier.save_hashed_model(w, 64, mp)
+    spark.createDataFrame(
+        [("hashed", None, 64, 0), ("hashed", None, 64, 0)],
+        classifier._META_SCHEMA,
+    ).write.mode("overwrite").parquet(mp + "/meta")
+    with pytest.raises(ValueError, match="exactly one"):
+        classifier.load_hashed_model(spark, mp)
+
+
+def test_resolve_hashed_model_contract(spark, tmp_path):
+    feats, labels = _sparse_frames(spark)
+    w = classifier.train_logreg_hashed(feats, labels, n_iters=2)
+    path = str(tmp_path / "rm")
+    classifier.save_hashed_model(w, 64, path, seed=7)
+    # path: artifact identity wins; explicit MATCHING n_buckets ok
+    _, nb, seed = classifier.resolve_hashed_model(spark, path, None, 0)
+    assert (nb, seed) == (64, 7)
+    _, nb, _ = classifier.resolve_hashed_model(spark, path, 64, 0)
+    assert nb == 64
+    with pytest.raises(ValueError, match="authoritative"):
+        classifier.resolve_hashed_model(spark, path, 128, 0)
+    # in-memory: n_buckets required
+    with pytest.raises(ValueError, match="required"):
+        classifier.resolve_hashed_model(spark, w, None, 0)
+
+
+def test_curate_increment_accepts_model_path(spark, tmp_path):
+    """The gate wired from a PATH drops the same docs as the in-memory
+    table (build-once/serve-many parity for the batch delta shape)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import curation
+
+    feats, labels = _sparse_frames(spark)
+    w = classifier.train_logreg_hashed(feats, labels, n_iters=10, lr=2.0)
+    path = str(tmp_path / "gate_model")
+    classifier.save_hashed_model(w, 64, path, seed=0)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in SPARSE_CORPUS], ["doc_id", "text"]
+    )
+    kw = dict(
+        text_col="text", id_col="doc_id", neardup_threshold=None,
+        classifier_min_score=0.5,
+    )
+    mem = curation.curate_increment(
+        docs, str(tmp_path / "idx_mem"), classifier_model=w,
+        classifier_n_buckets=64, **kw,
+    )
+    art = curation.curate_increment(
+        docs, str(tmp_path / "idx_art"), classifier_model=path, **kw,
+    )
+    assert {r["doc_id"] for r in mem.collect()} == {r["doc_id"] for r in art.collect()}

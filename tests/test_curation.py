@@ -300,6 +300,11 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
         for r in llmdata._ledger_ppl_ok(docs).collect()
         if r["ppl_ok"]
     }
+    clf_ok = {
+        r["doc_id"]
+        for r in llmdata._ledger_clf_ok(docs).collect()
+        if r["clf_ok"]
+    }
     fp_keep = {
         r["doc_id"]
         for r in docs.groupBy(ta.fingerprint(F.col("text")).alias("fpk"))
@@ -316,7 +321,7 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
 
     kept = {d for d, reason in led.items() if reason is None}
     assert kept == (
-        train_ids & strict_q & gopher_ok & ppl_ok & fp_keep & rep_keep
+        train_ids & strict_q & gopher_ok & ppl_ok & clf_ok & fp_keep & rep_keep
     ) - near_nonkeep - contam
     # ONE profile: the ledger's kept set is exactly the shipped corpus
     # (curated_corpus under the ledger's gate profile) surviving the
@@ -329,6 +334,7 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
             sf_dir,
             gopher=True,
             perplexity_max_ce=llmdata.LEDGER_MAX_CE,
+            classifier=True,
         ).collect()
     }
     assert kept == (curated & rep_keep & train_ids) - contam
@@ -339,6 +345,11 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
             assert d in strict_q and d not in gopher_ok, d
         elif reason == "perplexity":
             assert d in strict_q and d in gopher_ok and d not in ppl_ok, d
+        elif reason == "classifier":
+            assert (
+                d in strict_q and d in gopher_ok and d in ppl_ok
+                and d not in clf_ok
+            ), d
         elif reason == "exact_dup":
             assert d in strict_q and d not in fp_keep, d
         elif reason == "near_dup":
@@ -354,6 +365,7 @@ def test_curation_ledger_consistent_with_components(spark, sf_dir):
         "quality",
         "gopher",
         "perplexity",
+        "classifier",
         "exact_dup",
         "near_dup",
         "repetition",
@@ -607,6 +619,105 @@ def test_materialize_chunks_property_random_corpora(spark):
                 assert fill[r["chunk_uid"]] == max_len
 
     check()
+
+
+def test_materialize_chunks_bpe_units_every_unit_exactly_once(spark, sf_dir):
+    """The r12 BPE-token-aware packing contract (VERDICT r11 Next-round
+    #1), the whitespace twin's invariants re-proven over SUBWORD units:
+    per doc, slices contiguously cover [0, n_units) exactly once; every
+    non-tail chunk is exactly max_len units; each shard's unit stream
+    reconstructs losslessly from its chunk slices; and the stream
+    round-trips through the ``</w>`` markers back to the exact
+    whitespace-word stream the encoder consumed."""
+    import pyspark.sql.functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import bpe
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.dedup import tokens_expr
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.sources.tables import load_table
+
+    MAX_LEN, N_SHARDS = 32, 4  # small windows force many boundary spans
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, n_merges=20, min_count=2)
+    enc = bpe.encode_bpe(docs, merges)
+    rows = curation.materialize_chunks(
+        enc, None, "doc_id", max_len=MAX_LEN, n_shards=N_SHARDS,
+        tokens_col="bpe_tokens",
+    ).collect()
+    units = {r["doc_id"]: list(r["bpe_tokens"]) for r in enc.collect()}
+    words = {
+        r["doc_id"]: list(r["t"])
+        for r in docs.select(
+            "doc_id", tokens_expr(F.col("text")).alias("t")
+        ).collect()
+    }
+
+    # per doc: contiguous cover of [0, n_units), slice = those units
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    for doc_id, slices in by_doc.items():
+        slices.sort(key=lambda r: r["token_start"])
+        assert slices[0]["token_start"] == 0
+        for a, b in zip(slices, slices[1:]):
+            assert a["token_end"] == b["token_start"], doc_id
+        assert slices[-1]["token_end"] == len(units[doc_id])
+        for s in slices:
+            want = " ".join(units[doc_id][s["token_start"]:s["token_end"]])
+            assert s["chunk_text"] == want, (doc_id, s["chunk_uid"])
+
+    # per chunk: exactly MAX_LEN units except each shard's tail
+    by_chunk: dict = {}
+    tail: dict = {}
+    for r in rows:
+        by_chunk.setdefault(r["chunk_uid"], []).append(r)
+        tail[r["shard"]] = max(tail.get(r["shard"], -1), r["chunk_in_shard"])
+    for uid, slices in by_chunk.items():
+        total = sum(r["token_end"] - r["token_start"] for r in slices)
+        shard, cis = slices[0]["shard"], slices[0]["chunk_in_shard"]
+        if cis == tail[shard]:
+            assert 0 < total <= MAX_LEN
+        else:
+            assert total == MAX_LEN, uid
+
+    # shard streams reconstruct, and the </w> markers round-trip the
+    # stream back to the exact word sequence the encoder consumed
+    for shard in tail:
+        stream = []
+        for r in sorted(
+            (r for r in rows if r["shard"] == shard),
+            key=lambda r: (r["chunk_in_shard"], r["pos_in_chunk"]),
+        ):
+            stream.extend(r["chunk_text"].split(" "))
+        want_units, want_words = [], []
+        for doc_id in sorted(
+            d for d in units if d % N_SHARDS == shard and units[d]
+        ):
+            want_units.extend(units[doc_id])
+            want_words.extend(words[doc_id])
+        assert stream == want_units, shard
+        got_words = "".join(stream).split(bpe.END)
+        assert got_words[-1] == "" and got_words[:-1] == want_words, shard
+
+
+def test_pack_sequences_tokens_col_counts_units(spark):
+    """pack_sequences(tokens_col=) bookkeeps pre-tokenized unit counts:
+    n_tok is the array length (NULL array → 0), offsets accumulate over
+    units — the ledger twin of the BPE chunk materialization."""
+    df = spark.createDataFrame(
+        [(0, ["a", "b</w>", "c"]), (4, None), (8, ["x</w>"] * 7)],
+        "doc_id long, u array<string>",
+    )
+    rows = {
+        r["id"]: r
+        for r in curation.pack_sequences(
+            df, None, "doc_id", max_len=4, n_shards=1, tokens_col="u"
+        ).collect()
+    }
+    assert (rows[0]["n_tok"], rows[0]["start_offset"]) == (3, 0)
+    assert (rows[4]["n_tok"], rows[4]["start_offset"]) == (0, 3)
+    assert (rows[8]["n_tok"], rows[8]["start_offset"]) == (7, 3)
+    assert rows[8]["chunk_first"] == 0 and rows[8]["chunk_last"] == 2
+    assert rows[8]["spans_boundary"] is True
 
 
 def test_scrub_boilerplate_property_random_corpora(spark):

@@ -117,3 +117,24 @@ def test_pca_validates(spark, emb):
     bad = spark.createDataFrame([([1.0, 2.0],)], "embedding array<double>")
     with pytest.raises(Exception, match="vector length"):
         emb_ops.embedding_moments(bad, "embedding", DIM)
+
+
+def test_moments_reject_null_elements_and_ragged_batches(spark, emb):
+    """ADVICE r11: a NULL element arrives as None → NaN and silently
+    poisons mean/cov (train_pca returns NaN components with no error);
+    ragged lengths within one batch used to crash np.asarray BEFORE the
+    intended length check ran. Both must raise the clear ValueError."""
+    withnull = spark.createDataFrame(
+        [([1.0] * DIM,), ([None] + [1.0] * (DIM - 1),)],
+        "embedding array<double>",
+    )
+    with pytest.raises(Exception, match="NULL/NaN"):
+        emb_ops.embedding_moments(withnull, "embedding", DIM)
+    # ragged WITHIN one partition/batch: the per-row build must reach the
+    # length check instead of failing in a stacked asarray
+    ragged = spark.createDataFrame(
+        [([1.0] * DIM,), ([1.0] * (DIM - 3),)],
+        "embedding array<double>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="vector length"):
+        emb_ops.embedding_moments(ragged, "embedding", DIM)

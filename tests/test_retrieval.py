@@ -553,7 +553,36 @@ def test_retrieval_metrics_respects_cutoff_and_validates(spark):
         retrieval.retrieval_metrics(results, qrels, k=0)
 
 
-def test_retrieval_metrics_hybrid_beats_components_or_ties(spark, sf_dir):
+def test_rrf_hybrid_beats_components_on_constructed_lists(spark):
+    """Fusion genuinely helps when the component lists have COMPLEMENTARY
+    coverage: lex finds {1,2} early, dense finds {3,4} early, all four are
+    relevant — RRF interleaves them, so hybrid recall@4 strictly beats
+    BOTH components (ADVICE r11: the old test asserted this property in
+    its name without computing a hybrid ranking)."""
+    lex = spark.createDataFrame(
+        [(7, 1, 1), (7, 2, 2), (7, 101, 3), (7, 102, 4)],
+        ["query_id", "doc_id", "rank"],
+    )
+    dense = spark.createDataFrame(
+        [(7, 3, 1), (7, 4, 2), (7, 103, 3), (7, 104, 4)],
+        ["query_id", "doc_id", "rank"],
+    )
+    qrels = spark.createDataFrame(
+        [(7, d) for d in (1, 2, 3, 4)], ["query_id", "doc_id"]
+    )
+    fused = retrieval.rrf_fuse(
+        [("lex", lex), ("dense", dense)], k=4, query_col="query_id"
+    )
+    metric = lambda res: retrieval.retrieval_metrics(  # noqa: E731
+        res, qrels, k=4
+    ).collect()[0]
+    h, l, d = metric(fused), metric(lex), metric(dense)
+    assert l["recall"] == 0.5 and d["recall"] == 0.5
+    assert h["recall"] == 1.0  # strictly beats both components
+    assert h["ndcg"] > max(l["ndcg"], d["ndcg"])
+
+
+def test_retrieval_metrics_dense_topk_smoke(spark, sf_dir):
     """Smoke the harness on real operators: the same qrels grade the
     dense top-10; metrics are in [0,1] and queries all judged."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
