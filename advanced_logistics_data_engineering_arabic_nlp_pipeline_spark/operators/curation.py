@@ -883,11 +883,12 @@ def curate_increment(
     ExactSubstr as a text-rewriting stage; a doc whose text was ALL
     duplicate spans drops like an all-boilerplate doc) → near-dup gate
     (durable signature index, :func:`..dedup.neardup_increment`) →
-    repetition gate → eval-set decontamination → PII redaction, in
-    exactly the stream's stage order (scrub and span-cut BEFORE near-dup
-    so shared banners/passages can't false-near-dup documents with
-    disjoint bodies; quality BEFORE the dedup stages so a junk early
-    arrival never becomes a keeper).
+    eval-set decontamination → PII redaction, in exactly the stream's
+    stage order (scrub and span-cut BEFORE near-dup so shared
+    banners/passages can't false-near-dup documents with disjoint
+    bodies; ALL stateless gates — quality, LM, classifier, repetition —
+    BEFORE the dedup stages so a junk early arrival never becomes a
+    keeper; the repetition gate joined that pass in r12).
 
     The point: an ingest pipeline alternates shapes over its life — a
     historical bootstrap, stream generations, nightly batch deltas — and
@@ -971,6 +972,16 @@ def curate_increment(
                 score_hashed_expr(F.col(text_col), _cw, _cb, _cnb, _csd)
                 >= classifier_min_score
             )
+        # repetition joins the stateless pre-dedup gate pass (r12, in
+        # lockstep with run_stream_curation): a repetitive doc must not
+        # claim an exact-fingerprint or near-dup keeper slot — previously
+        # it registered its fingerprint in the durable index and then
+        # dropped at the late repetition stage, so a clean twin arriving
+        # the NEXT night was deduped against a doc that never shipped
+        # (permanent content loss). Gates on the RAW text (pre-scrub),
+        # the published-pipeline shape. Catalyst folds the chained
+        # filters into one predicate pass.
+        work = work.where(repetition_keep_expr(F.col(text_col)))
         work = exact_increment(
             work,
             index_dir,
@@ -1053,7 +1064,7 @@ def curate_increment(
                 cc_checkpoint=cc_checkpoint,
                 cc_checkpoint_dir=cc_checkpoint_dir,
             )
-        out = work.where(repetition_keep_expr(F.col(text_col)))
+        out = work  # repetition gate moved into the pre-dedup pass (r12)
         if eval_df is not None:
             ev_dict = eval_shingle_dict(eval_df, text_col, decontam_k)
             out = decontam_anti_join(out, ev_dict, text_col, id_col, decontam_k)

@@ -148,6 +148,64 @@ def train_pca(df: DataFrame, vec_col: str, dim: int, k: int) -> PCAModel:
     )
 
 
+def opq_eigen_allocate(model: PCAModel, m: int) -> list[list[float]]:
+    """Parametric OPQ rotation (Ge, He, Ke & Sun 2013, "Optimized
+    Product Quantization", §4 eigenvalue allocation): order a FULL-RANK
+    PCA basis into ``m`` product-quantizer subspaces so each subspace
+    gets a balanced share of the variance — greedy assignment of
+    components (variance descending) to the subspace with the smallest
+    current log-variance product among those not yet full. Plain PCA
+    ordering would stuff all variance into subspace 1 and starve the
+    rest, which is exactly the imbalance OPQ exists to fix.
+
+    Returns the dim components in their allocated order — the rows of
+    the rotation matrix :func:`rotate_expr` applies. Deterministic: ties
+    break on subspace index; the PCA basis itself is sign-canonicalized.
+    Driver-side O(dim log dim) arithmetic on an already-trained model —
+    no data pass."""
+    dim = len(model.components[0]) if model.components else 0
+    if model.k != dim:
+        raise ValueError(
+            f"OPQ needs a FULL-RANK basis: model has k={model.k} of"
+            f" dim={dim} components — train_pca with k=dim"
+        )
+    if m < 1 or dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    import math
+
+    logs = [math.log(max(v, 1e-12)) for v in model.explained_variance]
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    sums = [0.0] * m
+    for idx in range(dim):  # components arrive variance-descending
+        s = min(
+            (s for s in range(m) if len(buckets[s]) < sub),
+            key=lambda s: (sums[s], s),
+        )
+        buckets[s].append(idx)
+        sums[s] += logs[idx]
+    return [model.components[i] for b in buckets for i in b]
+
+
+def rotate_expr(
+    vec_col: str | Column,
+    components: list[list[float]],
+    round_to: int | None = 6,
+) -> Column:
+    """Pure orthogonal rotation ``x·Rᵀ`` as fold expressions — NO
+    centering (unlike :func:`project_expr`), so dot products and norms
+    are preserved exactly and cosine in rotated space ≡ cosine in the
+    original space: a PQ built on rotated vectors serves the SAME metric
+    through the same exact re-rank. One literal array per output dim,
+    column-pruned, whole-stage codegen."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    outs = []
+    for comp in components:
+        e = dot_expr(c, F.array(*[F.lit(float(x)) for x in comp]))
+        outs.append(F.round(e, round_to) if round_to is not None else e)
+    return F.array(*outs)
+
+
 def project_expr(
     vec_col: str | Column, model: PCAModel, round_to: int | None = 6
 ) -> Column:

@@ -686,6 +686,115 @@ def similarity_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_topk_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-lite rotated PQ (VERDICT r11 Next-round #4; Ge et al. 2013):
+    full-rank PCA basis (operators/embeddings.train_pca) ordered into
+    balanced subspaces by eigenvalue allocation (opq_eigen_allocate),
+    applied as a pure orthogonal fold rotation (rotate_expr — no
+    centering, so cosine is IDENTICAL in rotated space), then the
+    standard PQ train/encode/ADC-serve over the rotated vectors. Same
+    code bytes as similarity_topk_pq (m=8 × 8-bit); the rotation buys
+    balanced per-subspace variance — measured recall@10 at refine=1:
+    0.70 vs plain PQ 0.66 at sf0.01, never below it on any fixture
+    (pytest-pinned). Rows-only (ADC shortlist has no SQL mirror);
+    determinism pinned by rerun-identity pytest."""
+    from ..operators import embeddings as emb_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = emb_ops.train_pca(emb, "embedding", dim=64, k=64)
+    comps = emb_ops.opq_eigen_allocate(model, m=8)
+    rot = emb_ops.rotate_expr("embedding", comps)
+    emb_r = emb.select("vec_id", rot.alias("embedding"))
+    books = similarity.train_pq_codebooks(emb_r, "embedding", "vec_id")
+    return similarity.topk_pq(
+        emb_r.filter(F.col("vec_id") < 5), emb_r, "embedding", "vec_id",
+        k=5, codebooks=books,
+    )
+
+
+ANN_EVAL_K = 10
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-registry ANN quality grading (VERDICT r11 Next-round #2): every
+    approximate variant — LSH, IVF (seed and k-means cells), PQ, IVFPQ —
+    scored by :func:`...operators.retrieval.retrieval_metrics` against
+    the EXACT cosine top-10 as qrels, one row per variant with mean
+    Recall@10 / MRR@10 / nDCG@10 over the probe queries. Turns the
+    hard-coded pytest recall constants into a measurable, benchable
+    artifact: a user choosing an index variant for their corpus reads
+    this table instead of trusting test thresholds.
+
+    Scale shape: the qrel side is the exact top-k of a BOUNDED probe set
+    (5 queries — an evaluation harness, not a corpus scan); each
+    variant's serve plan is the registered query's own; the metric joins
+    touch only top-depth lists. Per-query metrics average through the
+    decimal cast so the table is layout-independent. Rows-only (the ANN
+    shortlists have no SQL mirror); per-variant floors pinned in pytest
+    at the same thresholds the component recall tests use."""
+    from functools import reduce
+
+    from ..functions.coercion import dsum
+    from ..operators.retrieval import retrieval_metrics
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    k = ANN_EVAL_K
+    qrels = similarity.topk_bruteforce(
+        probes, emb, "embedding", "vec_id", k=k
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"))
+
+    cents = similarity.train_kmeans_centroids(
+        emb, "embedding", "vec_id", k=16, n_iters=4
+    )
+    books = similarity.train_pq_codebooks(emb, "embedding", "vec_id")
+    ivfpq_trained = similarity.train_ivfpq(emb, "embedding", "vec_id")
+    variants = [
+        ("lsh", similarity.topk_lsh(probes, emb, "embedding", "vec_id", k=k)),
+        ("ivf", similarity.topk_ivf(probes, emb, "embedding", "vec_id", k=k)),
+        (
+            "ivf_kmeans",
+            similarity.topk_ivf(
+                probes, emb, "embedding", "vec_id", k=k,
+                centroids=cents.select(
+                    "centroid_id", F.col("cv").alias("embedding")
+                ),
+            ),
+        ),
+        (
+            "pq",
+            similarity.topk_pq(
+                probes, emb, "embedding", "vec_id", k=k, codebooks=books
+            ),
+        ),
+        (
+            "ivfpq",
+            similarity.topk_ivfpq(
+                probes, emb, "embedding", "vec_id", k=k, trained=ivfpq_trained
+            ),
+        ),
+    ]
+    outs = []
+    for name, res in variants:
+        m = retrieval_metrics(
+            res.select(
+                "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+            ),
+            qrels,
+            k=k,
+        )
+        outs.append(
+            m.agg(
+                F.count("*").alias("n_queries"),
+                *[
+                    F.round(dsum(F.col(c), 6) / F.count("*"), 6).alias(c)
+                    for c in ("recall", "mrr", "ndcg")
+                ],
+            ).select(F.lit(name).alias("variant"), "n_queries", "recall", "mrr", "ndcg")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy("variant")
+
+
 # ── M3 text analysis ────────────────────────────────────────────────────────
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3441,6 +3550,8 @@ QUERIES = {
     "training_export": training_export,
     "similarity_topk_ivf": similarity_topk_ivf,
     "similarity_topk_ivf_kmeans": similarity_topk_ivf_kmeans,
+    "similarity_topk_opq": similarity_topk_opq,
+    "ann_recall_eval": ann_recall_eval,
     "text_quality": text_quality,
     "lang_source_stats": lang_source_stats,
     "top_terms": top_terms,

@@ -844,7 +844,9 @@ def run_stream_curation(
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
     curation pass composed over a stream — exact dedup, near-dup dedup
-    (opt-in), repetition gate, eval-set decontamination, PII redaction —
+    (opt-in), eval-set decontamination, PII redaction, with every
+    stateless per-row gate (quality / LM / classifier when enabled, plus
+    the always-on repetition gate) folded into ONE pre-state filter pass —
     so a 100 TB pipeline curates documents on ARRIVAL instead of in
     monthly batch sweeps.
 
@@ -909,9 +911,7 @@ def run_stream_curation(
        (~0.5 KB of state per keeper — the 64-long MinHash signature, never
        the text; band rows are derived from the stored signatures at read
        time), then within-batch clusters collapse to their earliest member.
-       Then the repetition gate via ``repetition_keep_expr`` (a
-       single Column — the micro-batch frame is scanned ONCE; gating on
-       the RAW text, like the batch pipeline), then — when ``eval_df`` is
+       Then — when ``eval_df`` is
        given — eval-set decontamination (VERDICT r6 Missing #1: a
        continuously-ingested corpus is exactly where eval contamination
        sneaks in), then PII redaction of the survivors' text. Beyond the
@@ -983,18 +983,28 @@ def run_stream_curation(
         ev_dict = eval_shingle_dict(eval_df, text_col, decontam_k).persist()
         ev_dict.count()  # materialize once, not per micro-batch
 
+    # ── the single pre-state gate pass (r12, VERDICT r11 Next-round #3) ──
+    # Every stateless per-row gate — quality, LM perplexity, classifier,
+    # and the always-on repetition gate — evaluates in ONE filter before
+    # the stateful dedup: all four are pure expressions, so gating here is
+    # streaming-safe, keeps gated documents out of the dedup state store
+    # entirely (at 100 TB the state saved is the point), and none of them
+    # can claim the keeper slot that would dedup away a clean twin
+    # arriving later (the ledger's quality-first rationale, applied to
+    # arrival time). Collapsing them into one conjunction also prunes the
+    # rows BEFORE the boilerplate/near-dup gates' per-batch actions run —
+    # previously the repetition gate sat after both, so repetitive docs
+    # paid the whole per-batch index pipeline before dropping. Note the
+    # repetition gate therefore reads the RAW arriving text (pre-scrub),
+    # the published-pipeline shape (Gopher computes repetition signals
+    # before dedup); the batch twin (operators/curation.curate_increment)
+    # moved in lockstep, so batch/stream parity is unchanged by
+    # construction.
+    _gate_conds: list = []
     if quality_gate is not None:
-        # the batch profile's FIRST stage (ledger order: quality → exact →
-        # …), and deliberately BEFORE the stateful dedup: quality_score is
-        # a pure expression, so gating here is streaming-safe and keeps
-        # low-quality documents out of the dedup state store entirely —
-        # at 100 TB the state saved is the point, and a low-quality doc
-        # must not become the "keeper" that dedups away a clean twin
-        # arriving later (the ledger's ordering rationale, applied to
-        # arrival time).
         from ..operators.textanalysis import quality_score
 
-        stream = stream.where(quality_score(F.col(text_col)) >= quality_gate)
+        _gate_conds.append(quality_score(F.col(text_col)) >= quality_gate)
 
     if perplexity_max_ce is not None:
         # LM gate in the same pre-state slot as the quality gate: the
@@ -1010,7 +1020,7 @@ def run_stream_curation(
         from ..operators.lm import collect_lm_expr_model, perplexity_ce_expr
 
         _lm_map, _lm_oov = collect_lm_expr_model(*perplexity_lm)
-        stream = stream.where(
+        _gate_conds.append(
             perplexity_ce_expr(F.col(text_col), _lm_map, _lm_oov)
             <= perplexity_max_ce
         )
@@ -1046,10 +1056,17 @@ def run_stream_curation(
             classifier_seed,
         )
         _cw, _cb = collect_hashed_model(_cm)
-        stream = stream.where(
+        _gate_conds.append(
             score_hashed_expr(F.col(text_col), _cw, _cb, _cnb, _csd)
             >= classifier_min_score
         )
+
+    # repetition is always on (the batch pipeline's unconditional gate)
+    _gate_conds.append(repetition_keep_expr(F.col(text_col)))
+    _cond = _gate_conds[0]
+    for _g in _gate_conds[1:]:
+        _cond = _cond & _g
+    stream = stream.where(_cond)
 
     deduped = (
         stream.withColumn("__fp", fingerprint(F.col(text_col)))
@@ -1140,7 +1157,8 @@ def run_stream_curation(
                     neardup_k,
                     caches=caches,
                 )
-            out = batch_df.where(repetition_keep_expr(F.col(text_col)))
+            # repetition moved to the single pre-state gate pass (r12)
+            out = batch_df
             if ev_dict is not None:
                 # shared definition with curate_increment — batch/stream
                 # decontam parity by construction

