@@ -863,7 +863,7 @@ def curate_increment(
     cc_checkpoint: str = "local",
     cc_checkpoint_dir: str | None = None,
     perplexity_max_ce: float | None = None,
-    perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
+    perplexity_lm: tuple[DataFrame, DataFrame] | str | None = None,
     classifier_min_score: float | None = None,
     classifier_model: DataFrame | str | None = None,
     classifier_n_buckets: int | None = None,
@@ -932,11 +932,14 @@ def curate_increment(
             if perplexity_lm is None:
                 raise ValueError(
                     "perplexity_max_ce needs perplexity_lm=(freqs, consts) "
-                    "from operators.lm.unigram_lm_stats"
+                    "from operators.lm.unigram_lm_stats, or a save_lm "
+                    "artifact path"
                 )
-            from .lm import collect_lm_expr_model, perplexity_ce_expr
+            from .lm import collect_lm_expr_model, perplexity_ce_expr, resolve_lm
 
-            _m, _oov = collect_lm_expr_model(*perplexity_lm)
+            _m, _oov = collect_lm_expr_model(
+                *resolve_lm(df.sparkSession, perplexity_lm)
+            )
             work = work.filter(
                 perplexity_ce_expr(F.col(text_col), _m, _oov)
                 <= perplexity_max_ce

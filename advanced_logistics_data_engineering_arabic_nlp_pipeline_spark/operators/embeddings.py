@@ -148,6 +148,62 @@ def train_pca(df: DataFrame, vec_col: str, dim: int, k: int) -> PCAModel:
     )
 
 
+def save_pca(spark, model: PCAModel, path: str) -> None:
+    """Persist a trained :class:`PCAModel` as a parquet artifact —
+    ``<path>/components`` (idx, component, variance) + ``<path>/meta``
+    (dim, k, mean, total_variance). Build-once/serve-many (the
+    save_bpe/classifier/LM artifact discipline, r12): PCA models front
+    OPQ rotations and dim-reduction serve paths; a rebuild overwrites."""
+    dim = len(model.mean)
+    rows = [
+        (i, list(map(float, c)), float(v))
+        for i, (c, v) in enumerate(
+            zip(model.components, model.explained_variance)
+        )
+    ]
+    spark.createDataFrame(
+        rows, "idx int, component array<double>, variance double"
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/components")
+    spark.createDataFrame(
+        [(dim, model.k, list(map(float, model.mean)), float(model.total_variance))],
+        "dim int, k int, mean array<double>, total_variance double",
+    ).write.mode("overwrite").parquet(path.rstrip("/") + "/meta")
+
+
+def load_pca(spark, path: str) -> PCAModel:
+    """Load a :func:`save_pca` artifact — bounded read (k components +
+    one meta row); validates contiguity, component lengths and k so a
+    half-written artifact fails at load, not as a silently-truncated
+    projection."""
+    meta_rows = spark.read.parquet(path.rstrip("/") + "/meta").collect()
+    if len(meta_rows) != 1:
+        raise ValueError(
+            f"corrupt PCA artifact at {path}: meta must be exactly one"
+            f" row, found {len(meta_rows)}"
+        )
+    meta = meta_rows[0]
+    comp_rows = sorted(
+        spark.read.parquet(path.rstrip("/") + "/components").collect(),
+        key=lambda r: r["idx"],
+    )
+    if (
+        [r["idx"] for r in comp_rows] != list(range(meta["k"]))
+        or len(meta["mean"]) != meta["dim"]
+        or any(len(r["component"]) != meta["dim"] for r in comp_rows)
+    ):
+        raise ValueError(
+            f"corrupt PCA artifact at {path}: expected {meta['k']}"
+            f" contiguous dim={meta['dim']} components + a dim mean —"
+            " retrain and re-save"
+        )
+    return PCAModel(
+        mean=[float(x) for x in meta["mean"]],
+        components=[[float(x) for x in r["component"]] for r in comp_rows],
+        explained_variance=[float(r["variance"]) for r in comp_rows],
+        total_variance=float(meta["total_variance"]),
+    )
+
+
 def opq_eigen_allocate(model: PCAModel, m: int) -> list[list[float]]:
     """Parametric OPQ rotation (Ge, He, Ke & Sun 2013, "Optimized
     Product Quantization", §4 eigenvalue allocation): order a FULL-RANK

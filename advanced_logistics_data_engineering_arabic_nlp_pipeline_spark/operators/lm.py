@@ -129,6 +129,50 @@ def _pair_walk_expr(text, from_pos: int):
     )
 
 
+def save_lm(freqs: DataFrame, consts: DataFrame, path: str) -> None:
+    """Persist a trained unigram model (:func:`unigram_lm_stats`) as a
+    parquet artifact — ``<path>/freqs`` (term, logp) + ``<path>/consts``
+    (the one-row totals frame). Build-once/serve-many (the
+    save_bpe/classifier-artifact discipline, r12): the CCNet-style gate
+    needs a REFERENCE-corpus model, and a stream restart or nightly
+    delta should load it, not retrain it."""
+    freqs.select("term", "logp").write.mode("overwrite").parquet(
+        path.rstrip("/") + "/freqs"
+    )
+    consts.write.mode("overwrite").parquet(path.rstrip("/") + "/consts")
+
+
+def load_lm(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a :func:`save_lm` artifact back into the ``(freqs, consts)``
+    shape every scoring/gate path takes. Validates the consts contract
+    (exactly one row, non-degenerate OOV) so a half-written or empty
+    artifact fails at load, not as NULL scores downstream."""
+    freqs = spark.read.parquet(path.rstrip("/") + "/freqs")
+    consts = spark.read.parquet(path.rstrip("/") + "/consts")
+    rows = consts.collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"corrupt LM artifact at {path}: consts must be exactly one"
+            f" row, found {len(rows)}"
+        )
+    if rows[0]["__oov_logp"] is None:
+        raise ValueError(
+            f"corrupt LM artifact at {path}: degenerate model (NULL"
+            " __oov_logp) — retrain on a non-empty reference corpus"
+        )
+    return freqs, consts
+
+
+def resolve_lm(spark, lm: "tuple[DataFrame, DataFrame] | str"):
+    """Accept either the in-memory ``(freqs, consts)`` pair or a
+    :func:`save_lm` artifact path (the gate-wiring contract of
+    ``curate_increment`` / ``run_stream_curation``, mirroring
+    classifier.resolve_hashed_model)."""
+    if isinstance(lm, str):
+        return load_lm(spark, lm)
+    return lm
+
+
 # literal-map expression ceiling: a 4096-entry map expression is ~100 KB
 # of plan — fine; an uncapped vocabulary is not (the lookup.py
 # MAPPING_LITERAL_MAX discipline, scaled for LM vocabularies)

@@ -363,6 +363,7 @@ def token_budget_mix(
     text_col: str = "text",
     default_budget: int = 0,
     bucket_bits: int = 16,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Fill each mixture group to a TOKEN budget instead of a rate: order
     the group's documents by seeded hash and keep the longest prefix whose
@@ -410,10 +411,24 @@ def token_budget_mix(
     budget = F.lit(int(default_budget))
     for g, b in sorted(budgets.items()):
         budget = F.when(F.col(group_col) == g, F.lit(int(b))).otherwise(budget)
+    # tokens_col (r12): budget in REAL tokenizer units — a pre-tokenized
+    # array<string> column (e.g. operators/bpe.encode_bpe output) counts
+    # instead of whitespace words; training mixtures are specified in
+    # tokenizer tokens, and whitespace counts under-budget scripts that
+    # fragment heavily under BPE. NULL array = 0 tokens (clamped), the
+    # pack_sequences convention.
+    n_tok = (
+        F.greatest(
+            F.coalesce(F.size(F.col(tokens_col)).cast("bigint"), F.lit(0)),
+            F.lit(0),
+        )
+        if tokens_col is not None
+        else token_count(F.col(text_col))
+    )
     base = df.select(
         F.col(id_col),
         F.col(group_col),
-        token_count(F.col(text_col)).alias("n_tok"),
+        n_tok.alias("n_tok"),
         h.alias("__h"),
     ).withColumn(
         "__bkt", F.shiftright(F.col("__h"), 60 - bucket_bits).cast("int")

@@ -118,6 +118,41 @@ def token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r12: budgets in REAL tokenizer units (BPE subwords — what "tokens" means
+# to a trainer; the whitespace variant above stays the oracle-mirrored
+# form). Sized to BIND (cut mid-group, keeping a substantial prefix)
+# already at sf0.001: measured unit masses there are en ≈ 32k / zh ≈ 13k
+# / fr ≈ 15k / de ≈ 13k; es absent exercises the default-0 drop leg like
+# TOKEN_BUDGETS.
+BPE_TOKEN_BUDGETS = {"en": 15000, "zh": 6000, "fr": 7000, "de": 6000}
+
+
+def token_budget_mix_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """token_budget_mix over BPE units (r12): the corpus is encoded with
+    the standing bpe_train model and each language fills to a SUBWORD
+    budget via ``token_budget_mix(tokens_col=)`` — same seeded hash
+    order, same greedy whole-document prefix, but n_tok counts what a
+    trainer's tokenizer would emit. Whitespace counting under-budgets
+    scripts that fragment heavily under BPE; a mixture specified in real
+    tokens is the published recipe (budget-by-tokens, not by-docs).
+    Rows-only (the encode step is Arrow mapInPandas); exact
+    python-reference parity over the same md5-prefix hash order is
+    pytest-pinned (tests/test_mixture.py)."""
+    from ..operators import bpe
+    from .llmdata import BPE_MIN_COUNT, BPE_N_MERGES
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(
+        docs, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT
+    )
+    enc = bpe.encode_bpe(docs, merges).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return _token_budget_mix(
+        enc, "lang", BPE_TOKEN_BUDGETS, BUDGET_SEED, tokens_col="bpe_tokens"
+    ).orderBy("doc_id")
+
+
 def _budget_case_sql(budgets: dict[str, int]) -> str:
     whens = " ".join(f"WHEN '{g}' THEN {int(b)}" for g, b in sorted(budgets.items()))
     return f"CASE lang {whens} ELSE 0 END"
@@ -373,6 +408,7 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "epoch_shards": epoch_shards,
     "token_budget_mix": token_budget_mix,
+    "token_budget_mix_bpe": token_budget_mix_bpe,
     "dataset_split": dataset_split,
     "temperature_mix": temperature_mix,
     "training_export_sharded": training_export_sharded,

@@ -836,7 +836,7 @@ def run_stream_curation(
     boilerplate_index_dir: str | None = None,
     quality_gate: float | None = None,
     perplexity_max_ce: float | None = None,
-    perplexity_lm: tuple[DataFrame, DataFrame] | None = None,
+    perplexity_lm: tuple[DataFrame, DataFrame] | str | None = None,
     classifier_min_score: float | None = None,
     classifier_model: DataFrame | str | None = None,
     classifier_n_buckets: int | None = None,
@@ -1015,11 +1015,18 @@ def run_stream_curation(
             raise ValueError(
                 "perplexity_max_ce needs perplexity_lm=(freqs, consts) — "
                 "train with operators.lm.unigram_lm_stats on a reference "
-                "corpus (a stream cannot train on itself)"
+                "corpus (a stream cannot train on itself) — or a save_lm "
+                "artifact path"
             )
-        from ..operators.lm import collect_lm_expr_model, perplexity_ce_expr
+        from ..operators.lm import (
+            collect_lm_expr_model,
+            perplexity_ce_expr,
+            resolve_lm,
+        )
 
-        _lm_map, _lm_oov = collect_lm_expr_model(*perplexity_lm)
+        _lm_map, _lm_oov = collect_lm_expr_model(
+            *resolve_lm(stream.sparkSession, perplexity_lm)
+        )
         _gate_conds.append(
             perplexity_ce_expr(F.col(text_col), _lm_map, _lm_oov)
             <= perplexity_max_ce

@@ -91,13 +91,20 @@ HEADLINE = [
     "lang_id_ngram",
     "dsir_sample",
     # hybrid lexical+dense RRF retrieval + linear quality head + BPE (r11)
+    # (classifier_probe_eval moved to the train_eval_side block in r12 —
+    # VERDICT r11 #7: 25 GD iterations are TRAINING cost, not a serve
+    # shape; classifier_score keeps the serve path in the headline)
     "hybrid_search",
     "classifier_score",
-    "classifier_probe_eval",
     "bpe_train",
     "bpe_encode_stats",
     "retrieval_quality",
     "embedding_pca",
+    # r12: BPE-unit packing/export, OPQ-rotated PQ
+    "sequence_chunks_bpe",
+    "training_export_chunks_bpe",
+    "similarity_topk_opq",
+    "token_budget_mix_bpe",
     # the heavy tail (r9 — VERDICT r8 Next-round #1): the most expensive
     # registered paths get standing round-over-round numbers instead of
     # one-time dedicated blocks
@@ -318,6 +325,24 @@ def main() -> None:
         )
     finally:
         _shutil.rmtree(_bm25_dir, ignore_errors=True)
+
+    # Train-in-query side block (r12, VERDICT r11 #7): queries whose wall
+    # is dominated by in-query TRAINING or evaluation harness cost —
+    # 25-40 GD iterations (classifier_probe_eval), five ANN index builds
+    # plus metric grading (ann_recall_eval) — are measured here, outside
+    # the headline total, so the headline reflects serve shapes (the
+    # cheap serve twins classifier_score / similarity_topk_* stay in it).
+    # Single timings: these are bounded job sequences, not noise-critical
+    # sub-second work (the ann_split build-timing precedent).
+    train_eval_side = {}
+    for _tq in ("classifier_probe_eval", "ann_recall_eval"):
+        if _tq in queries:
+            t0 = time.perf_counter()
+            queries[_tq](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            train_eval_side[_tq] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()
 
     # Streaming curation throughput (VERDICT r7 Missing #2): an
     # availableNow replay of run_stream_curation with the near-dup gate ON
@@ -587,6 +612,7 @@ def main() -> None:
         "subtotal_r1_queries": subtotal_r1,
         "stress": stress,
         "ann_split": ann_split,
+        "train_eval_side": train_eval_side,
         "streaming": streaming_bench,
         "reps": REPS,
         # Per-query number = MIN over REPS full interleaved passes (each

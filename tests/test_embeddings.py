@@ -235,3 +235,25 @@ def test_similarity_topk_opq_deterministic(spark, sf_dir):
     a = [tuple(r) for r in similarity_topk_opq(spark, sf_dir).collect()]
     b = [tuple(r) for r in similarity_topk_opq(spark, sf_dir).collect()]
     assert a == b and len(a) == 25  # 5 probes × k=5
+
+
+def test_pca_artifact_roundtrip_and_corruption(spark, emb, tmp_path):
+    """save_pca → load_pca is exact (parquet doubles); projections from
+    the loaded model equal the trained model's bit-for-bit; corrupt
+    artifacts (missing component, wrong meta cardinality) fail at load."""
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=8)
+    path = str(tmp_path / "pca")
+    emb_ops.save_pca(spark, model, path)
+    loaded = emb_ops.load_pca(spark, path)
+    assert loaded == model
+    a = emb.select(emb_ops.project_expr("embedding", model).alias("p")).collect()
+    b = emb.select(emb_ops.project_expr("embedding", loaded).alias("p")).collect()
+    assert [r["p"] for r in a] == [r["p"] for r in b]
+    # drop a component row → contiguity check fires
+    rows = spark.read.parquet(path + "/components").filter("idx <> 3")
+    rows.write.mode("overwrite").parquet(str(tmp_path / "pca2") + "/components")
+    spark.read.parquet(path + "/meta").write.mode("overwrite").parquet(
+        str(tmp_path / "pca2") + "/meta"
+    )
+    with pytest.raises(ValueError, match="corrupt PCA artifact"):
+        emb_ops.load_pca(spark, str(tmp_path / "pca2"))

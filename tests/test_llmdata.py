@@ -2014,8 +2014,11 @@ def test_ann_recall_eval_floors_match_component_pins(spark, sf_dir):
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.llmdata import ann_recall_eval
 
     rows = {r["variant"]: r for r in ann_recall_eval(spark, sf_dir).collect()}
-    assert set(rows) == {"lsh", "ivf", "ivf_kmeans", "pq", "ivfpq"}
-    floors = {"lsh": 0.8, "ivf": 0.5, "ivf_kmeans": 0.5, "pq": 0.6, "ivfpq": 0.5}
+    assert set(rows) == {"lsh", "ivf", "ivf_kmeans", "pq", "ivfpq", "opq"}
+    floors = {
+        "lsh": 0.8, "ivf": 0.5, "ivf_kmeans": 0.5, "pq": 0.6,
+        "ivfpq": 0.5, "opq": 0.6,
+    }
     for v, r in rows.items():
         assert r["n_queries"] == 5, v
         for m in ("recall", "mrr", "ndcg"):

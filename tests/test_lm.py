@@ -240,3 +240,57 @@ def test_collect_lm_expr_model_degenerate_corpus_raises(spark):
     blank = spark.createDataFrame([(1, "   "), (2, None)], "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
         lm.collect_lm_expr_model(*lm.unigram_lm_stats(blank))
+
+
+# ── durable LM artifact (r12) ───────────────────────────────────────────────
+
+def test_lm_artifact_roundtrip_and_gate_parity(spark, tmp_path):
+    """save_lm → load_lm serves the SAME model: the collected expression
+    model (gate form) and bulk scores from the loaded artifact equal the
+    trained ones exactly (parquet doubles roundtrip)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    freqs, consts = lm.unigram_lm_stats(docs, vocab_size=4)
+    path = str(tmp_path / "lm_model")
+    lm.save_lm(freqs, consts, path)
+    f2, c2 = lm.load_lm(spark, path)
+    m1, o1 = lm.collect_lm_expr_model(freqs, consts)
+    m2, o2 = lm.collect_lm_expr_model(f2, c2)
+    assert (m1, o1) == (m2, o2)
+    # resolve_lm: path and tuple are interchangeable in gate wiring
+    f3, c3 = lm.resolve_lm(spark, path)
+    assert lm.collect_lm_expr_model(f3, c3) == (m1, o1)
+    assert lm.resolve_lm(spark, (freqs, consts)) == (freqs, consts)
+    # corrupt: two consts rows
+    bad = str(tmp_path / "lm_bad")
+    lm.save_lm(freqs, consts, bad)
+    consts.union(consts).write.mode("overwrite").parquet(bad + "/consts")
+    with pytest.raises(ValueError, match="exactly one"):
+        lm.load_lm(spark, bad)
+
+
+def test_curate_increment_accepts_lm_path(spark, tmp_path):
+    """The perplexity gate wired from a save_lm PATH drops the same docs
+    as the in-memory (freqs, consts) pair."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import curation
+
+    ref = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    stats = lm.unigram_lm_stats(ref, vocab_size=8)
+    path = str(tmp_path / "gate_lm")
+    lm.save_lm(*stats, path)
+    docs = spark.createDataFrame(
+        [(1, "a a b c"), (2, "qq ww ee rr tt yy")], "doc_id long, text string"
+    )
+    kw = dict(neardup_threshold=None, perplexity_max_ce=2.5)
+    mem = curation.curate_increment(
+        docs, str(tmp_path / "ci_mem"), perplexity_lm=stats, **kw
+    )
+    art = curation.curate_increment(
+        docs, str(tmp_path / "ci_art"), perplexity_lm=path, **kw
+    )
+    assert (
+        {r["doc_id"] for r in mem.collect()}
+        == {r["doc_id"] for r in art.collect()}
+    )

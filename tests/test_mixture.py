@@ -794,3 +794,68 @@ def test_dsir_rerun_identical_and_seed_moves_the_margin(docs):
     assert a1 == a2 and len(a1) == 50
     b = [tuple(r) for r in dsir_resample(raw, tgt, k=50, seed=8).collect()]
     assert b != a1
+
+
+def test_token_budget_mix_bpe_python_reference_parity(spark, sf_dir):
+    """The r12 real-token budget (token_budget_mix(tokens_col=) over
+    encode_bpe units) replayed exactly in Python: same md5-prefix hash
+    order, same greedy whole-document prefix per language, budgets from
+    BPE_TOKEN_BUDGETS — and the budgets demonstrably BIND (at least one
+    language cuts mid-group) at the test SF."""
+    import hashlib
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import bpe
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.llmdata import (
+        BPE_MIN_COUNT,
+        BPE_N_MERGES,
+    )
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.plans.mixture import (
+        BPE_TOKEN_BUDGETS,
+        BUDGET_SEED,
+        token_budget_mix_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe.train_bpe(docs, n_merges=BPE_N_MERGES, min_count=BPE_MIN_COUNT)
+    enc = {
+        r["doc_id"]: len(r["bpe_tokens"])
+        for r in bpe.encode_bpe(docs, merges).collect()
+    }
+    langs = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+
+    def h60(i):
+        return int(
+            hashlib.md5(f"tokbudget:{BUDGET_SEED}:{i}".encode()).hexdigest()[:15],
+            16,
+        )
+
+    by_lang: dict = {}
+    for d in enc:
+        by_lang.setdefault(langs[d], []).append(d)
+    want = {}
+    for lang, ids in by_lang.items():
+        budget = BPE_TOKEN_BUDGETS.get(lang, 0)
+        if budget <= 0:
+            continue
+        cum = 0
+        for d in sorted(ids, key=lambda i: (h60(i), i)):
+            cum += enc[d]
+            if cum > budget:
+                break
+            want[d] = (lang, enc[d], cum)
+
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tok"], r["cum_tok"])
+        for r in token_budget_mix_bpe(spark, sf_dir).collect()
+    }
+    assert got == want
+    # budgets bind: some language kept a strict, non-empty prefix
+    kept_by_lang: dict = {}
+    for d, (lang, _, _) in want.items():
+        kept_by_lang[lang] = kept_by_lang.get(lang, 0) + 1
+    assert any(
+        0 < kept_by_lang.get(lang, 0) < len(by_lang[lang])
+        for lang in kept_by_lang
+    )
+    # es has no budget entry: the default-0 leg drops the whole group
+    assert not any(lang == "es" for lang, _, _ in got.values())

@@ -1880,13 +1880,17 @@ def test_stream_sink_survives_generations(spark, tmp_path):
 
 
 def test_stream_quality_gate_pre_state_protects_keeper_slot(spark, tmp_path):
-    """quality_gate (r8) runs BEFORE the stateful dedup, so a low-quality
-    early arrival never occupies the keeper slot: with the gate ON a clean
-    later twin (same content fingerprint) ships; with the gate OFF the
-    junk version enters the dedup state (then dies at the repetition
-    gate), and the clean twin is deduped away — the pair vanishes. Two
-    stream generations over one checkpoint make arrival order
-    deterministic and exercise state restore."""
+    """ALL stateless gates run BEFORE the stateful dedup (quality since
+    r8; repetition joined the pre-state pass in r12), so a junk early
+    arrival never occupies the keeper slot: the clean later twin (same
+    content fingerprint) ships WHETHER OR NOT the quality gate is on —
+    with it on, the junk doc fails quality pre-state; with it off, the
+    same doc fails the always-on pre-state repetition gate. Before r12
+    the gate-off branch LOST the pair (junk claimed the state slot, the
+    twin deduped away, then junk died at the post-state repetition gate)
+    — the exact data-loss case the consolidation removes. Two stream
+    generations over one checkpoint make arrival order deterministic and
+    exercise state restore."""
     clean = _block("q", 40)  # score 0.6 (no stopwords → 0.6 factor)
     junk = " ".join(clean.split() * 30)  # same distinct tokens, n=1200 → 0.3
     other = _block("r", 40)
@@ -1928,13 +1932,11 @@ def test_stream_quality_gate_pre_state_protects_keeper_slot(spark, tmp_path):
             r["text"] for r in spark.read.parquet(sink).select("text").collect()
         }
         assert other in texts, tag
-        assert junk not in texts, tag  # gated, or killed by repetition
-        if gate is not None:
-            assert clean in texts, "gate ON: the clean twin must ship"
-        else:
-            assert clean not in texts, (
-                "gate OFF: junk held the keeper slot, the twin dedups away"
-            )
+        assert junk not in texts, tag  # quality- or repetition-gated pre-state
+        assert clean in texts, (
+            f"gate {tag}: junk must never hold the keeper slot — the "
+            "clean twin ships (r12: repetition gates pre-state too)"
+        )
 
 
 def test_neardup_increment_loop_no_cache_growth(spark, tmp_path):
