@@ -262,6 +262,76 @@ def rotate_expr(
     return F.array(*outs)
 
 
+@dataclass
+class OPQIndex:
+    """A built OPQ index: the allocated rotation (dim fold-expression
+    literals, driver-held like PQ codebooks) + the underlying
+    :class:`...operators.similarity.PQIndex` over the ROTATED corpus.
+    Build once / serve many — the registered ``similarity_topk_opq``
+    query's self-contained form books PCA + codebook training as query
+    time; production builds here and serves via :func:`topk_opq`."""
+
+    components: list[list[float]]  # rotation rows, allocation order
+    pq: "object"  # similarity.PQIndex
+
+    def unpersist(self) -> None:
+        self.pq.unpersist()
+
+
+def build_opq_index(
+    candidates: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    model: PCAModel | None = None,
+    persist: bool = True,
+    path: str | None = None,
+) -> OPQIndex:
+    """OPQ build step: full-rank PCA (or a pre-trained/loaded ``model``
+    — :func:`load_pca`), eigenvalue allocation, rotate the corpus with
+    the pure fold expression, then the standard PQ build over the
+    rotated vectors (`persist`/`path` semantics delegate to
+    build_pq_index — the durable at-scale shape)."""
+    from .similarity import build_pq_index
+
+    if model is None:
+        model = train_pca(candidates, vec_col, dim=dim, k=dim)
+    comps = opq_eigen_allocate(model, m=m)
+    rotated = candidates.select(
+        F.col(id_col), rotate_expr(vec_col, comps).alias(vec_col)
+    )
+    pq = build_pq_index(
+        rotated, vec_col, id_col, m=m, persist=persist, path=path
+    )
+    return OPQIndex(components=comps, pq=pq)
+
+
+def topk_opq(
+    queries: DataFrame,
+    index: OPQIndex,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    refine: int = 4,
+) -> DataFrame:
+    """Serve against a built :class:`OPQIndex`: queries rotate with the
+    INDEX's own components (the featurizer-identity discipline — serving
+    with a different rotation than the encode is the silent-corruption
+    case), then the standard ADC + exact re-rank. Rotation preserves
+    cosine, so scores/ranks are directly comparable with every other
+    serve path's."""
+    from .similarity import topk_pq
+
+    rotated_q = queries.select(
+        F.col(id_col), rotate_expr(vec_col, index.components).alias(vec_col)
+    )
+    return topk_pq(
+        rotated_q, vec_col=vec_col, id_col=id_col, k=k, refine=refine,
+        index=index.pq,
+    )
+
+
 def project_expr(
     vec_col: str | Column, model: PCAModel, round_to: int | None = 6
 ) -> Column:

@@ -209,6 +209,7 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+        embeddings as emb_ops,
         similarity,
     )
 
@@ -288,6 +289,14 @@ def main() -> None:
             remove_fn=lambda idx: similarity.ivf_index_remove(
                 idx, drop10, persist=False
             ),
+        ),
+        # r12 OPQ lifecycle: build = PCA + allocation + rotate + PQ
+        # encode; serve = rotate probes (fold expression) + ADC. No
+        # remove leg — removal delegates verbatim to the PQ index's
+        # (already measured above).
+        "similarity_topk_opq": split(
+            lambda: emb_ops.build_opq_index(emb, dim=64),
+            lambda idx: emb_ops.topk_opq(probes, idx),
         ),
     }
 

@@ -257,3 +257,30 @@ def test_pca_artifact_roundtrip_and_corruption(spark, emb, tmp_path):
     )
     with pytest.raises(ValueError, match="corrupt PCA artifact"):
         emb_ops.load_pca(spark, str(tmp_path / "pca2"))
+
+
+def test_opq_index_lifecycle_matches_inline_form(spark, emb):
+    """build_opq_index → topk_opq (the production build/serve split)
+    returns exactly the self-contained inline composition's rows — same
+    rotation, same codebooks (deterministic training), same ADC +
+    re-rank — and serve against a loaded PCA model artifact matches too
+    (tmp-free: model passed explicitly)."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
+
+    probes = emb.filter(F.col("vec_id") < 3)
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    idx = emb_ops.build_opq_index(emb, dim=DIM, model=model, persist=False)
+    served = [tuple(r) for r in emb_ops.topk_opq(probes, idx, k=5).collect()]
+
+    comps = emb_ops.opq_eigen_allocate(model, m=8)
+    rot = emb_ops.rotate_expr("embedding", comps)
+    emb_r = emb.select("vec_id", rot.alias("embedding"))
+    books = similarity.train_pq_codebooks(emb_r, "embedding", "vec_id")
+    inline = [
+        tuple(r)
+        for r in similarity.topk_pq(
+            emb_r.filter(F.col("vec_id") < 3), emb_r, "embedding", "vec_id",
+            k=5, codebooks=books,
+        ).collect()
+    ]
+    assert served == inline and len(served) == 15
