@@ -829,17 +829,39 @@ def decontam_anti_join(
     text_col: str,
     id_col: str,
     k: int,
+    min_hits: int = 1,
 ) -> DataFrame:
-    """Drop documents sharing ANY k-shingle with the eval dictionary
-    (``ev_dict``: one distinct-shingle column ``sh``, small — broadcast).
-    Shared by the streaming decontam stage and :func:`curate_increment`
-    (same single-definition rationale as :func:`scrub_replace_join`)."""
-    contaminated = (
-        shingle_rows(df, text_col, id_col, k)
-        .join(F.broadcast(ev_dict), "sh", "semi")
-        .select(F.col("id").alias(id_col))
-        .distinct()
+    """Drop documents sharing at least ``min_hits`` distinct k-shingles
+    with the eval dictionary (``ev_dict``: one distinct-shingle column
+    ``sh``, small — broadcast). Shared by the streaming decontam stage
+    and :func:`curate_increment` (same single-definition rationale as
+    :func:`scrub_replace_join`).
+
+    ``min_hits=1`` (default) is the strictest published form — ANY
+    shared shingle drops the doc, and the plan stays a semi-join +
+    distinct (no counting). ``min_hits>1`` is the overlap-threshold
+    variant real pipelines tune (a single shared trigram on a tiny
+    vocabulary is often coincidence, not leakage): the per-doc DISTINCT
+    matched-shingle count aggregates (combiner-friendly, keyed by doc
+    id) and only docs at/above the threshold drop. Same broadcast
+    shape either way — the train side never shuffles on the shingle
+    key."""
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    matched = shingle_rows(df, text_col, id_col, k).join(
+        F.broadcast(ev_dict), "sh", "semi"
     )
+    if min_hits == 1:
+        contaminated = matched.select(F.col("id").alias(id_col)).distinct()
+    else:
+        # shingle_rows emits DISTINCT shingles per doc, so a plain count
+        # is the distinct-overlap count
+        contaminated = (
+            matched.groupBy("id")
+            .agg(F.count("*").alias("__hits"))
+            .filter(F.col("__hits") >= min_hits)
+            .select(F.col("id").alias(id_col))
+        )
     return df.join(contaminated, id_col, "anti")
 
 
@@ -858,6 +880,7 @@ def curate_increment(
     neardup_k: int = 3,
     eval_df: DataFrame | None = None,
     decontam_k: int = 3,
+    decontam_min_hits: int = 1,
     batch_id: int | None = None,
     materialize: bool = True,
     cc_checkpoint: str = "local",
@@ -1070,7 +1093,10 @@ def curate_increment(
         out = work  # repetition gate moved into the pre-dedup pass (r12)
         if eval_df is not None:
             ev_dict = eval_shingle_dict(eval_df, text_col, decontam_k)
-            out = decontam_anti_join(out, ev_dict, text_col, id_col, decontam_k)
+            out = decontam_anti_join(
+                out, ev_dict, text_col, id_col, decontam_k,
+                min_hits=decontam_min_hits,
+            )
         out = out.withColumn(text_col, redact_pii_expr(F.col(text_col)))
         if materialize:
             out.count()  # all index writes flushed; result computed once

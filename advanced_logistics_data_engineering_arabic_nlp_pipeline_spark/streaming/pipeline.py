@@ -828,6 +828,7 @@ def run_stream_curation(
     state_store: str | None = None,
     eval_df: DataFrame | None = None,
     decontam_k: int = 3,
+    decontam_min_hits: int = 1,
     neardup_threshold: float | None = None,
     neardup_index_dir: str | None = None,
     neardup_k: int = 3,
@@ -1169,7 +1170,10 @@ def run_stream_curation(
             if ev_dict is not None:
                 # shared definition with curate_increment — batch/stream
                 # decontam parity by construction
-                out = decontam_anti_join(out, ev_dict, text_col, id_col, decontam_k)
+                out = decontam_anti_join(
+                    out, ev_dict, text_col, id_col, decontam_k,
+                    min_hits=decontam_min_hits,
+                )
             out = out.withColumn(
                 text_col, redact_pii_expr(F.col(text_col))
             ).drop("__fp")

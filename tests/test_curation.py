@@ -1242,3 +1242,85 @@ def test_curate_increment_classifier_gate_parity_slot(spark, tmp_path):
         curation.curate_increment(
             df, str(tmp_path / "clf_idx2"), batch_id=0, classifier_min_score=0.5
         )
+
+
+def test_decontam_min_hits_threshold(spark, tmp_path):
+    """r12 overlap-threshold decontamination: min_hits=1 (default) drops
+    on ANY shared shingle; min_hits=2 keeps the single-coincidence doc
+    and still drops the real leak — plumbed through curate_increment as
+    decontam_min_hits."""
+    ev = spark.createDataFrame(
+        [(900, "benchmark answer key follows for the held out split")],
+        "doc_id long, text string",
+    )
+    # doc 1: one shared 3-shingle ("benchmark answer key") inside unrelated
+    # text; doc 2: a 5-token verbatim span = three shared 3-shingles
+    filler = lambda p: " ".join(f"{p}{i} pad{p}{i}" for i in range(10))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler('a')} benchmark answer key {filler('b')}"),
+            (2, f"{filler('c')} benchmark answer key follows for {filler('d')}"),
+            (3, f"{filler('e')} nothing shared at all {filler('f')}"),
+        ],
+        "doc_id long, text string",
+    )
+    ev_dict = curation.eval_shingle_dict(ev, "text", 3)
+
+    kept1 = {
+        r["doc_id"]
+        for r in curation.decontam_anti_join(docs, ev_dict, "text", "doc_id", 3).collect()
+    }
+    assert kept1 == {3}
+    kept2 = {
+        r["doc_id"]
+        for r in curation.decontam_anti_join(
+            docs, ev_dict, "text", "doc_id", 3, min_hits=2
+        ).collect()
+    }
+    assert kept2 == {1, 3}  # the single-shingle coincidence survives
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_hits"):
+        curation.decontam_anti_join(docs, ev_dict, "text", "doc_id", 3, min_hits=0)
+
+    # curate_increment plumbing: same kept sets end to end
+    out = curation.curate_increment(
+        docs, str(tmp_path / "dmh_idx"), neardup_threshold=None,
+        eval_df=ev, decontam_min_hits=2,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_stream_decontam_min_hits_parity(spark, tmp_path):
+    """The stream's decontam_min_hits drops exactly the batch twin's set
+    (shared decontam_anti_join definition, threshold plumbed)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.streaming import pipeline
+
+    ev = spark.createDataFrame(
+        [(900, "benchmark answer key follows for the held out split")],
+        "doc_id long, text string",
+    )
+    filler = lambda p: " ".join(f"{p}{i} pad{p}{i}" for i in range(10))  # noqa: E731
+    rows = [
+        (1, f"{filler('a')} benchmark answer key {filler('b')}", "2024-01-01 10:00:00"),
+        (2, f"{filler('c')} benchmark answer key follows for {filler('d')}", "2024-01-01 10:01:00"),
+        (3, f"{filler('e')} nothing shared at all {filler('f')}", "2024-01-01 10:02:00"),
+    ]
+    src = str(tmp_path / "dmh_src")
+    os.makedirs(src)
+    spark.createDataFrame(rows, "doc_id long, text string, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).write.mode("append").parquet(src)
+    sink = str(tmp_path / "dmh_sink")
+    q = pipeline.run_stream_curation(
+        spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src),
+        sink, str(tmp_path / "dmh_ckpt"), eval_df=ev, decontam_min_hits=2,
+    )
+    q.awaitTermination(120)
+    assert {
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    } == {1, 3}
