@@ -362,9 +362,38 @@ def load_hashed_model(spark, path: str) -> tuple[DataFrame, int, int]:
     """``(weights, n_buckets, seed)`` from a :func:`save_hashed_model`
     artifact. The weight table stays a DataFrame — unbounded models serve
     through the join path (:func:`score_hashed`); gate-sized ones collect
-    via :func:`collect_hashed_model` exactly like a just-trained table."""
+    via :func:`collect_hashed_model` exactly like a just-trained table.
+
+    The weight table itself is validated at load (ADVICE r12 — the
+    dense loader always did this): duplicate buckets, buckets outside
+    ``[0, n_buckets)``, or a missing bias row would otherwise load
+    cleanly and serve silently wrong scores. One bounded aggregation
+    over an ≤ n_buckets+1-row table."""
     meta = _load_meta(spark, path, want_kind="hashed")
     w = spark.read.parquet(path.rstrip("/") + "/weights")
+    chk = w.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("bucket").alias("nd"),
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.sum(
+            F.when(F.col("bucket") == BIAS_BUCKET, 1).otherwise(0)
+        ).alias("n_bias"),
+        F.sum(F.when(F.col("w").isNull(), 1).otherwise(0)).alias("n_null"),
+    ).collect()[0]
+    if (
+        chk["n"] == 0
+        or chk["nd"] != chk["n"]
+        or chk["n_bias"] != 1
+        or chk["lo"] < BIAS_BUCKET
+        or chk["hi"] >= meta["n_buckets"]
+        or chk["n_null"] > 0
+    ):
+        raise ValueError(
+            f"corrupt hashed model at {path}: weights must be unique"
+            f" buckets in [0, {meta['n_buckets']}) plus exactly one bias"
+            f" row ({BIAS_BUCKET}) with non-null w — retrain and re-save"
+        )
     return w, meta["n_buckets"], meta["seed"]
 
 
@@ -379,9 +408,10 @@ def resolve_hashed_model(
     ``curate_increment`` / ``run_stream_curation``). For a path, the
     artifact's featurizer identity is authoritative: ``n_buckets`` must
     be None or match (a mismatch is the silent-corruption case the
-    artifact exists to prevent), and the stored seed wins over the
-    caller's (the caller's default can't be distinguished from an
-    explicit 0 — documented asymmetry, err on the artifact)."""
+    artifact exists to prevent), and likewise a NON-default caller seed
+    must match the stored one (ADVICE r12 — a caller's default 0 can't
+    be distinguished from an explicit 0, so only a non-zero conflicting
+    seed is detectable; documented asymmetry, err on the artifact)."""
     if isinstance(model, str):
         w, nb, sd = load_hashed_model(spark, model)
         if n_buckets is not None and n_buckets != nb:
@@ -390,6 +420,13 @@ def resolve_hashed_model(
                 f" model artifact's n_buckets={nb} ({model}) — the"
                 " artifact's featurizer identity is authoritative; pass"
                 " None or the matching value"
+            )
+        if seed != 0 and seed != sd:
+            raise ValueError(
+                f"classifier_seed={seed} conflicts with the model"
+                f" artifact's stored seed={sd} ({model}) — the artifact's"
+                " featurizer identity is authoritative; pass 0 (default)"
+                " or the matching seed"
             )
         return w, nb, sd
     if n_buckets is None:

@@ -913,6 +913,21 @@ def curate_increment(
     BEFORE the dedup stages so a junk early arrival never becomes a
     keeper; the repetition gate joined that pass in r12).
 
+    **Behavior change (r12), for configs with ``boilerplate_min_doc_frac``
+    and/or ``substring_k`` enabled:** the always-on repetition gate now
+    scores the RAW text, before the boilerplate scrub and ExactSubstr
+    span cut. A document whose repetition comes entirely from boilerplate
+    or duplicated spans those stages would have removed — previously
+    scrubbed first, then kept — is now dropped outright (and its
+    fingerprint never enters the durable index, so a later clean twin is
+    admitted rather than deduped against a ghost). Kept-sets of existing
+    scrub-enabled pipelines shift accordingly with no config change on
+    their side; rerun the bootstrap if the pre-r12 selection must be
+    reproduced. The trade is deliberate: gating pre-state is what keeps
+    a repetitive early arrival from permanently claiming an exact/near-
+    dup keeper slot (the r12 keeper-slot fix), and raw-text repetition
+    scoring is the published-pipeline shape (Gopher/RefinedWeb).
+
     The point: an ingest pipeline alternates shapes over its life — a
     historical bootstrap, stream generations, nightly batch deltas — and
     every stage here shares its durable index layout (and id-reservation

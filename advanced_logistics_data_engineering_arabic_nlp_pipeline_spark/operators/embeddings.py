@@ -38,6 +38,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
 
 from .similarity import dot_expr
 
@@ -234,9 +236,21 @@ def opq_eigen_allocate(model: PCAModel, m: int) -> list[list[float]]:
     buckets: list[list[int]] = [[] for _ in range(m)]
     sums = [0.0] * m
     for idx in range(dim):  # components arrive variance-descending
+        # Fill-aware, scale-invariant greedy (ADVICE r12): keying on the
+        # raw log-sum alone degenerates when every eigenvalue is < 1
+        # (typical for unit-normalized embeddings) — all logs are
+        # negative, so the first bucket's sum drops below the empty
+        # buckets' 0 and keeps winning until full, reproducing exactly
+        # the naive contiguous PCA ordering. Leading with the fill count
+        # makes each "round" hand one component per subspace, and the
+        # within-round min-log-sum tiebreak sends the largest remaining
+        # eigenvalue to the currently-poorest bucket; equal-count sums
+        # shift identically under a global eigenvalue rescale, so the
+        # allocation is invariant to the embedding's overall variance
+        # scale.
         s = min(
             (s for s in range(m) if len(buckets[s]) < sub),
-            key=lambda s: (sums[s], s),
+            key=lambda s: (len(buckets[s]), sums[s], s),
         )
         buckets[s].append(idx)
         sums[s] += logs[idx]
@@ -260,6 +274,38 @@ def rotate_expr(
         e = dot_expr(c, F.array(*[F.lit(float(x)) for x in comp]))
         outs.append(F.round(e, round_to) if round_to is not None else e)
     return F.array(*outs)
+
+
+def rotate_pandas(
+    vec_col: str | Column,
+    components: list[list[float]],
+    round_to: int | None = 6,
+) -> Column:
+    """The same orthogonal rotation ``x·Rᵀ`` as :func:`rotate_expr`, as
+    ONE numpy matmul per Arrow batch (the `pq_encode` pattern,
+    operators/similarity.py:846) instead of dim² fold-expression
+    literals. The expression form is a ~4096-node Catalyst tree at
+    dim=64 — each build/serve call re-pays its optimization + janino
+    compile, and evaluating it over a corpus is dim× slower than BLAS
+    (VERDICT r12 "What's wrong": OPQ serve 5.07 s vs PQ serve 0.99 s at
+    sf0.1, all avoidable). Rounding stays JVM-side (`transform` +
+    `round`) so the rounding semantics are EXACTLY rotate_expr's; the
+    only difference is BLAS vs sequential-fold summation order, ~1 ulp
+    before a 1e-6 round. Use this on corpus-sized inputs (index encode,
+    serve); keep :func:`rotate_expr` where a pure-expression plan
+    matters (SQL-mirrorable compositions, plan-shape tests)."""
+    R = np.asarray(components, dtype=np.float64)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _rot(emb: pd.Series) -> pd.Series:
+        vv = np.vstack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(list(vv @ R.T))
+
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    out = _rot(c)
+    if round_to is not None:
+        out = F.transform(out, lambda x: F.round(x, round_to))
+    return out
 
 
 @dataclass
@@ -298,8 +344,10 @@ def build_opq_index(
     if model is None:
         model = train_pca(candidates, vec_col, dim=dim, k=dim)
     comps = opq_eigen_allocate(model, m=m)
+    # corpus-sized rotation: one Arrow matmul per batch, not the dim²
+    # fold-expression tree (r12 serve finding — see rotate_pandas)
     rotated = candidates.select(
-        F.col(id_col), rotate_expr(vec_col, comps).alias(vec_col)
+        F.col(id_col), rotate_pandas(vec_col, comps).alias(vec_col)
     )
     pq = build_pq_index(
         rotated, vec_col, id_col, m=m, persist=persist, path=path
@@ -324,7 +372,8 @@ def topk_opq(
     from .similarity import topk_pq
 
     rotated_q = queries.select(
-        F.col(id_col), rotate_expr(vec_col, index.components).alias(vec_col)
+        F.col(id_col),
+        rotate_pandas(vec_col, index.components).alias(vec_col),
     )
     return topk_pq(
         rotated_q, vec_col=vec_col, id_col=id_col, k=k, refine=refine,

@@ -251,12 +251,32 @@ def quality_weighted_sample(
             "downsamples BETTER documents harder, almost certainly a "
             "mis-ordered bands list"
         )
-    thr = F.lit(0)
-    for ms, rate in sorted(bands):  # ascending wrap ⇒ highest band wins
-        thr = F.when(
-            F.col(score_col) >= ms, F.lit(int(rate * HASH_SPACE))
-        ).otherwise(thr)
-    return df.filter(hash60_expr(id_col, seed, salt="qsample") < thr)
+    # INVERTED step (r13, the quality_sample sf1 profile): the natural
+    # form `hash < CASE(score ≥ ms_i → t_i)` references the score once
+    # per band — and the caller's score is usually a heavy text
+    # expression that predicate pushdown INLINES at every usage site
+    # (CaseWhen branches are excluded from codegen subexpression
+    # elimination, and the HOF-bearing score expression never codegens),
+    # so the filter paid ~bands× the scoring cost (measured 3.9 s vs a
+    # 0.76 s single scan at sf1). Because rates are validated
+    # NON-DECREASING in min_score, the step is monotone and inverts
+    # exactly: keep ⟺ score ≥ required_min(hash), where required_min is
+    # a CASE over the CHEAP 60-bit hash (ascending thresholds, first
+    # match = lowest qualifying band; hash ≥ top threshold → +inf →
+    # drop). The score now appears ONCE in the predicate; NULL and
+    # below-all-bands scores still drop (NULL/false ≥ comparison).
+    # Keep-set equivalence: h < t_{i(q)} ⟺ q ≥ ms_{j(h)} with
+    # i(q) = highest band ≤ q, j(h) = first threshold > h — both
+    # directions follow from t monotone in ms (pinned exact in
+    # tests/test_mixture.py).
+    h = hash60_expr(id_col, seed, salt="qsample")
+    required = F.lit(float("inf"))
+    for ms, rate in sorted(bands, reverse=True):  # descending wrap ⇒
+        # ascending evaluation: smallest threshold checked first
+        required = F.when(
+            h < F.lit(int(rate * HASH_SPACE)), F.lit(float(ms))
+        ).otherwise(required)
+    return df.filter(F.col(score_col) >= required)
 
 
 def shard_manifest(

@@ -547,8 +547,6 @@ ORACLES = {
     "revenue_by_nation": REVENUE_BY_NATION_SQL,
     "top_customers": TOP_CUSTOMERS_SQL,
     "order_priority_share": ORDER_PRIORITY_SHARE_SQL,
-    "customer_plates": CUSTOMER_PLATES_SQL,
-    "orders_us_dates": ORDERS_US_DATES_SQL,
     "lineitem_unpivot": LINEITEM_UNPIVOT_SQL,
     "events_asof_rates": EVENTS_ASOF_RATES_SQL,
     "events_attribution_range": EVENTS_ATTRIBUTION_RANGE_SQL,
@@ -566,4 +564,12 @@ LOCAL_ORACLES = {
     # over the same aggregate, so revenue_cube's green driver row already
     # covers every rollup cell; full hash parity still runs in pytest.
     "revenue_rollup": REVENUE_ROLLUP_SQL,
+    # Demoted round 13 to fund driver slots for the M-family (VERDICT r12
+    # "Next round" #3): both are single-function showcases whose operators
+    # run LIVE inside the hash-green trips_master row — Car_Num is the
+    # same extract_plate (C2) and date the same us_date_string (C3) over
+    # the master corpus — so their driver checks were near-subsets of an
+    # already-green row. Full hash parity still runs in pytest.
+    "customer_plates": CUSTOMER_PLATES_SQL,
+    "orders_us_dates": ORDERS_US_DATES_SQL,
 }

@@ -402,6 +402,22 @@ def test_model_artifact_corruption_detected(spark, tmp_path):
     ).write.mode("overwrite").parquet(mp + "/meta")
     with pytest.raises(ValueError, match="exactly one"):
         classifier.load_hashed_model(spark, mp)
+    # hashed weights validated at load (ADVICE r12 — these previously
+    # loaded cleanly and served silently wrong scores): out-of-range
+    # bucket, duplicate bucket, missing bias row
+    for bad_rows in (
+        [(0, 0.1), (64, 0.2), (classifier.BIAS_BUCKET, -0.5)],  # >= n_buckets
+        [(0, 0.1), (0, 0.2), (classifier.BIAS_BUCKET, -0.5)],  # duplicate
+        [(0, 0.1), (1, 0.2)],  # no bias row
+        [(0, None), (classifier.BIAS_BUCKET, -0.5)],  # null weight
+    ):
+        wp = str(tmp_path / "w")
+        classifier.save_hashed_model(w, 64, wp)
+        spark.createDataFrame(
+            bad_rows, "bucket int, w double"
+        ).write.mode("overwrite").parquet(wp + "/weights")
+        with pytest.raises(ValueError, match="corrupt hashed model"):
+            classifier.load_hashed_model(spark, wp)
 
 
 def test_resolve_hashed_model_contract(spark, tmp_path):
@@ -416,6 +432,13 @@ def test_resolve_hashed_model_contract(spark, tmp_path):
     assert nb == 64
     with pytest.raises(ValueError, match="authoritative"):
         classifier.resolve_hashed_model(spark, path, 128, 0)
+    # a NON-default caller seed conflicting with the artifact's stored
+    # seed is the same featurizer-identity mismatch (ADVICE r12); a
+    # matching explicit seed is fine
+    with pytest.raises(ValueError, match="seed"):
+        classifier.resolve_hashed_model(spark, path, None, 3)
+    _, _, seed = classifier.resolve_hashed_model(spark, path, None, 7)
+    assert seed == 7
     # in-memory: n_buckets required
     with pytest.raises(ValueError, match="required"):
         classifier.resolve_hashed_model(spark, w, None, 0)

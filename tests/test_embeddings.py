@@ -161,7 +161,12 @@ def test_opq_allocation_is_balanced_permutation(spark, emb):
             for s in range(m)
         ]
         return max(sums) - min(sums)
-    assert spread(comps) <= spread(model.components)
+    # STRICT improvement (ADVICE r12): the fixture embeddings are
+    # unit-scale, so every eigenvalue is < 1 — exactly the regime where
+    # the pre-r13 raw-log-sum greedy silently degenerated to the naive
+    # contiguous PCA ordering and passed a <= assertion with equality.
+    assert all(v < 1.0 for v in model.explained_variance)
+    assert spread(comps) < spread(model.components)
 
 
 def test_opq_allocation_validates(spark, emb):
@@ -193,16 +198,37 @@ def test_rotation_preserves_cosine(spark, emb):
         assert abs(r["c0"] - r["c1"]) < 1e-9, (r["ia"], r["ib"])
 
 
-def test_opq_recall_at_least_plain_pq_equal_code_bytes(spark, emb):
-    """The OPQ promise (Ge et al. 2013) on the fixtures: at the SAME
-    m=8 × 8-bit code budget, rotated-PQ recall@10 vs exact cosine is at
-    least plain PQ's. refine=1 makes the ADC ranking decisive (the ×4
-    re-rank saturates both near 1.0 and would hide the difference)."""
+def test_rotate_pandas_matches_rotate_expr(spark, emb):
+    """The Arrow-matmul rotation (r13 serve path) and the fold-expression
+    rotation agree element-for-element after the shared round-6: same
+    literal rotation rows, same JVM-side rounding; the only divergence
+    channel is BLAS-vs-fold summation order, ~1 ulp under a 1e-6 grid.
+    This is the featurizer-identity guarantee that lets the fast path
+    replace rotate_expr in every OPQ build/serve without changing any
+    code, score, or rank downstream."""
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    comps = emb_ops.opq_eigen_allocate(model, m=8)
+    rows = (
+        emb.select(
+            "vec_id",
+            emb_ops.rotate_expr("embedding", comps).alias("e"),
+            emb_ops.rotate_pandas("embedding", comps).alias("p"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        assert r["e"] == r["p"], r["vec_id"]
+
+
+def _recall_harness(spark, emb, n_probes=20, k=10):
+    """(recall_fn, plain_pq_recall, model): exact top-k qrels over the
+    first ``n_probes`` ids + a closure scoring any served result."""
     from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import similarity
 
-    K = 10
-    probes = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.topk_bruteforce(probes, emb, "embedding", "vec_id", k=K)
+    probes = emb.filter(F.col("vec_id") < n_probes)
+    exact = similarity.topk_bruteforce(probes, emb, "embedding", "vec_id", k=k)
     want: dict = {}
     for r in exact.collect():
         want.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -213,19 +239,72 @@ def test_opq_recall_at_least_plain_pq_equal_code_bytes(spark, emb):
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return sum(len(got.get(q, set()) & w) / len(w) for q, w in want.items()) / len(want)
 
-    books_p = similarity.train_pq_codebooks(emb, "embedding", "vec_id")
-    r_pq = recall(similarity.topk_pq(probes, emb, "embedding", "vec_id", k=K, codebooks=books_p, refine=1))
+    def rotated_pq_recall(comps):
+        emb_r = emb.select(
+            "vec_id", emb_ops.rotate_pandas("embedding", comps).alias("embedding")
+        )
+        books = similarity.train_pq_codebooks(emb_r, "embedding", "vec_id")
+        return recall(similarity.topk_pq(
+            emb_r.filter(F.col("vec_id") < n_probes), emb_r, "embedding",
+            "vec_id", k=k, codebooks=books, refine=1,
+        ))
 
-    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
-    comps = emb_ops.opq_eigen_allocate(model, m=8)
-    rot = emb_ops.rotate_expr("embedding", comps)
-    emb_r = emb.select("vec_id", rot.alias("embedding"))
-    books_o = similarity.train_pq_codebooks(emb_r, "embedding", "vec_id")
-    r_opq = recall(similarity.topk_pq(
-        emb_r.filter(F.col("vec_id") < 5), emb_r, "embedding", "vec_id",
-        k=K, codebooks=books_o, refine=1,
+    books_p = similarity.train_pq_codebooks(emb, "embedding", "vec_id")
+    r_pq = recall(similarity.topk_pq(
+        probes, emb, "embedding", "vec_id", k=k, codebooks=books_p, refine=1
     ))
-    assert r_opq >= r_pq, (r_opq, r_pq)
+    return rotated_pq_recall, r_pq
+
+
+def test_opq_recall_wins_on_anisotropic_corpus(spark):
+    """The OPQ promise (Ge et al. 2013) where it actually applies: a
+    corpus with a DECAYING spectrum mixed by a random rotation — the
+    shape of real text/image embeddings. At the same m=8 × 8-bit code
+    budget and refine=1 (the ×4 re-rank would saturate both), the
+    fill-aware balanced allocation (ADVICE r12) must beat BOTH plain PQ
+    and the naive contiguous-PCA ordering the pre-r13 greedy silently
+    degenerated to. Measured on this seed: balanced 0.775 vs plain
+    0.675 vs contiguous 0.405 — the margins asserted sit well inside
+    those gaps. The contiguous bound is the regression tripwire: a
+    greedy that degenerates again fails by ~0.3, not by luck."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    scales = 0.90 ** np.arange(DIM)
+    q, _ = np.linalg.qr(rng.standard_normal((DIM, DIM)))
+    x = (rng.standard_normal((n, DIM)) * scales) @ q.T
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    ).repartition(8).cache()
+    try:
+        rotated_pq_recall, r_pq = _recall_harness(spark, emb)
+        model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+        r_opq = rotated_pq_recall(emb_ops.opq_eigen_allocate(model, m=8))
+        r_contig = rotated_pq_recall(model.components)
+        assert r_opq >= r_pq + 0.05, (r_opq, r_pq)
+        assert r_opq >= r_contig + 0.20, (r_opq, r_contig)
+    finally:
+        emb.unpersist()
+
+
+def test_opq_recall_non_inferior_on_isotropic_fixture(spark, emb):
+    """On the repo's near-ISOTROPIC synthetic embeddings the spectrum is
+    flat, so no allocation can systematically help — measured recalls
+    (20 probes): plain 0.69, balanced 0.69, contiguous 0.69-0.72, all
+    inside codebook-sampling noise. The honest pin is non-inferiority
+    (within 0.08 of plain PQ — 1-2 neighbors at this probe count) plus
+    the absolute floor; the pre-r13 `>= plain` assertion only ever
+    passed because the degenerate allocation equalled the contiguous
+    ordering (ADVICE r12 — the equality this test no longer hides
+    behind). The promise itself is pinned where it is measurable:
+    test_opq_recall_wins_on_anisotropic_corpus."""
+    rotated_pq_recall, r_pq = _recall_harness(spark, emb)
+    model = emb_ops.train_pca(emb, "embedding", DIM, k=DIM)
+    r_opq = rotated_pq_recall(emb_ops.opq_eigen_allocate(model, m=8))
+    assert r_opq >= r_pq - 0.08, (r_opq, r_pq)
     assert r_opq >= 0.6  # absolute floor, the PQ pin's neighborhood
 
 
@@ -273,7 +352,7 @@ def test_opq_index_lifecycle_matches_inline_form(spark, emb):
     served = [tuple(r) for r in emb_ops.topk_opq(probes, idx, k=5).collect()]
 
     comps = emb_ops.opq_eigen_allocate(model, m=8)
-    rot = emb_ops.rotate_expr("embedding", comps)
+    rot = emb_ops.rotate_pandas("embedding", comps)
     emb_r = emb.select("vec_id", rot.alias("embedding"))
     books = similarity.train_pq_codebooks(emb_r, "embedding", "vec_id")
     inline = [

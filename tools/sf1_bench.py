@@ -82,8 +82,32 @@ def _min_merge(runs: list[dict]) -> dict:
         out["subtotal_r1_queries"] = round(
             sum(v for n, v in out["queries"].items() if n in R1_SET), 3
         )
+    _recompute_throughputs(out)
     out["merged_runs"] = len(runs)
     return out
+
+
+def _recompute_throughputs(node) -> None:
+    """Apply the derived-aggregates-are-RECOMPUTED rule to the streaming
+    throughput leaves (VERDICT r12 What's-wrong): ``curation_rows_per_sec``
+    is higher-is-better, so min-merging it pairs the WORST run's rows/s
+    with the BEST run's wall — the r12 record said 235.8 rows/s next to
+    wall_sec 116.04 over rows_in 50000 (= 431). Every merged block must
+    satisfy rows_per_sec ≡ rows_in / wall_sec; recurse because the
+    full_stack block nests inside the streaming block."""
+    if not isinstance(node, dict):
+        return
+    if (
+        "curation_rows_per_sec" in node
+        and isinstance(node.get("rows_in"), (int, float))
+        and isinstance(node.get("wall_sec"), (int, float))
+        and node["wall_sec"] > 0
+    ):
+        node["curation_rows_per_sec"] = round(
+            node["rows_in"] / node["wall_sec"], 1
+        )
+    for v in node.values():
+        _recompute_throughputs(v)
 
 
 def _run_bench(sf_dir: str) -> dict:
