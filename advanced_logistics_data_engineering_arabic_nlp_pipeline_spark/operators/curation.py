@@ -779,9 +779,15 @@ def scrub_boilerplate_increment(
         n_delta = out.count()  # materialize BEFORE the index write mutates history
 
         delta_counts.write.mode("overwrite").parquet(f"{seg_dir}/batch={batch_id}")
-        spark.createDataFrame([(n_delta,)], "n_docs long").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{meta_dir}/batch={batch_id}")
+        # One-row metadata write via range(1-partition) + lit — pure JVM
+        # (r13 profile finding: createDataFrame([...]).coalesce(1) splits
+        # the row across defaultParallelism pickled slices and the
+        # coalesced task replays ~32 sequential Python-worker roundtrips —
+        # measured 4.8 s PER metadata write vs 0.17 s for this form; the
+        # cost recurs per nightly increment and per stream epoch).
+        spark.range(0, 1, 1, 1).select(
+            F.lit(int(n_delta)).cast("long").alias("n_docs")
+        ).write.mode("overwrite").parquet(f"{meta_dir}/batch={batch_id}")
     except BaseException:
         # standalone path: never strand a cached frame on a failed
         # increment (r8 review finding); caller-provided caches release
@@ -1114,7 +1120,16 @@ def curate_increment(
             )
         out = out.withColumn(text_col, redact_pii_expr(F.col(text_col)))
         if materialize:
-            out.count()  # all index writes flushed; result computed once
+            # No eager count (r13 action trim): every durable-index write
+            # above is its own action, already flushed by the time we get
+            # here — the old count only pre-computed the post-dedup
+            # decontam+PII tail, which an index-seeding bootstrap discards
+            # outright (the registered query's shape). The returned frame
+            # is unpinned and computes on the caller's first action; at
+            # driver-union-find scale that recompute is self-contained,
+            # and the cluster-grade re-execution caveat below is unchanged
+            # from when the count ran (caches released before the caller's
+            # action either way).
             return out
         # track the pin BEFORE the materializing count: if the count
         # raises (executor loss mid-compute), the finally below releases

@@ -934,13 +934,20 @@ def connected_components(
             pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
         )
     )
-    if max_driver_edges and edges.count() <= max_driver_edges:
-        id_type = pairs.schema[src].dataType
-        labels = _union_find_rows(edges.collect(), "a", "b")
-        schema = StructType(
-            [StructField("id", id_type), StructField("cluster_id", id_type)]
-        )
-        return pairs.sparkSession.createDataFrame(labels, schema)
+    if max_driver_edges:
+        # ONE action decides the path AND fetches the edges (r13 action
+        # trim — this was a count job + a collect job over the same
+        # pinned frame): collect a bound+1 head; ≤ bound rows means we
+        # already hold the complete edge set. Union-find labels are
+        # min-per-component, so edge arrival order is immaterial.
+        head = edges.limit(max_driver_edges + 1).collect()
+        if len(head) <= max_driver_edges:
+            id_type = pairs.schema[src].dataType
+            labels = _union_find_rows(head, "a", "b")
+            schema = StructType(
+                [StructField("id", id_type), StructField("cluster_id", id_type)]
+            )
+            return pairs.sparkSession.createDataFrame(labels, schema)
     labels = ckpt(
         edges.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )
@@ -1174,7 +1181,11 @@ def exact_increment(
     keep = keep.persist()
     track.append(keep)
     try:
-        keep.count()  # pin keepers before the index write mutates history
+        # The index write IS the pin-filling action (r13 action trim —
+        # an eager keep.count() preceded it): the write job computes the
+        # keepers once, fills the persist blocks, and writes. Re-execution
+        # stays history-stable either way — the history read filters
+        # batch < batch_id, partition-pruning the dir this write creates.
         keep.select(F.col("__fp").alias("fp")).write.mode("overwrite").parquet(
             f"{fps_dir}/batch={batch_id}"
         )
@@ -1186,7 +1197,13 @@ def exact_increment(
         else:
             live = live.persist()
             track.append(live)
-            live.count()
+            if caches is None:
+                # standalone: pin NOW — the keeper cache releases when
+                # this returns, and the pinned result must not recompute
+                # through it. With a caller-owned caches list nothing
+                # releases until the caller's finally, so the pin fills
+                # lazily on the caller's next action (one job fewer).
+                live.count()
     except BaseException:
         if caches is None:
             for c in own:
@@ -1306,7 +1323,13 @@ def neardup_increment(
         else:
             live = live.persist()
             track.append(live)
-            live.count()  # pin result before the gate caches release
+            if caches is None:
+                # standalone: pin before the gate caches release below
+                # (localCheckpoint blocks have no lineage to recompute
+                # through). With a caller-owned caches list the gate
+                # caches outlive this call, so the pin fills on the
+                # caller's next action instead (r13 action trim).
+                live.count()
     except BaseException:
         if caches is None:
             for c in own:
