@@ -871,6 +871,92 @@ def decontam_anti_join(
     return df.join(contaminated, id_col, "anti")
 
 
+def resolve_ann_index(spark, index):
+    """Accept a built :class:`...operators.similarity.PQIndex` /
+    :class:`...operators.embeddings.OPQIndex` or a saved artifact PATH
+    (:func:`...operators.similarity.save_pq_index` /
+    :func:`...operators.embeddings.save_opq_index`) — the gate-wiring
+    contract the classifier/LM gates use (``resolve_hashed_model`` /
+    ``resolve_lm``): a stream restart loads the artifact instead of
+    needing the building session alive. A path sniffs the OPQ marker
+    first (an OPQ artifact CONTAINS a valid PQ artifact — loading it as
+    plain PQ would silently serve unrotated queries against a rotated
+    corpus, the featurizer-identity corruption the artifact exists to
+    prevent)."""
+    if not isinstance(index, str):
+        return index
+    from .embeddings import load_opq_index
+    from .similarity import load_pq_index
+
+    root = index.rstrip("/")
+    try:
+        spark.read.parquet(root + "/opq_meta")
+        is_opq = True
+    except Exception:
+        is_opq = False
+    if is_opq:
+        return load_opq_index(spark, root, persist=True)
+    return load_pq_index(spark, root, persist=True)
+
+
+def semantic_anti_join(
+    df: DataFrame,
+    index,
+    embedding_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    refine: int = 4,
+) -> DataFrame:
+    """Embedding (semantic) near-dup gate against a FROZEN PQ/OPQ index
+    (r13, VERDICT r12 Next-round #7): drop rows whose exact re-ranked
+    cosine against any indexed neighbor reaches ``threshold``. The ONE
+    definition both the streaming gate (``run_stream_curation``,
+    ``semantic_threshold=``) and the batch composed pass
+    (:func:`curate_increment`) apply — the scrub_replace_join
+    single-definition parity rationale.
+
+    Scale shape: the arriving rows are the QUERY side of the standard
+    ADC serve (:func:`...operators.similarity.topk_pq` /
+    :func:`...operators.embeddings.topk_opq`, k=1) — the batch/micro-
+    batch broadcasts with its per-query LUTs while the compressed
+    corpus streams; only the ×``refine`` shortlist touches full vectors
+    for the exact re-rank, so the verdict is never an approximate score.
+    Rows with a NULL embedding pass through (nothing to judge — the
+    text-space gates still apply). Rows whose id EQUALS an indexed id
+    are never judged against themselves (the serve path's self-pair
+    exclusion), which makes re-delivery of an already-indexed document
+    a signature-gate concern, not a semantic-gate one.
+
+    CONSULT-ONLY by design: the stream reads the index, it never writes
+    it — registration of new keepers stays the nightly
+    ``pq_index_add``/``build_*_index`` job's responsibility (frozen
+    parameters, append-only, the documented ANN lifecycle). A gate that
+    also registered per micro-batch would need the epoch-reservation
+    protocol the signature index carries; that is the next frontier,
+    not this one."""
+    from .embeddings import OPQIndex, topk_opq
+    from .similarity import topk_pq
+
+    judged = df.filter(F.col(embedding_col).isNotNull()).select(
+        F.col(id_col), F.col(embedding_col)
+    )
+    if isinstance(index, OPQIndex):
+        top1 = topk_opq(
+            judged, index, vec_col=embedding_col, id_col=id_col, k=1,
+            refine=refine,
+        )
+    else:
+        top1 = topk_pq(
+            judged, vec_col=embedding_col, id_col=id_col, k=1,
+            refine=refine, index=index,
+        )
+    near = (
+        top1.filter(F.col("score") >= threshold)
+        .select(F.col("query_id").alias(id_col))
+    )
+    return df.join(near, id_col, "anti")
+
+
 def curate_increment(
     df: DataFrame,
     index_dir: str,
@@ -897,6 +983,10 @@ def curate_increment(
     classifier_model: DataFrame | str | None = None,
     classifier_n_buckets: int | None = None,
     classifier_seed: int = 0,
+    semantic_threshold: float | None = None,
+    semantic_index=None,
+    embedding_col: str = "embedding",
+    semantic_refine: int = 4,
 ) -> DataFrame:
     """The BATCH twin of ``run_stream_curation``'s full stack: curate one
     nightly delta against durable history without re-reading the corpus —
@@ -1112,6 +1202,33 @@ def curate_increment(
                 cc_checkpoint_dir=cc_checkpoint_dir,
             )
         out = work  # repetition gate moved into the pre-dedup pass (r12)
+        if semantic_threshold is not None:
+            # embedding near-dup vs a FROZEN PQ/OPQ index (r13) — the
+            # stream's gate verbatim (shared semantic_anti_join), placed
+            # with the dedup family: after the signature stages (which
+            # own within-delta keeper selection), before decontam/PII.
+            # Consult-only: registration of tonight's keepers into the
+            # semantic index is the separate pq_index_add job.
+            if semantic_index is None:
+                raise ValueError(
+                    "semantic_threshold needs semantic_index — a built "
+                    "PQIndex/OPQIndex or a save_pq_index/save_opq_index "
+                    "artifact path"
+                )
+            if embedding_col not in df.columns:
+                raise ValueError(
+                    f"semantic_threshold needs an {embedding_col!r} "
+                    "column in the delta schema (array<float|double>)"
+                )
+            _sem = resolve_ann_index(df.sparkSession, semantic_index)
+            if isinstance(semantic_index, str):
+                # path-loaded: the artifact load persisted the encoded
+                # table for serve-many; release with our other caches
+                caches.append(_sem.pq.encoded if hasattr(_sem, "pq") else _sem.encoded)
+            out = semantic_anti_join(
+                out, _sem, embedding_col, id_col, semantic_threshold,
+                refine=semantic_refine,
+            )
         if eval_df is not None:
             ev_dict = eval_shingle_dict(eval_df, text_col, decontam_k)
             out = decontam_anti_join(

@@ -355,6 +355,58 @@ def build_opq_index(
     return OPQIndex(components=comps, pq=pq)
 
 
+def save_opq_index(index: OPQIndex, path: str) -> None:
+    """Persist an :class:`OPQIndex`: the rotation rows (``<path>/rotation``:
+    idx, row) + kind marker, with the underlying PQ artifact delegated to
+    :func:`...operators.similarity.save_pq_index` under the same root.
+    Serving with a different rotation than the encode is the
+    silent-corruption case — the artifact keeps them together."""
+    from .similarity import save_pq_index
+
+    spark = index.pq.encoded.sparkSession
+    root = path.rstrip("/")
+    save_pq_index(index.pq, root)
+    spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(index.components)],
+        "idx int, row array<double>",
+    ).write.mode("overwrite").parquet(root + "/rotation")
+    spark.range(0, 1, 1, 1).select(
+        F.lit("opq").alias("kind")
+    ).write.mode("overwrite").parquet(root + "/opq_meta")
+
+
+def load_opq_index(spark, path: str, persist: bool = False) -> OPQIndex:
+    """Load a :func:`save_opq_index` artifact — bounded rotation collect
+    (dim rows) + the PQ artifact load, with contiguity/square-shape
+    validation so a torn write fails at load."""
+    from .similarity import load_pq_index
+
+    root = path.rstrip("/")
+    marker = spark.read.parquet(root + "/opq_meta").collect()
+    if len(marker) != 1 or marker[0]["kind"] != "opq":
+        raise ValueError(
+            f"corrupt OPQ index artifact at {path}: opq_meta must be "
+            f"exactly one kind='opq' row, found {marker}"
+        )
+    rows = sorted(
+        spark.read.parquet(root + "/rotation").collect(),
+        key=lambda r: r["idx"],
+    )
+    dim = len(rows)
+    if (
+        [r["idx"] for r in rows] != list(range(dim))
+        or any(len(r["row"]) != dim for r in rows)
+    ):
+        raise ValueError(
+            f"corrupt OPQ index artifact at {path}: rotation must be "
+            f"{dim} contiguous rows of width {dim} — rebuild and re-save"
+        )
+    pq = load_pq_index(spark, root, persist=persist)
+    return OPQIndex(
+        components=[[float(x) for x in r["row"]] for r in rows], pq=pq
+    )
+
+
 def topk_opq(
     queries: DataFrame,
     index: OPQIndex,

@@ -1757,3 +1757,86 @@ def topk_ivfpq(
         .select("query_id", "neighbor_id", "score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ── durable PQ index artifact (r13): codebooks + encoded corpus + meta ──────
+# build_pq_index(path=...) already made the ENCODED TABLE durable, but the
+# codebooks lived only in the building session — a restart (or a streaming
+# consumer on another driver) could serve the table it couldn't decode.
+# The artifact closes the loop, mirroring the classifier/LM/PCA artifact
+# discipline: <path>/meta (one row: kind, m, k, sub), <path>/codebooks
+# (m×k rows: s, j, centroid), <path>/encoded (the corpus codes). Everything
+# validated at load so a half-written artifact fails there, not as silently
+# wrong ADC scores.
+
+def save_pq_index(index: PQIndex, path: str) -> None:
+    """Persist a :class:`PQIndex` as a self-contained parquet artifact —
+    the restart/cross-session form of ``build_pq_index(path=...)``. An
+    index with live tombstones must be compacted first (the artifact
+    stores the index as-built; a tombstone side-table would make two
+    sources of truth)."""
+    if index.tombstones is not None:
+        raise ValueError(
+            "save_pq_index: index has live tombstones — compact first "
+            "(pq_index_remove past the compaction threshold rewrites the "
+            "table) so the artifact is the single source of truth"
+        )
+    spark = index.encoded.sparkSession
+    books = index.codebooks
+    m, k, sub = len(books), len(books[0]), len(books[0][0])
+    root = path.rstrip("/")
+    rows = [
+        (s, j, [float(x) for x in books[s][j]])
+        for s in range(m)
+        for j in range(k)
+    ]
+    spark.createDataFrame(rows, "s int, j int, c array<double>").write.mode(
+        "overwrite"
+    ).parquet(root + "/codebooks")
+    index.encoded.write.mode("overwrite").parquet(root + "/encoded")
+    # one-row meta via range+lit: pure JVM (the r13 segmeta finding —
+    # createDataFrame one-row frames pay Python-worker roundtrips)
+    spark.range(0, 1, 1, 1).select(
+        F.lit("pq").alias("kind"),
+        F.lit(m).cast("int").alias("m"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(sub).cast("int").alias("sub"),
+    ).write.mode("overwrite").parquet(root + "/meta")
+
+
+def load_pq_index(spark, path: str, persist: bool = False) -> PQIndex:
+    """Load a :func:`save_pq_index` artifact. Codebooks are a bounded
+    collect (m×k rows, ~16 KB of doubles); the encoded corpus stays a
+    lazy parquet read (``persist=True`` pins it for serve-many sessions —
+    the streaming gate does this for the stream's lifetime). Validates
+    meta cardinality, codebook completeness/contiguity and subvector
+    width so a torn write fails at load."""
+    root = path.rstrip("/")
+    meta_rows = spark.read.parquet(root + "/meta").collect()
+    if len(meta_rows) != 1 or meta_rows[0]["kind"] != "pq":
+        raise ValueError(
+            f"corrupt PQ index artifact at {path}: meta must be exactly "
+            f"one kind='pq' row, found {meta_rows}"
+        )
+    meta = meta_rows[0]
+    m, k, sub = meta["m"], meta["k"], meta["sub"]
+    got = spark.read.parquet(root + "/codebooks").collect()
+    by_key = {(r["s"], r["j"]): r["c"] for r in got}
+    if (
+        len(got) != m * k
+        or len(by_key) != m * k
+        or any((s, j) not in by_key for s in range(m) for j in range(k))
+        or any(len(c) != sub for c in by_key.values())
+    ):
+        raise ValueError(
+            f"corrupt PQ index artifact at {path}: expected {m}x{k} "
+            f"codebook rows of width {sub} — rebuild and re-save"
+        )
+    books = [
+        [[float(x) for x in by_key[(s, j)]] for j in range(k)]
+        for s in range(m)
+    ]
+    enc = spark.read.parquet(root + "/encoded")
+    if persist:
+        enc = enc.persist()
+    return PQIndex(codebooks=books, encoded=enc, path=root + "/encoded")

@@ -3191,6 +3191,62 @@ def neardup_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
 
 
+def semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consult-only semantic near-dup gate (r13, VERDICT r12 Next-round
+    #7): a frozen PQ index over the "history" two-thirds of the
+    embeddings judges the remaining third as the arriving delta — each
+    delta document's exact re-ranked cosine against its best indexed
+    neighbor decides keep/drop (operators/curation.semantic_anti_join,
+    the ONE definition the streaming gate applies per micro-batch).
+    Documents without an embedding pass unjudged (the NULL contract).
+
+    The synthetic embeddings carry no natural cross-id near-dups (max
+    delta-vs-history cosine ≈ 0.6), so the query PLANTS them: every
+    delta doc with ``doc_id % 12 == 0`` takes the HISTORY document
+    ``doc_id + 1``'s vector verbatim (``(d+1) % 3 == 1`` — always
+    indexed), an exact copy the gate must drop at 0.9 while every
+    unplanted row survives — both branches non-vacuous at every SF.
+
+    Rows-only (the ADC shortlist has no SQL mirror — an exact-cosine
+    oracle would diverge exactly where the index approximates); the
+    drop/keep semantics, NULL handling, threshold monotonicity and
+    batch/stream parity are pinned in tests/test_semantic_gate.py."""
+    from ..operators.curation import semantic_anti_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    idx = similarity.build_pq_index(
+        emb.filter(F.col("vec_id") % 3 != 0), persist=False
+    )
+    planted = emb.select(
+        (F.col("vec_id") - 1).alias("doc_id"), F.col("embedding").alias("__pl")
+    )
+    delta = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+            "left",
+        )
+        .join(planted, "doc_id", "left")
+        .withColumn(
+            "embedding",
+            F.when(
+                (F.col("doc_id") % 12 == 0) & F.col("__pl").isNotNull(),
+                F.col("__pl"),
+            ).otherwise(F.col("embedding")),
+        )
+        .drop("__pl")
+    )
+    kept = semantic_anti_join(delta, idx, "embedding", "doc_id", threshold=0.9)
+    return kept.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.col("embedding").isNotNull().alias("judged"),
+    ).orderBy("doc_id")
+
+
 def curate_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED nightly-delta curation pass
     (operators/curation.curate_increment) — the batch twin of the
@@ -3624,6 +3680,7 @@ QUERIES = {
     "corpus_diff": corpus_diff,
     "neardup_increment": neardup_increment,
     "curate_increment": curate_increment,
+    "semantic_gate": semantic_gate,
     "bm25_search": bm25_search,
     "bm25_search_batch": bm25_search_batch,
     "gopher_quality": gopher_quality,

@@ -842,6 +842,10 @@ def run_stream_curation(
     classifier_model: DataFrame | str | None = None,
     classifier_n_buckets: int | None = None,
     classifier_seed: int = 0,
+    semantic_threshold: float | None = None,
+    semantic_index=None,
+    embedding_col: str = "embedding",
+    semantic_refine: int = 4,
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
     curation pass composed over a stream — exact dedup, near-dup dedup
@@ -983,6 +987,41 @@ def run_stream_curation(
         # batch/stream decontam parity by construction)
         ev_dict = eval_shingle_dict(eval_df, text_col, decontam_k).persist()
         ev_dict.count()  # materialize once, not per micro-batch
+
+    _sem_index = None
+    _sem_pins: list = []
+    if semantic_threshold is not None:
+        # semantic near-dup gate vs a FROZEN PQ/OPQ index (r13, VERDICT
+        # r12 Next-round #7): the stream CONSULTS a durable embedding
+        # index the way it consults the signature index — resolved once
+        # (an artifact path loads here, so a restart needs no building
+        # session), the compressed corpus pinned for the stream's
+        # lifetime, served per micro-batch through the shared
+        # semantic_anti_join definition. Consult-only: registering new
+        # keepers stays the nightly pq_index_add job's work.
+        from ..operators.curation import resolve_ann_index
+
+        if semantic_index is None:
+            raise ValueError(
+                "semantic_threshold needs semantic_index — a built "
+                "PQIndex/OPQIndex or a save_pq_index/save_opq_index "
+                "artifact path"
+            )
+        if embedding_col not in stream.columns:
+            raise ValueError(
+                f"semantic_threshold needs an {embedding_col!r} column in "
+                "the stream schema (array<float|double>); rows without "
+                "one cannot be judged"
+            )
+        _sem_index = resolve_ann_index(stream.sparkSession, semantic_index)
+        _enc = (
+            _sem_index.pq.encoded
+            if hasattr(_sem_index, "pq")
+            else _sem_index.encoded
+        )
+        if isinstance(semantic_index, str):
+            _enc.count()  # path form: fill the lifetime pin once, eagerly
+            _sem_pins.append(_enc)
 
     # ── the single pre-state gate pass (r12, VERDICT r11 Next-round #3) ──
     # Every stateless per-row gate — quality, LM perplexity, classifier,
@@ -1167,6 +1206,17 @@ def run_stream_curation(
                 )
             # repetition moved to the single pre-state gate pass (r12)
             out = batch_df
+            if _sem_index is not None:
+                from ..operators.curation import semantic_anti_join
+
+                # shared definition with curate_increment — batch/stream
+                # semantic-gate parity by construction; placed with the
+                # dedup family (after the signature gate, before
+                # decontam/PII), micro-batch = broadcast query side
+                out = semantic_anti_join(
+                    out, _sem_index, embedding_col, id_col,
+                    semantic_threshold, refine=semantic_refine,
+                )
             if ev_dict is not None:
                 # shared definition with curate_increment — batch/stream
                 # decontam parity by construction
@@ -1197,8 +1247,9 @@ def run_stream_curation(
 
     spark = stream.sparkSession
     reaper = None
-    if ev_dict is not None:
-        reaper = _UnpersistOnTermination(spark, [ev_dict])
+    _lifetime_pins = ([ev_dict] if ev_dict is not None else []) + _sem_pins
+    if _lifetime_pins:
+        reaper = _UnpersistOnTermination(spark, _lifetime_pins)
         spark.streams.addListener(reaper)
     # the except must also cover _state_store_conf's __enter__ (an invalid
     # state_store raises ValueError there) — with the guard inside the
