@@ -921,6 +921,12 @@ def semantic_anti_join(
     batch broadcasts with its per-query LUTs while the compressed
     corpus streams; only the ×``refine`` shortlist touches full vectors
     for the exact re-rank, so the verdict is never an approximate score.
+    That shape assumes the ARRIVING side is the small one — always true
+    for a micro-batch, true for a nightly delta while it fits broadcast
+    (delta rows × m×k×8 B of LUT). A delta beyond broadcast scale
+    should gate in id-range slices (the anti-join composes across
+    slices: drops are per-row decisions against a frozen index) — the
+    honest 100 TB knob, documented rather than hidden.
     Rows with a NULL embedding pass through (nothing to judge — the
     text-space gates still apply). Rows whose id EQUALS an indexed id
     are never judged against themselves (the serve path's self-pair

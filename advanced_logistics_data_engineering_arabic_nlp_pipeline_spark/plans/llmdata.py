@@ -3207,6 +3207,16 @@ def semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     indexed), an exact copy the gate must drop at 0.9 while every
     unplanted row survives — both branches non-vacuous at every SF.
 
+    The judged delta is a FLAT probe slice (``doc_id < 2000`` — the
+    whole corpus at sf ≤ 0.01, 667 docs at sf ≥ 0.1), the ann_split
+    serve discipline: the consult gate's cost is judged-rows × index
+    size (each query ADC-scans the compressed corpus), which is the
+    STREAM's small-batch shape, not a bulk-delta sweep — measured
+    unbounded at sf1 it was 116 s of exactly that product (6.7k × 13.3k
+    interpreted-HOF ADC pairs). A bulk nightly delta belongs to the
+    celled scan (topk_ivfpq) or the banded path (embedding_near_dup_lsh,
+    registered); this query pins the gate's SEMANTICS at serve scale.
+
     Rows-only (the ADC shortlist has no SQL mirror — an exact-cosine
     oracle would diverge exactly where the index approximates); the
     drop/keep semantics, NULL handling, threshold monotonicity and
@@ -3222,7 +3232,7 @@ def semantic_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") - 1).alias("doc_id"), F.col("embedding").alias("__pl")
     )
     delta = (
-        docs.filter(F.col("doc_id") % 3 == 0)
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 2000))
         .join(
             emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
             "doc_id",

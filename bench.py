@@ -426,15 +426,27 @@ def main() -> None:
                     ).alias("ts"),
                 )
                 if with_embeddings:
-                    # semantic-gate config: each arriving doc carries its
-                    # embedding (left join — docs without one pass the
-                    # gate unjudged, the documented NULL contract)
+                    # semantic-gate config: 10% of arriving docs carry an
+                    # embedding (left join + % 10 mask) — the realistic
+                    # mixed-modality arrival shape, and the honest one to
+                    # time: the gate's cost is judged-rows × index size
+                    # (each judged row ADC-scans the compressed corpus),
+                    # so attaching embeddings to EVERY arrival turns the
+                    # block into a deliberate quadratic (measured 264 s
+                    # at sf1 = 12.5k-doc batches × 13.3k index) instead
+                    # of a gate-overhead measurement. Docs without an
+                    # embedding pass unjudged (the NULL contract).
                     docs_stream = docs_stream.join(
                         emb.select(
                             F.col("vec_id").alias("doc_id"), "embedding"
                         ),
                         "doc_id",
                         "left",
+                    ).withColumn(
+                        "embedding",
+                        F.when(
+                            F.col("doc_id") % 10 == 0, F.col("embedding")
+                        ),
                     )
                 docs_stream.repartition(8).write.parquet(src)
                 rows_in = spark.read.parquet(src).count()
