@@ -1365,7 +1365,12 @@ def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
 
     lex = bm25_topk(docs, BM25_QUERY, k=HYBRID_DEPTH)
-    w = Window.orderBy(F.desc("score"), "doc_id")
+    # ranking a BOUNDED list: lex is the bm25 top-k (≤ depth = 50 rows),
+    # so the single-partition window is by construction, not a funnel —
+    # the constant partition key states that explicitly (and keeps the
+    # plan out of WindowExec's global-window warning, which exists to
+    # catch exactly the unbounded form of this shape)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("score"), "doc_id")
     lex = lex.withColumn("rank", F.row_number().over(w))
 
     dense = similarity.topk_bruteforce(
