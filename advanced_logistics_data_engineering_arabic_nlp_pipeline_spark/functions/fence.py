@@ -36,11 +36,25 @@ from pyspark.sql import functions as F
 def compute_once(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     """Append ``cols`` (name → expression) to ``df``, each computed
     exactly once per row behind a 1:1 Generate barrier. Equivalent to
-    chained ``withColumn`` calls except the optimizer cannot inline the
-    expressions into downstream filters/projections."""
+    chained ``withColumn`` calls for NEW names; unlike ``withColumn``
+    it refuses name collisions instead of replacing — the final select
+    would otherwise carry duplicate/ambiguous columns into downstream
+    resolution (ADVICE r13), and a fenced expression that references
+    the column it shadows has no non-ambiguous meaning here."""
     if not cols:
         return df
     base = list(df.columns)
+    if "__fence" in base:
+        raise ValueError(
+            "compute_once: input already has a '__fence' column — rename "
+            "it first (the fence struct uses that name internally)"
+        )
+    clash = [n for n in cols if n in base]
+    if clash:
+        raise ValueError(
+            f"compute_once: cols {clash} collide with existing columns — "
+            "use new output names (select/rename the originals away first)"
+        )
     fenced = df.select(
         *base,
         F.explode(
