@@ -360,12 +360,23 @@ def save_opq_index(index: OPQIndex, path: str) -> None:
     idx, row) + kind marker, with the underlying PQ artifact delegated to
     :func:`...operators.similarity.save_pq_index` under the same root.
     Serving with a different rotation than the encode is the
-    silent-corruption case — the artifact keeps them together."""
+    silent-corruption case — the artifact keeps them together.
+
+    Write ORDER is the crash contract (ADVICE r13): rotation, then the
+    ``opq_meta`` marker, then the PQ parts. A save torn at any point
+    leaves a root that FAILS at load — marker present but PQ parts
+    missing fails in ``load_pq_index``; rotation-only (no marker) fails
+    the plain-PQ load on the missing ``meta``. The old order (PQ parts
+    first, marker last) left a torn save looking like a fully valid
+    plain-PQ artifact, which ``resolve_ann_index`` would then serve
+    UNROTATED against the rotated corpus. Re-saving OVER a live artifact
+    root is still not atomic (a torn overwrite can pair a new rotation
+    with old PQ parts) — save to a fresh directory and swap, the
+    streaming upsert's two-rename pattern."""
     from .similarity import save_pq_index
 
     spark = index.pq.encoded.sparkSession
     root = path.rstrip("/")
-    save_pq_index(index.pq, root)
     spark.createDataFrame(
         [(i, [float(x) for x in r]) for i, r in enumerate(index.components)],
         "idx int, row array<double>",
@@ -373,9 +384,12 @@ def save_opq_index(index: OPQIndex, path: str) -> None:
     spark.range(0, 1, 1, 1).select(
         F.lit("opq").alias("kind")
     ).write.mode("overwrite").parquet(root + "/opq_meta")
+    save_pq_index(index.pq, root, _opq_root=True)
 
 
-def load_opq_index(spark, path: str, persist: bool = False) -> OPQIndex:
+def load_opq_index(
+    spark, path: str, persist: bool = False, include_stream_adds: bool = True
+) -> OPQIndex:
     """Load a :func:`save_opq_index` artifact — bounded rotation collect
     (dim rows) + the PQ artifact load, with contiguity/square-shape
     validation so a torn write fails at load."""
@@ -401,7 +415,10 @@ def load_opq_index(spark, path: str, persist: bool = False) -> OPQIndex:
             f"corrupt OPQ index artifact at {path}: rotation must be "
             f"{dim} contiguous rows of width {dim} — rebuild and re-save"
         )
-    pq = load_pq_index(spark, root, persist=persist)
+    pq = load_pq_index(
+        spark, root, persist=persist, _opq_root=True,
+        include_stream_adds=include_stream_adds,
+    )
     return OPQIndex(
         components=[[float(x) for x in r["row"]] for r in rows], pq=pq
     )

@@ -1048,6 +1048,13 @@ def topk_pq(
 
 # ── IVF-PQ (IVFADC) — cells restrict the scan, codes compress it ────────────
 
+def _read_celled(spark, path: str) -> DataFrame:
+    """Read a cell-partitioned encoded table, restoring ``cell`` to long
+    (partition discovery infers int from the ``cell=<n>`` dir names)."""
+    return spark.read.parquet(path).withColumn(
+        "cell", F.col("cell").cast("long")
+    )
+
 def _sq_dists(block: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """(n, k) squared L2 distances via the GEMM identity
     ‖x−c‖² = ‖x‖² + ‖c‖² − 2·x·cᵀ. The naive broadcast-subtract form
@@ -1222,8 +1229,14 @@ def build_ivfpq_index(
         " pq_codes array<long>",
     )
     if path is not None:
-        enc.write.mode("overwrite").parquet(path)
-        enc = candidates.sparkSession.read.parquet(path)
+        # cell-partitioned layout (r14): the durable index IS the inverted
+        # file — a celled serve with prune_cells reads ONLY the probed
+        # cells' files, which is what makes per-query cost independent of
+        # index size (the IVF contract; a flat layout scans everything and
+        # only saves ADC compute). Partition discovery types `cell` as
+        # int, so reads cast it back to long for schema stability.
+        enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+        enc = _read_celled(candidates.sparkSession, path)
     elif persist:
         enc = enc.persist()
         enc.count()
@@ -1269,7 +1282,8 @@ def _require_reads_from(df: DataFrame, target: str, consequence: str) -> str:
 
 def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
            read_path: str | None = None,
-           validate: DataFrame | None = None) -> DataFrame:
+           validate: DataFrame | None = None,
+           partition_by: str | None = None) -> DataFrame:
     """Union an index table with freshly encoded rows. ``path`` appends the
     new rows to the durable parquet index and re-reads it — valid ONLY
     when the base index already lives at that path (built or previously
@@ -1290,6 +1304,13 @@ def _grown(old: DataFrame, fresh: DataFrame, persist: bool, path: str | None,
             validate if validate is not None else old, target,
             "a parquet append would DROP every already-indexed row",
         )
+        if partition_by is not None:
+            # celled tables stay celled through adds (the r14 inverted-
+            # file layout): appended rows land in their cell=<n> dirs
+            fresh.write.mode("append").partitionBy(partition_by).parquet(
+                target
+            )
+            return _read_celled(fresh.sparkSession, target)
         fresh.write.mode("append").parquet(target)
         return fresh.sparkSession.read.parquet(target)
     grown = old.unionByName(fresh)
@@ -1434,6 +1455,7 @@ def ivfpq_index_add(
     grown = _grown(
         index.encoded, fresh, persist, path,
         validate=index.tombstones.base if index.tombstones else None,
+        partition_by="cell",
     )
     live, tombs = _carry_tombstones(grown, index.tombstones, fresh, path is not None)
     return IVFPQIndex(
@@ -1479,6 +1501,7 @@ def _index_remove(
     path: str | None,
     read_path: str | None = None,
     index_path: str | None = None,
+    partition_by: str | None = None,
 ) -> tuple[DataFrame, Tombstones | None]:
     """Shared removal body: fold ``remove_ids`` into the tombstone set,
     rebuild the live anti-join view over the UNCHANGED physical table
@@ -1535,9 +1558,17 @@ def _index_remove(
             "the compaction swap would clobber an unrelated directory",
         )
         tmp = target + ".compact"
-        filtered.write.mode("overwrite").parquet(tmp)
-        _swap_dirs(target, tmp)
-        new = filtered.sparkSession.read.parquet(target)
+        if partition_by is not None:
+            # celled tables stay celled through compaction (r14 layout)
+            filtered.write.mode("overwrite").partitionBy(
+                partition_by
+            ).parquet(tmp)
+            _swap_dirs(target, tmp)
+            new = _read_celled(filtered.sparkSession, target)
+        else:
+            filtered.write.mode("overwrite").parquet(tmp)
+            _swap_dirs(target, tmp)
+            new = filtered.sparkSession.read.parquet(target)
     elif persist:
         new = filtered.persist()
         new.count()
@@ -1614,6 +1645,7 @@ def ivfpq_index_remove(
     new_enc, tombs = _index_remove(
         index.encoded, index.tombstones, remove_ids, id_col,
         compact_threshold, persist, path, index_path=index.path,
+        partition_by="cell",
     )
     return IVFPQIndex(
         coarse=index.coarse, books=index.books, encoded=new_enc,
@@ -1680,6 +1712,7 @@ def topk_ivfpq(
     refine: int = 4,
     trained: tuple[np.ndarray, list[np.ndarray]] | None = None,
     index: IVFPQIndex | None = None,
+    prune_cells: bool = False,
 ) -> DataFrame:
     """IVFADC search: each candidate is stored as (cell, m residual codes);
     a query probes its ``n_probe`` nearest cells and ADC-scores ONLY the
@@ -1692,7 +1725,20 @@ def topk_ivfpq(
 
     Pass a pre-built ``index`` (:func:`build_ivfpq_index`) to serve
     against a materialized encode — the production path; the (queries,
-    candidates) form trains+encodes inline as one self-contained plan."""
+    candidates) form trains+encodes inline as one self-contained plan.
+
+    ``prune_cells=True`` (r14) collects the batch's DISTINCT probed cells
+    first — one extra bounded job, result ≤ n_cells values — and filters
+    the encoded scan to them statically. On the cell-partitioned durable
+    layout (build_ivfpq_index(path=...) / save_ivfpq_index) that is file-
+    level partition pruning: the scan touches only the probed cells'
+    files, so serve cost tracks n_probe × cell size instead of index
+    size — the property that keeps a per-micro-batch consult flat while
+    the index grows (a broadcast join alone still SCANS the whole table;
+    Spark's dynamic partition pruning does not fire without a selective
+    build-side predicate, verified). Worth it when the query side is
+    small relative to the index (the gate's shape); leave off for bulk
+    scans that touch most cells anyway."""
     if index is None:
         if candidates is None:
             raise ValueError("topk_ivfpq needs either candidates or index")
@@ -1751,6 +1797,15 @@ def topk_ivfpq(
         F.col(vec_col).alias("qv"),
         F.explode(_probes(F.col(vec_col))).alias("__p"),
     ).select("query_id", "qv", "__p.cell", "__p.qdotc", "__p.lut")
+    if prune_cells:
+        probed = [
+            r["cell"] for r in q.select("cell").distinct().collect()
+        ]
+        if not probed:
+            # empty query side: nothing to probe, keep the plan trivial
+            cenc = cenc.filter(F.lit(False))
+        else:
+            cenc = cenc.filter(F.col("cell").isin(probed))
     # unrolled ADC (r13 — see _adc_expr/topk_pq): the HOF form was
     # interpreted per (probe, candidate) pair
     adc = F.col("qdotc") + _adc_expr(m, lut_col="lut")
@@ -1787,12 +1842,34 @@ def topk_ivfpq(
 # validated at load so a half-written artifact fails there, not as silently
 # wrong ADC scores.
 
-def save_pq_index(index: PQIndex, path: str) -> None:
+def _parquet_dir_exists(spark, path: str) -> bool:
+    """True iff a readable parquet directory exists at ``path``. The sniff
+    is deliberately NARROW (ADVICE r13): only a missing path reads as
+    absence — a present but unreadable/corrupt directory PROPAGATES
+    instead of being swallowed, because the caller's fallback on absence
+    (e.g. ``resolve_ann_index`` loading plain PQ when no OPQ marker
+    exists) would otherwise silently serve the wrong artifact kind."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(path)
+        return True
+    except AnalysisException as e:
+        msg = str(e)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return False
+        raise
+
+
+def save_pq_index(index: PQIndex, path: str, _opq_root: bool = False) -> None:
     """Persist a :class:`PQIndex` as a self-contained parquet artifact —
     the restart/cross-session form of ``build_pq_index(path=...)``. An
     index with live tombstones must be compacted first (the artifact
     stores the index as-built; a tombstone side-table would make two
-    sources of truth)."""
+    sources of truth). ``_opq_root`` is the internal flag
+    :func:`..embeddings.save_opq_index` passes when delegating the PQ
+    parts under an OPQ root (where the opq_meta marker legitimately
+    coexists)."""
     if index.tombstones is not None:
         raise ValueError(
             "save_pq_index: index has live tombstones — compact first "
@@ -1822,14 +1899,33 @@ def save_pq_index(index: PQIndex, path: str) -> None:
     ).write.mode("overwrite").parquet(root + "/meta")
 
 
-def load_pq_index(spark, path: str, persist: bool = False) -> PQIndex:
+def load_pq_index(
+    spark,
+    path: str,
+    persist: bool = False,
+    _opq_root: bool = False,
+    include_stream_adds: bool = True,
+) -> PQIndex:
     """Load a :func:`save_pq_index` artifact. Codebooks are a bounded
     collect (m×k rows, ~16 KB of doubles); the encoded corpus stays a
     lazy parquet read (``persist=True`` pins it for serve-many sessions —
     the streaming gate does this for the stream's lifetime). Validates
     meta cardinality, codebook completeness/contiguity and subvector
-    width so a torn write fails at load."""
+    width so a torn write fails at load.
+
+    Refuses an OPQ root (ADVICE r13): an OPQ artifact CONTAINS a valid
+    PQ artifact, so loading one here would serve unrotated queries
+    against the rotated corpus — exactly the silent corruption the
+    artifact exists to prevent. ``_opq_root`` is
+    :func:`..embeddings.load_opq_index`'s internal bypass (it owns the
+    rotation half)."""
     root = path.rstrip("/")
+    if not _opq_root and _parquet_dir_exists(spark, root + "/opq_meta"):
+        raise ValueError(
+            f"{path} is an OPQ index artifact (opq_meta marker present) — "
+            "load it with load_opq_index / resolve_ann_index; a plain PQ "
+            "load would serve unrotated queries against the rotated corpus"
+        )
     meta_rows = spark.read.parquet(root + "/meta").collect()
     if len(meta_rows) != 1 or meta_rows[0]["kind"] != "pq":
         raise ValueError(
@@ -1855,6 +1951,263 @@ def load_pq_index(spark, path: str, persist: bool = False) -> PQIndex:
         for s in range(m)
     ]
     enc = spark.read.parquet(root + "/encoded")
+    # streaming keeper registrations (r14) ride the serve view so batch
+    # jobs and restarts judge against every registered keeper; an index
+    # loaded with live stream_adds refuses durable *_index_add appends
+    # (the _require_reads_from guard fires on the union's extra leaves) —
+    # promote_stream_adds folds them into the base first. The registering
+    # stream itself loads with include_stream_adds=False: it reads the
+    # adds FRESH each micro-batch (minus its own epoch), so a lifetime
+    # pin of the union here would be stale and double-counted.
+    if include_stream_adds:
+        adds = _stream_adds_df(spark, root)
+        if adds is not None:
+            enc = enc.unionByName(adds.drop("batch"))
     if persist:
         enc = enc.persist()
     return PQIndex(codebooks=books, encoded=enc, path=root + "/encoded")
+
+
+# ── durable IVFADC (IVF-PQ) index artifact (r14) ────────────────────────────
+# The celled twin of save_pq_index/load_pq_index: coarse centroids ride the
+# artifact next to the shared residual codebooks and the encoded corpus, so
+# a restarted stream (or another driver) can serve n_probe-celled consults
+# without the building session. Layout mirrors the PQ artifact and reuses
+# its meta/codebooks discipline: <root>/meta (ONE row, kind='ivfpq', m, k,
+# sub, n_cells, dim), <root>/coarse (n_cells rows: cell, c), <root>/
+# codebooks (m×k rows: s, j, c — the RESIDUAL books), <root>/encoded
+# (neighbor_id, cv, cell, pq_codes). Everything validated at load so a torn
+# write fails there. kind='ivfpq' makes a plain load_pq_index of this root
+# fail loudly on the meta check (and vice versa), and resolve_ann_index
+# dispatches on it.
+
+def save_ivfpq_index(index: IVFPQIndex, path: str) -> None:
+    """Persist an :class:`IVFPQIndex` as a self-contained parquet artifact.
+    Same tombstone rule as :func:`save_pq_index`: compact first — the
+    artifact is the single source of truth."""
+    if index.tombstones is not None:
+        raise ValueError(
+            "save_ivfpq_index: index has live tombstones — compact first "
+            "(ivfpq_index_remove past the compaction threshold rewrites "
+            "the table) so the artifact is the single source of truth"
+        )
+    spark = index.encoded.sparkSession
+    books = [np.asarray(b, dtype=np.float64) for b in index.books]
+    coarse = np.asarray(index.coarse, dtype=np.float64)
+    m, k, sub = len(books), books[0].shape[0], books[0].shape[1]
+    n_cells, dim = coarse.shape
+    root = path.rstrip("/")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in coarse[c]]) for c in range(n_cells)],
+        "cell int, c array<double>",
+    ).write.mode("overwrite").parquet(root + "/coarse")
+    spark.createDataFrame(
+        [
+            (s, j, [float(x) for x in books[s][j]])
+            for s in range(m)
+            for j in range(k)
+        ],
+        "s int, j int, c array<double>",
+    ).write.mode("overwrite").parquet(root + "/codebooks")
+    # cell-partitioned: the artifact IS the inverted file — prune_cells
+    # serves read only the probed cells' files (see build_ivfpq_index)
+    index.encoded.write.mode("overwrite").partitionBy("cell").parquet(
+        root + "/encoded"
+    )
+    # meta LAST: its presence marks a complete artifact (a torn save has
+    # no readable meta and fails the load's kind check loudly)
+    spark.range(0, 1, 1, 1).select(
+        F.lit("ivfpq").alias("kind"),
+        F.lit(m).cast("int").alias("m"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(sub).cast("int").alias("sub"),
+        F.lit(n_cells).cast("int").alias("n_cells"),
+        F.lit(dim).cast("int").alias("dim"),
+    ).write.mode("overwrite").parquet(root + "/meta")
+
+
+def load_ivfpq_index(
+    spark, path: str, persist: bool = False, include_stream_adds: bool = True
+) -> IVFPQIndex:
+    """Load a :func:`save_ivfpq_index` artifact: bounded collects for the
+    coarse centroids (n_cells rows) and residual codebooks (m×k rows),
+    lazy parquet read for the encoded corpus (``persist=True`` pins it for
+    serve-many sessions). Validates meta cardinality, coarse contiguity /
+    width and codebook completeness so a torn write fails at load."""
+    root = path.rstrip("/")
+    meta_rows = spark.read.parquet(root + "/meta").collect()
+    if len(meta_rows) != 1 or meta_rows[0]["kind"] != "ivfpq":
+        raise ValueError(
+            f"corrupt IVFPQ index artifact at {path}: meta must be exactly "
+            f"one kind='ivfpq' row, found {meta_rows}"
+        )
+    meta = meta_rows[0]
+    m, k, sub = meta["m"], meta["k"], meta["sub"]
+    n_cells, dim = meta["n_cells"], meta["dim"]
+    crows = sorted(
+        spark.read.parquet(root + "/coarse").collect(), key=lambda r: r["cell"]
+    )
+    if (
+        [r["cell"] for r in crows] != list(range(n_cells))
+        or any(len(r["c"]) != dim for r in crows)
+    ):
+        raise ValueError(
+            f"corrupt IVFPQ index artifact at {path}: coarse must be "
+            f"{n_cells} contiguous rows of width {dim} — rebuild and re-save"
+        )
+    coarse = np.array([r["c"] for r in crows], dtype=np.float64)
+    got = spark.read.parquet(root + "/codebooks").collect()
+    by_key = {(r["s"], r["j"]): r["c"] for r in got}
+    if (
+        len(got) != m * k
+        or len(by_key) != m * k
+        or any((s, j) not in by_key for s in range(m) for j in range(k))
+        or any(len(c) != sub for c in by_key.values())
+    ):
+        raise ValueError(
+            f"corrupt IVFPQ index artifact at {path}: expected {m}x{k} "
+            f"codebook rows of width {sub} — rebuild and re-save"
+        )
+    books = [
+        np.array([by_key[(s, j)] for j in range(k)], dtype=np.float64)
+        for s in range(m)
+    ]
+    enc = _read_celled(spark, root + "/encoded")
+    # streaming keeper registrations ride the serve view (see
+    # load_pq_index); promote_stream_adds folds them into the base
+    if include_stream_adds:
+        adds = _stream_adds_df(spark, root)
+        if adds is not None:
+            enc = enc.unionByName(adds.drop("batch"))
+    if persist:
+        enc = enc.persist()
+    return IVFPQIndex(
+        coarse=coarse, books=books, encoded=enc, path=root + "/encoded"
+    )
+
+
+# ── streaming keeper registration (r14, VERDICT r13 #4) ─────────────────────
+# The consult-only semantic gate left one gap: a stream keeper entered the
+# index only via the nightly add job, so a semantic dup of a just-kept doc
+# passed for the rest of the run. Registration closes it with the signature
+# index's own discipline: each micro-batch's kept (and embedded) rows are
+# encoded with the index's FROZEN parameters and written under
+# <root>/stream_adds/batch=<id>, where <id> comes from the same per-epoch
+# reservation-marker protocol the sigs/segdf indexes use (streaming.pipeline
+# _gate_batch_id) — re-delivery reuses its id and overwrites ITS OWN dir
+# only, so registration is idempotent. Consults exclude the CURRENT epoch's
+# dir (a re-delivered batch must judge against exactly the history its
+# first delivery saw — including its own earlier registration would flip
+# mutual within-batch near-dups from kept to dropped on re-delivery).
+# Artifact loads union stream_adds in, so batch jobs and restarts serve
+# every registered keeper; promote_stream_adds folds them into the base
+# table nightly.
+
+
+def _stream_adds_df(spark, root: str) -> DataFrame | None:
+    """The ``<root>/stream_adds`` registration table (partition column
+    ``batch``), or None when absent/empty. Marker-only state (an epoch
+    reserved but crashed before its write, or a finished promote) reads
+    as empty — the dot-prefixed reservation dirs are invisible to
+    partition discovery, and a directory with no data files is
+    legitimately 'no registrations', unlike the artifact-kind sniff
+    where unreadable must stay loud."""
+    from pyspark.errors import AnalysisException
+
+    p = root.rstrip("/") + "/stream_adds"
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException as e:
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
+            return None
+        raise
+
+
+def encode_for_index(
+    index,
+    rows: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode ``rows`` with ``index``'s FROZEN parameters (no training),
+    returning rows in the index's own encoded-table schema — the shared
+    encode step behind every ``*_index_add`` and the streaming keeper
+    registration. Dispatches on the index family: PQ (codebooks), IVFPQ
+    (coarse centroids + residual books), OPQ (rotate with the index's
+    components, then the inner PQ's codebooks — the featurizer-identity
+    discipline: registration MUST use the exact featurizer the index
+    serves with)."""
+    from .embeddings import OPQIndex, rotate_pandas
+
+    if isinstance(index, OPQIndex):
+        rotated = rows.select(
+            F.col(id_col),
+            rotate_pandas(vec_col, index.components).alias(vec_col),
+        )
+        return build_pq_index(
+            rotated, vec_col, id_col, codebooks=index.pq.codebooks,
+            persist=False,
+        ).encoded
+    if isinstance(index, IVFPQIndex):
+        return build_ivfpq_index(
+            rows, vec_col, id_col, m=len(index.books),
+            trained=(index.coarse, index.books), persist=False,
+        ).encoded
+    return build_pq_index(
+        rows, vec_col, id_col, codebooks=index.codebooks, persist=False,
+    ).encoded
+
+
+def promote_stream_adds(spark, path: str) -> int:
+    """Nightly maintenance: fold streaming keeper registrations
+    (``<root>/stream_adds/batch=*``) into the base encoded table and
+    clear them. Rewrites ``<root>/encoded`` as the id-deduplicated union
+    via the two-rename swap (:func:`_swap_dirs`), then deletes the
+    stream_adds directory (data dirs AND reservation markers). Returns
+    the number of rows added to the base table.
+
+    Self-healing: the id-dedup makes a re-run after ANY crash converge —
+    a crash between the swap and the delete leaves rows present in both
+    the base and stream_adds (loads serve them twice, which the anti-join
+    gate is insensitive to: same neighbor, same score), and the next
+    promote collapses them. Id-dedup is safe because encode is
+    deterministic under frozen parameters: two registrations of one id
+    carry identical rows.
+
+    Single-writer contract (the index family's): run promote only
+    BETWEEN stream generations, after the previous run terminated
+    cleanly. Promoting under a live checkpoint deletes reservation
+    markers a crashed epoch would need — its re-delivery would allocate
+    a fresh id and judge against its own promoted keepers, flipping
+    mutual within-batch near-dups from kept to dropped."""
+    root = path.rstrip("/")
+    adds = _stream_adds_df(spark, root)
+    if adds is None:
+        return 0
+    enc_path = root + "/encoded"
+    base = spark.read.parquet(enc_path)
+    celled = "cell" in base.columns
+    if celled:
+        base = _read_celled(spark, enc_path)
+    n_before = base.count()
+    combined = base.unionByName(adds.drop("batch")).dropDuplicates(
+        ["neighbor_id"]
+    )
+    tmp = enc_path + ".tmp"
+    if celled:
+        combined.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    else:
+        combined.write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    _swap_dirs(enc_path, tmp)
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root + "/stream_adds")
+    fs = p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+    return n_after - n_before

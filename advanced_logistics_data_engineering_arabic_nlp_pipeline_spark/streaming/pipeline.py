@@ -846,6 +846,8 @@ def run_stream_curation(
     semantic_index=None,
     embedding_col: str = "embedding",
     semantic_refine: int = 4,
+    semantic_n_probe: int = 4,
+    semantic_register: bool = False,
 ) -> StreamingQuery:
     """Continuous-ingest curation (VERDICT r5 "Next round" #7): the batch
     curation pass composed over a stream — exact dedup, near-dup dedup
@@ -989,23 +991,32 @@ def run_stream_curation(
         ev_dict.count()  # materialize once, not per micro-batch
 
     _sem_index = None
+    _sem_root = None
     _sem_pins: list = []
     if semantic_threshold is not None:
-        # semantic near-dup gate vs a FROZEN PQ/OPQ index (r13, VERDICT
-        # r12 Next-round #7): the stream CONSULTS a durable embedding
-        # index the way it consults the signature index — resolved once
-        # (an artifact path loads here, so a restart needs no building
-        # session), the compressed corpus pinned for the stream's
-        # lifetime, served per micro-batch through the shared
-        # semantic_anti_join definition. Consult-only: registering new
-        # keepers stays the nightly pq_index_add job's work.
+        # semantic near-dup gate vs a FROZEN PQ/OPQ/IVFPQ index (r13,
+        # VERDICT r12 Next-round #7; celled IVFPQ consult r14): the
+        # stream CONSULTS a durable embedding index the way it consults
+        # the signature index — resolved once (an artifact path loads
+        # here, so a restart needs no building session), the compressed
+        # corpus pinned for the stream's lifetime, served per
+        # micro-batch through the shared semantic_anti_join definition.
+        # Consult-only by default: registering new keepers stays the
+        # nightly pq_index_add/promote job's work. With
+        # semantic_register=True (r14, VERDICT r13 #4) each epoch ALSO
+        # registers its shipped, embedded keepers into
+        # <index>/stream_adds/batch=<reserved id> under the signature
+        # index's reservation-marker protocol, so a within-run semantic
+        # dup of a just-kept doc drops from the NEXT micro-batch on;
+        # the quantizer itself stays frozen — registration encodes with
+        # the index's featurizer, it never retrains it.
         from ..operators.curation import resolve_ann_index
 
         if semantic_index is None:
             raise ValueError(
                 "semantic_threshold needs semantic_index — a built "
-                "PQIndex/OPQIndex or a save_pq_index/save_opq_index "
-                "artifact path"
+                "PQIndex/OPQIndex/IVFPQIndex or a save_pq_index/"
+                "save_opq_index/save_ivfpq_index artifact path"
             )
         if embedding_col not in stream.columns:
             raise ValueError(
@@ -1013,7 +1024,25 @@ def run_stream_curation(
                 "the stream schema (array<float|double>); rows without "
                 "one cannot be judged"
             )
-        _sem_index = resolve_ann_index(stream.sparkSession, semantic_index)
+        if semantic_register and not isinstance(semantic_index, str):
+            raise ValueError(
+                "semantic_register needs semantic_index as an ARTIFACT "
+                "PATH — registrations are durable per-epoch writes under "
+                "<index>/stream_adds, so the index must live at a path "
+                "(save_pq_index/save_opq_index/save_ivfpq_index first)"
+            )
+        # registering streams pin the BASE only and read stream_adds
+        # fresh each micro-batch (minus their own epoch) — a lifetime
+        # pin of the union would be stale the moment an epoch registers
+        _sem_index = resolve_ann_index(
+            stream.sparkSession, semantic_index,
+            include_stream_adds=not semantic_register,
+        )
+        _sem_root = (
+            semantic_index.rstrip("/")
+            if isinstance(semantic_index, str)
+            else None
+        )
         _enc = (
             _sem_index.pq.encoded
             if hasattr(_sem_index, "pq")
@@ -1206,6 +1235,7 @@ def run_stream_curation(
                 )
             # repetition moved to the single pre-state gate pass (r12)
             out = batch_df
+            _sem_reg_id = None
             if _sem_index is not None:
                 from ..operators.curation import semantic_anti_join
 
@@ -1213,9 +1243,52 @@ def run_stream_curation(
                 # semantic-gate parity by construction; placed with the
                 # dedup family (after the signature gate, before
                 # decontam/PII), micro-batch = broadcast query side
+                _probe_index = _sem_index
+                if semantic_register:
+                    # keeper registration (r14, VERDICT r13 #4): reserve
+                    # this epoch's durable id FIRST (re-delivery reuses
+                    # it — the sigs-index marker protocol), then consult
+                    # the base PLUS every OTHER epoch's registrations.
+                    # Excluding our own epoch keeps re-delivery
+                    # idempotent: a re-run judges against exactly the
+                    # history its first delivery saw, so mutual within-
+                    # batch near-dups can't flip from kept to dropped
+                    # against their own earlier registration.
+                    from ..operators.similarity import _stream_adds_df
+
+                    _sem_reg_id = _gate_batch_id(
+                        out.sparkSession,
+                        _sem_root + "/stream_adds",
+                        _ckpt_token,
+                        batch_id,
+                        legacy_tokens=_ckpt_legacy,
+                    )
+                    adds = _stream_adds_df(out.sparkSession, _sem_root)
+                    if adds is not None:
+                        import dataclasses
+
+                        extra = adds.filter(
+                            F.col("batch") != _sem_reg_id
+                        ).drop("batch")
+                        if hasattr(_sem_index, "pq"):
+                            _probe_index = dataclasses.replace(
+                                _sem_index,
+                                pq=dataclasses.replace(
+                                    _sem_index.pq,
+                                    encoded=_sem_index.pq.encoded.unionByName(
+                                        extra
+                                    ),
+                                ),
+                            )
+                        else:
+                            _probe_index = dataclasses.replace(
+                                _sem_index,
+                                encoded=_sem_index.encoded.unionByName(extra),
+                            )
                 out = semantic_anti_join(
-                    out, _sem_index, embedding_col, id_col,
+                    out, _probe_index, embedding_col, id_col,
                     semantic_threshold, refine=semantic_refine,
+                    n_probe=semantic_n_probe,
                 )
             if ev_dict is not None:
                 # shared definition with curate_increment — batch/stream
@@ -1240,7 +1313,30 @@ def run_stream_curation(
                 out.sparkSession, sink_dir, _ckpt_token, batch_id,
                 legacy_tokens=_ckpt_legacy,
             )
+            if _sem_reg_id is not None:
+                # two actions read `out` (sink write + registration
+                # encode) — pin it for the batch
+                out = out.persist()
+                caches.append(out)
             out.write.mode("overwrite").parquet(f"{sink_dir}/batch={sink_id}")
+            if _sem_reg_id is not None:
+                # register tonight's keepers: encode the shipped rows
+                # that carry an embedding with the index's FROZEN
+                # featurizer and overwrite THIS epoch's own dir —
+                # idempotent under re-delivery, visible to every later
+                # epoch's consult and to artifact loads;
+                # promote_stream_adds folds them into the base nightly
+                from ..operators.similarity import encode_for_index
+
+                kept_emb = out.filter(
+                    F.col(embedding_col).isNotNull()
+                ).select(id_col, embedding_col)
+                encode_for_index(
+                    _sem_index, kept_emb, vec_col=embedding_col,
+                    id_col=id_col,
+                ).write.mode("overwrite").parquet(
+                    f"{_sem_root}/stream_adds/batch={_sem_reg_id}"
+                )
         finally:
             for c in caches:
                 c.unpersist()
