@@ -155,6 +155,28 @@ def main() -> None:
     for t in tables.TABLES:
         tables.load_table(spark, sf_dir, t).count()
 
+    # Drift sentinel (r14, VERDICT r13 #6): a FIXED pure-JVM workload with
+    # no code under test — 1B-row range → xxhash64 bit_xor + modular avg,
+    # whole-stage codegen, no Python, no disk, fixture-independent. Its
+    # wall (~1.3 s on the reference host) calibrates the SESSION's host
+    # speed so round-over-round comparisons can normalize out ambient
+    # drift instead of re-litigating it (r11-r13 each burned analysis time
+    # on uniform 1.2-1.4x session drift). One warm-up rep eats the janino
+    # compile, then min-of-3 — the same discipline as the per-query mins,
+    # so a merged record's calibration pairs with its merged leaves.
+    # Recorded as `calibration_sec` next to `vintage` in the headline
+    # record and the sidecar; compare query walls ACROSS rounds via
+    # wall/calibration when the calibrations differ by >10%.
+    def _calibration_wall() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 1_000_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS h", "avg(id % 1000) AS a"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _calibration_wall()
+    calibration_sec = min(_calibration_wall() for _ in range(3))
+
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
         df = queries[name](spark, sf_dir)
@@ -401,12 +423,12 @@ def main() -> None:
     eval_df = docs_tbl.filter(F.col("doc_id") % 997 == 0).select("text")
 
     def _run_stream_config(
-        extra_kwargs: dict, with_embeddings: bool = False
+        extra_kwargs: dict, with_embeddings: bool = False, reps: int = 2
     ) -> tuple[dict, list[float], dict]:
         walls: list[float] = []
         best: dict | None = None
         best_ms: dict[str, int] = {}
-        for _rep in range(2):
+        for _rep in range(reps):
             stream_root = tempfile.mkdtemp(prefix="bench_stream_")
             try:
                 src = os.path.join(stream_root, "src")
@@ -529,6 +551,101 @@ def main() -> None:
         streaming_bench["semantic_gate"] = semantic_bench
     finally:
         shutil.rmtree(sem_dir, ignore_errors=True)
+
+    # Celled-consult scaling evidence (r14, VERDICT r13 #1 done-criterion):
+    # the SAME arrival stream gated against an IVFPQ artifact at 1x and at
+    # 10x index rows with CONSTANT cell size (n_cells 8 → 80, the IVF
+    # scaling rule), n_probe=4, prune_cells serve (semantic_anti_join's
+    # celled path). Per-batch consult cost is n_probe × cell-size ×
+    # judged-rows — independent of index size — so the 10x wall must stay
+    # ~flat; the flat-PQ semantic_gate block above is the contrast (its
+    # consult ADC-scans the WHOLE index per batch). The 10x corpus is the
+    # 1x history replicated with offset ids: identical distribution and
+    # kept-set, so the only variable is index size. One rep each — the
+    # comparison is within-session and relative.
+    bulk_delta_diag = {}
+    celled_evidence = {}
+    hist1 = emb.filter(F.col("vec_id") % 3 != 0)
+    hist10 = hist1
+    for _i in range(1, 10):
+        hist10 = hist10.unionByName(
+            hist1.select(
+                (F.col("vec_id") + F.lit(_i * 10_000_000)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    for _label, _corpus, _cells in (("1x", hist1, 8), ("10x", hist10, 80)):
+        cd = tempfile.mkdtemp(prefix=f"bench_sem_celled_{_label}_")
+        try:
+            t0 = time.perf_counter()
+            _ci = similarity.build_ivfpq_index(_corpus, n_cells=_cells)
+            similarity.save_ivfpq_index(_ci, cd)
+            _ci_build = round(time.perf_counter() - t0, 3)
+            _ci.unpersist()
+            spark.catalog.clearCache()
+            row, _, _ = _run_stream_config(
+                {
+                    "semantic_threshold": 0.9,
+                    "semantic_index": cd,
+                    "semantic_n_probe": 4,
+                },
+                with_embeddings=True,
+                reps=1,
+            )
+            row["index_rows"] = _corpus.count()
+            row["n_cells"] = _cells
+            row["index_build_sec"] = _ci_build
+            celled_evidence[_label] = row
+
+            if _label == "1x":
+                # Bulk-delta semantic path (r14, VERDICT r13 #7): the
+                # NIGHTLY shape — one curate_increment over a realistic
+                # delta (documents % 3 == 0, embeddings attached where
+                # the fixture has them) consulting the same celled
+                # artifact. This is the measured number behind the
+                # "bulk deltas belong to the celled path" claim.
+                from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators import (
+                    curation as curation_ops,
+                )
+
+                _delta = (
+                    docs_tbl.filter(F.col("doc_id") % 3 == 0)
+                    .join(
+                        emb.select(
+                            F.col("vec_id").alias("doc_id"), "embedding"
+                        ),
+                        "doc_id",
+                        "left",
+                    )
+                )
+                _inc_dir = tempfile.mkdtemp(prefix="bench_sem_bulk_")
+                try:
+                    t0 = time.perf_counter()
+                    _kept = curation_ops.curate_increment(
+                        _delta,
+                        _inc_dir,
+                        neardup_threshold=None,
+                        semantic_threshold=0.9,
+                        semantic_index=cd,
+                        semantic_n_probe=4,
+                    ).count()
+                    bulk_delta_diag = {
+                        "wall_sec": round(time.perf_counter() - t0, 3),
+                        "rows_in": _delta.count(),
+                        "rows_kept": _kept,
+                        "index_rows": row["index_rows"],
+                        "config": (
+                            "curate_increment, exact dedup + celled "
+                            "semantic gate (n_probe=4, prune_cells), "
+                            "nightly-delta shape"
+                        ),
+                    }
+                finally:
+                    shutil.rmtree(_inc_dir, ignore_errors=True)
+                spark.catalog.clearCache()
+        finally:
+            shutil.rmtree(cd, ignore_errors=True)
+    streaming_bench["semantic_gate_celled"] = celled_evidence
 
     # Stage attribution for the chunked training export (VERDICT r7
     # Missing #3): noop-sink each subtree of training_export_chunks once —
@@ -685,6 +802,7 @@ def main() -> None:
         # cold-pass timings in BENCH_DIAG.json).
         "methodology": f"per-query min of {REPS} interleaved full passes",
         "vintage": vintage,
+        "calibration_sec": calibration_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     sidecar = {
@@ -694,7 +812,9 @@ def main() -> None:
         "streaming_full_stack_batches_ms": full_stack_batch_ms,
         "export_chunks_stages": export_stages,
         "neardup_increment_stages": neardup_inc_stages,
+        "curate_increment_semantic_bulk": bulk_delta_diag,
         "vintage": vintage,
+        "calibration_sec": calibration_sec,
         "manifest": manifest,
     }
     sidecar_path = os.path.join(

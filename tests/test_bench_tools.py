@@ -65,3 +65,17 @@ def test_recompute_throughputs_ignores_incomplete_blocks():
     _recompute_throughputs(node)
     assert node["curation_rows_per_sec"] == 99.9
     assert node["nested"]["curation_rows_per_sec"] == 1.0
+
+
+def test_min_merge_carries_calibration_sentinel():
+    """The drift sentinel (r14): `calibration_sec` is a numeric leaf, so a
+    merged record carries the FASTEST session's calibration — consistent
+    with the per-query min discipline (each merged leaf is its best
+    session's wall, and the sentinel calibrates best-session host speed).
+    `vintage` stays the first run's string, untouched by the merge."""
+    run_a = {"queries": {"q1": 2.0}, "calibration_sec": 1.40, "vintage": "aa"}
+    run_b = {"queries": {"q1": 1.5}, "calibration_sec": 1.25, "vintage": "aa"}
+    merged = _min_merge([run_a, run_b])
+    assert merged["calibration_sec"] == 1.25
+    assert merged["vintage"] == "aa"
+    assert merged["merged_runs"] == 2

@@ -112,6 +112,13 @@ def _recompute_throughputs(node) -> None:
 
 def _run_bench(sf_dir: str) -> dict:
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir}
+    # sf1 legs spill through real disk, not tmpfs (r14, VERDICT r13 #3):
+    # the r13 sf1 leg A died when a /dev/shm spill file vanished mid-run
+    # (host tmpfs flake under memory pressure at the 10x shuffle volume).
+    # sf0.1 legs keep the session default (tmpfs when roomy) — their
+    # shuffle volume is MBs. Explicit SPARK_GRAFT_LOCAL_DIR still wins.
+    if sf_dir == SF1_DIR:
+        env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/tmp")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
