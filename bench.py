@@ -560,12 +560,15 @@ def main() -> None:
     # judged-rows — independent of index size — so the 10x wall must stay
     # ~flat; the flat-PQ semantic_gate block above is the contrast (its
     # consult ADC-scans the WHOLE index per batch). The 10x corpus is the
-    # 1x history replicated with offset ids: identical distribution and
-    # kept-set, so the only variable is index size. One rep each — the
+    # 1x history replicated with OFFSET ids: identical distribution, so
+    # index size is the dominant variable (kept counts can dip slightly —
+    # an arriving doc whose id equals an indexed id is self-pair-excluded
+    # against the original but not against its offset twins; the handful
+    # of extra drops does not move the wall). One rep each — the
     # comparison is within-session and relative.
     bulk_delta_diag = {}
     celled_evidence = {}
-    hist1 = emb.filter(F.col("vec_id") % 3 != 0)
+    hist1 = emb.filter(F.col("vec_id") % 3 != 0).select("vec_id", "embedding")
     hist10 = hist1
     for _i in range(1, 10):
         hist10 = hist10.unionByName(
