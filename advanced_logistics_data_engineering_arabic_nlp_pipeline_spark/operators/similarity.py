@@ -1233,9 +1233,16 @@ def build_ivfpq_index(
         # file — a celled serve with prune_cells reads ONLY the probed
         # cells' files, which is what makes per-query cost independent of
         # index size (the IVF contract; a flat layout scans everything and
-        # only saves ADC compute). Partition discovery types `cell` as
-        # int, so reads cast it back to long for schema stability.
-        enc.write.mode("overwrite").partitionBy("cell").parquet(path)
+        # only saves ADC compute). Repartition ON cell first: a direct
+        # partitionBy write fans out to (writing tasks × cells) tiny
+        # files, and the per-file open cost then grows with cells —
+        # measured as the whole benefit gone at 80 cells (2560 files).
+        # One build-time shuffle of the slim encoded rows buys ~one file
+        # per cell, the contiguous inverted-list shape. Partition
+        # discovery types `cell` as int, so reads cast it back to long.
+        enc.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
         enc = _read_celled(candidates.sparkSession, path)
     elif persist:
         enc = enc.persist()
@@ -1560,9 +1567,9 @@ def _index_remove(
         tmp = target + ".compact"
         if partition_by is not None:
             # celled tables stay celled through compaction (r14 layout)
-            filtered.write.mode("overwrite").partitionBy(
-                partition_by
-            ).parquet(tmp)
+            filtered.repartition(partition_by).write.mode(
+                "overwrite"
+            ).partitionBy(partition_by).parquet(tmp)
             _swap_dirs(target, tmp)
             new = _read_celled(filtered.sparkSession, target)
         else:
@@ -1798,8 +1805,28 @@ def topk_ivfpq(
         F.explode(_probes(F.col(vec_col))).alias("__p"),
     ).select("query_id", "qv", "__p.cell", "__p.qdotc", "__p.lut")
     if prune_cells:
+        # LUT-free probe pass for the bounded distinct-cells collect:
+        # pruning through `q` would re-evaluate the full _probes UDF —
+        # including the m×k LUT python lists, the expensive part — just
+        # to read the cell field (column pruning cannot reach inside a
+        # UDF). Cell assignment alone is one argsort per row.
+        @pandas_udf(ArrayType(LongType()))
+        def _probe_cells(emb: pd.Series) -> pd.Series:
+            vv = np.vstack(emb.to_numpy()).astype(np.float64)
+            nn = np.linalg.norm(vv, axis=1, keepdims=True)
+            nn[nn == 0] = 1.0
+            sims = (vv / nn) @ coarse_unit.T
+            return pd.Series(
+                [np.argsort(-s)[:n_probe].tolist() for s in sims]
+            )
+
         probed = [
-            r["cell"] for r in q.select("cell").distinct().collect()
+            r["c"]
+            for r in queries.select(
+                F.explode(_probe_cells(F.col(vec_col))).alias("c")
+            )
+            .distinct()
+            .collect()
         ]
         if not probed:
             # empty query side: nothing to probe, keep the plan trivial
@@ -2010,10 +2037,11 @@ def save_ivfpq_index(index: IVFPQIndex, path: str) -> None:
         "s int, j int, c array<double>",
     ).write.mode("overwrite").parquet(root + "/codebooks")
     # cell-partitioned: the artifact IS the inverted file — prune_cells
-    # serves read only the probed cells' files (see build_ivfpq_index)
-    index.encoded.write.mode("overwrite").partitionBy("cell").parquet(
-        root + "/encoded"
-    )
+    # serves read only the probed cells' files; repartition keeps it to
+    # ~one file per cell (see build_ivfpq_index on the write fan-out)
+    index.encoded.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(root + "/encoded")
     # meta LAST: its presence marks a complete artifact (a torn save has
     # no readable meta and fails the load's kind check loudly)
     spark.range(0, 1, 1, 1).select(
@@ -2201,7 +2229,9 @@ def promote_stream_adds(spark, path: str) -> int:
     )
     tmp = enc_path + ".tmp"
     if celled:
-        combined.write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        combined.repartition("cell").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(tmp)
     else:
         combined.write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
