@@ -3718,11 +3718,14 @@ ORACLES = {
     "dedup_jaccard": DEDUP_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "curated_corpus": CURATED_CORPUS_SQL,
+    "dedup_winnow": DEDUP_WINNOW_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "similarity_topk": SIMILARITY_TOPK_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "lang_source_stats": LANG_SOURCE_STATS_SQL,
+    "top_terms": TOP_TERMS_SQL,
     "top_terms_tfidf": TOP_TERMS_TFIDF_SQL,
+    "top_bigrams": TOP_BIGRAMS_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "events_json_props": EVENTS_JSON_PROPS_SQL,
     "pii_redaction": PII_REDACTION_SQL,
@@ -3742,14 +3745,6 @@ ORACLES = {
     "classifier_score": _classifier_score_sql(),
     "gopher_quality": _gopher_sql(),
     "data_card": _data_card_sql(),
-    # Promoted round 14 (VERDICT r13 "Next round" #5), rotation phase 2:
-    # the LM-gate, language-ID and hybrid-retrieval oracles take driver
-    # slots — funded by demoting four near-subset rows (events_sliding →
-    # windows.LOCAL_ORACLES; dedup_winnow / top_terms / top_bigrams
-    # below, all covered by richer still-green family rows).
-    "doc_perplexity": _perplexity_sql(),
-    "lang_id_ngram": _lang_id_ngram_sql(),
-    "hybrid_search": _hybrid_sql(),
 }
 
 # Oracle-checked by pytest only, NOT in the driver's 50-entry window:
@@ -3799,6 +3794,11 @@ LOCAL_ORACLES = {
     # replays the one-pass shape (query-term prune via join, global df
     # over distinct hits, per-query ROW_NUMBER top-k).
     "bm25_search_batch": _bm25_batch_sql(),
+    # CCNet-style unigram perplexity (r10): same headroom rule; log-probs
+    # pre-round to 8 dp and sum through the decimal cast, so the mirror
+    # hashes exactly (incl. the OOV class — vocab capped below corpus
+    # vocabulary on purpose).
+    "doc_perplexity": _perplexity_sql(),
     # Stupid-backoff bigram perplexity (r10): same headroom rule; the
     # bigram cap binds at every SF so the backoff arm (ln(0.4)+unigram,
     # python-literal backoff constant on both engines) is non-vacuous.
@@ -3807,19 +3807,18 @@ LOCAL_ORACLES = {
     # is fully hash-checked — a fixed two-batch split makes the greedy
     # history semantics SQL-expressible (unlike the near-dup increment).
     "dedup_substring_increment": DEDUP_SUBSTRING_INCREMENT_SQL,
+    # Model-based char-n-gram language ID (r11): profiles train on a
+    # literal seed corpus in BOTH engines; round-8 log-probs, decimal
+    # sums, round-6 argmax with a lang tiebreak.
+    "lang_id_ngram": _lang_id_ngram_sql(),
     # DSIR importance resampling (r11): hashed-n-gram log-ratio weights +
     # Gumbel top-k, every decision a pure function of (seed, row) — the
     # mixture family's integer-hash discipline.
     "dsir_sample": _dsir_sql(),
-    # Demoted round 14 to fund the rotation-phase-2 promotions
-    # (doc_perplexity / lang_id_ngram / hybrid_search /
-    # mixture.token_budget_mix): winnow fingerprinting is the thin
-    # rolling-hash sibling of the still-green dedup_substring row, and
-    # the plain TF/bigram counts are strict sub-pipelines of the
-    # still-green top_terms_tfidf row. Full local hash parity remains.
-    "dedup_winnow": DEDUP_WINNOW_SQL,
-    "top_terms": TOP_TERMS_SQL,
-    "top_bigrams": TOP_BIGRAMS_SQL,
+    # Hybrid BM25+dense RRF retrieval (r11): same headroom rule; the
+    # mirror composes the two already-hash-green component CTEs and the
+    # fixed-arity fusion sum (round-9), so full parity runs in pytest.
+    "hybrid_search": _hybrid_sql(),
     # IR metrics (r11): Recall/MRR/nDCG over the cosine top-10 vs
     # same-label qrels — DCG terms round-8 through the decimal sum, the
     # ideal-DCG fold is literal-order identical on both engines.

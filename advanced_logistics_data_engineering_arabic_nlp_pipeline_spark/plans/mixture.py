@@ -417,14 +417,7 @@ QUERIES = {
     "curriculum_schedule": curriculum_schedule,
 }
 
-# token_budget_mix promoted round 14 (VERDICT r13 "Next round" #5): the
-# mixture family's first INDEPENDENT driver check — integer token
-# arithmetic end-to-end, so the cross-engine hash is drift-free by
-# construction. Funded by the r14 demotions (events_sliding, dedup_winnow,
-# top_terms, top_bigrams).
-ORACLES: dict[str, str] = {
-    "token_budget_mix": TOKEN_BUDGET_MIX_SQL,
-}
+ORACLES: dict[str, str] = {}
 
 # Full DuckDB hash parity in pytest; driver sees rows-only (the 50-entry
 # driver window is at its 48-oracle cap — window invariant pinned in
@@ -432,6 +425,7 @@ ORACLES: dict[str, str] = {
 LOCAL_ORACLES = {
     "mixture_sample": MIXTURE_SAMPLE_SQL,
     "epoch_shards": EPOCH_SHARDS_SQL,
+    "token_budget_mix": TOKEN_BUDGET_MIX_SQL,
     "dataset_split": DATASET_SPLIT_SQL,
     "shard_manifest": SHARD_MANIFEST_SQL,
     "verify_manifest": VERIFY_MANIFEST_SQL,

@@ -209,15 +209,7 @@ QUERIES = {
 ORACLES = {
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_daily_pivot": EVENTS_DAILY_PIVOT_SQL,
+    "events_sliding": EVENTS_SLIDING_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
     "user_running_totals": USER_RUNNING_TOTALS_SQL,
-}
-
-# Demoted round 14 to fund the window-rotation promotions (VERDICT r13
-# "Next round" #5): the sliding window is a near-subset of the still-green
-# events_hourly (same tumbling skeleton) + events_sessions (same
-# event-time machinery) rows; full local hash parity remains in
-# tests/test_oracle_parity.py.
-LOCAL_ORACLES = {
-    "events_sliding": EVENTS_SLIDING_SQL,
 }
