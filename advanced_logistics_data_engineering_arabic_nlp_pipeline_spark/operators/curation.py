@@ -205,24 +205,41 @@ def repetition_keep_expr(text: Column) -> Column:
     frame, the double-scan trap). Same tokenizer, same cutoffs;
     equality with the frame form is pytested over fixture + edge docs.
     Zero-token / null docs gate to False (the frame form drops them — a
-    gate must reject what the stats would not even score)."""
-    toks = F.array_sort(tokens_expr(text))
-    bgs = F.array_sort(ngrams_expr(text, 2))
-    n_tokens = F.size(toks).cast("long")
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
-    top_token_frac = max_run_expr(toks) / n_tokens
-    top_bigram_frac = F.coalesce(
-        F.try_divide(max_run_expr(bgs), F.size(bgs).cast("long")), F.lit(0.0)
+    gate must reject what the stats would not even score).
+
+    The sorted token and bigram arrays are bound once in the tree (r14,
+    textanalysis.bind_once): execution cost is unchanged (ProjectExec
+    subexpression elimination already shared the duplicated subtrees —
+    see bind_once's measured notes) but the analyzed tree carries one
+    split+sort instead of six, which the composed gate plans re-optimize
+    on every action."""
+    from .textanalysis import bind_once
+
+    bound = F.struct(
+        F.array_sort(tokens_expr(text)).alias("t"),
+        F.array_sort(ngrams_expr(text, 2)).alias("b"),
     )
-    return F.coalesce(
-        F.when(
-            n_tokens > 0,
-            (distinct_ratio >= REPETITION_MIN_DISTINCT_RATIO)
-            & (top_token_frac <= REPETITION_MAX_TOP_TOKEN_FRAC)
-            & (top_bigram_frac <= REPETITION_MAX_TOP_BIGRAM_FRAC),
-        ),
-        F.lit(False),
-    )
+
+    def keep(x: Column) -> Column:
+        toks, bgs = x["t"], x["b"]
+        n_tokens = F.size(toks).cast("long")
+        distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+        top_token_frac = max_run_expr(toks) / n_tokens
+        top_bigram_frac = F.coalesce(
+            F.try_divide(max_run_expr(bgs), F.size(bgs).cast("long")),
+            F.lit(0.0),
+        )
+        return F.coalesce(
+            F.when(
+                n_tokens > 0,
+                (distinct_ratio >= REPETITION_MIN_DISTINCT_RATIO)
+                & (top_token_frac <= REPETITION_MAX_TOP_TOKEN_FRAC)
+                & (top_bigram_frac <= REPETITION_MAX_TOP_BIGRAM_FRAC),
+            ),
+            F.lit(False),
+        )
+
+    return bind_once(bound, keep)
 
 
 def repetition_stats_exploded(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -269,14 +269,6 @@ def _distinct_token_mapping(
         # subtree racing past the lazy cut point.
         .cache()
     )
-    # Fill the first cut point NOW: Spark submits broadcast-exchange builds
-    # asynchronously, and concurrent subtree executions do NOT share an
-    # unfilled lazy cache (event-log profiling showed three simultaneous
-    # 1.9 s builds of the same subtree racing past a lazy cut point).
-    d.count()
-    # distinct_toks fed only d; once d is materialized its blocks are dead
-    # weight in a long-lived session (the service calls this per request).
-    distinct_toks.unpersist()
     # Fuzzy only on the distinct unresolved normalized forms (a when()-
     # guarded UDF would still be evaluated for EVERY row — BatchEvalPython
     # computes UDF columns unconditionally — so the misses are filtered
@@ -302,8 +294,20 @@ def _distinct_token_mapping(
         # whose subtrees would otherwise each re-run the fuzzy UDF.
         .cache()
     )
-    # Second cut point, filled before the broadcasts race (reads cached d).
+    # ONE eager fill for BOTH cut points (r14 action trim — this was a
+    # d.count() then an fz.count()): the broadcast-race hazard the eager
+    # fills guard against (Spark submits broadcast-exchange builds
+    # asynchronously, and concurrent subtree executions do NOT share an
+    # unfilled lazy cache — event-log profiling showed three simultaneous
+    # 1.9 s builds of the same subtree racing past a lazy cut point) only
+    # exists once the final mapping's broadcasts are submitted. This
+    # count runs strictly BEFORE any broadcast build, is a single
+    # synchronous job, and an InMemoryTableScan inside it materializes
+    # every unfilled cache it reads — so one action fills d AND fz.
     fz.count()
+    # distinct_toks fed only d; once d is materialized its blocks are dead
+    # weight in a long-lived session (the service calls this per request).
+    distinct_toks.unpersist()
     # keep a handle on the CACHED frame: d is about to be reassigned to the
     # joined plan, and unpersist() on that derived frame is a no-op — the
     # returned cache list must hold the frame .cache() was called on

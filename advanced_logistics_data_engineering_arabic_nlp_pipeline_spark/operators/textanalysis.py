@@ -16,6 +16,29 @@ def tokens_expr(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != "")
 
 
+def bind_once(bound: Column, body) -> Column:
+    """Evaluate ``body(x)`` with ``x = bound`` appearing ONCE in the
+    expression tree — the transform-over-singleton binding (the
+    ngrams_expr / location_pairs pattern). NULL propagation is unchanged:
+    a NULL ``bound`` rides the singleton array into ``body`` exactly as
+    the inline expression would.
+
+    Measured honestly (r14, 100 k-row replicated-corpus isolation): the
+    per-row EXECUTION cost of the unbound scorer family is the same —
+    Spark 4.1's ProjectExec subexpression elimination already shares the
+    duplicated token subtrees *within one operator* (the old "~8
+    tokenizations" reading over-attributed). What binding still buys is a
+    k×-smaller analyzed/optimized tree (quality_score shrinks ~6
+    tokens_expr subtrees to 1 — less Catalyst and janino work per plan,
+    which the composed increment/ledger plans pay on every action) and
+    one canonical shape for the family. Sharing an expression ACROSS
+    operators (a pushed filter + an output projection) is NOT covered by
+    any CSE — that needs the Generate barrier
+    (``functions.fence.compute_once``, measured 1.6–1.9× on exactly that
+    shape at 100 k rows this round)."""
+    return F.try_element_at(F.transform(F.array(bound), body), F.lit(1))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens_expr(text)).cast("bigint")
@@ -47,50 +70,64 @@ def _hit_count(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words))).cast("bigint")
 
 
-def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
-    toks = tokens_expr(text)
-    # `is not None`, not truthiness: an explicitly EMPTY stopword list
-    # means "no stopwords" (ratio 0.0 everywhere), not "use English"
-    words = stopwords if stopwords is not None else EN_STOP
+def _stop_ratio_toks(toks: Column, words: list[str]) -> Column:
     return F.round(
         _hit_count(toks, words) / F.greatest(F.size(toks), F.lit(1)), 6
     )
 
 
-def mean_token_len(text: Column) -> Column:
-    toks = tokens_expr(text)
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    # `is not None`, not truthiness: an explicitly EMPTY stopword list
+    # means "no stopwords" (ratio 0.0 everywhere), not "use English"
+    words = stopwords if stopwords is not None else EN_STOP
+    return bind_once(tokens_expr(text), lambda toks: _stop_ratio_toks(toks, words))
+
+
+def _mean_token_len_toks(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def mean_token_len(text: Column) -> Column:
+    return bind_once(tokens_expr(text), _mean_token_len_toks)
 
 
 def quality_score(text: Column) -> Column:
     """Heuristic quality in [0,1]: rewards moderate length, plausible mean
     token length, and some stopword mass (the classic Gopher-style cheap
-    filters, public heuristics)."""
-    toks = tokens_expr(text)
-    n = F.size(toks)
-    len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.5)
-    mtl = mean_token_len(text)
-    mtl_ok = F.when((mtl >= 3) & (mtl <= 12), 1.0).otherwise(0.5)
-    sw = stopword_ratio(text)
-    sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.6)
-    return F.round(len_ok * mtl_ok * sw_ok, 6)
+    filters, public heuristics). The token array is bound once
+    (``bind_once``) — same execution cost, ~6× smaller expression tree;
+    see bind_once's measured notes."""
+
+    def score(toks: Column) -> Column:
+        n = F.size(toks)
+        len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.5)
+        mtl = _mean_token_len_toks(toks)
+        mtl_ok = F.when((mtl >= 3) & (mtl <= 12), 1.0).otherwise(0.5)
+        sw = _stop_ratio_toks(toks, EN_STOP)
+        sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.6)
+        return F.round(len_ok * mtl_ok * sw_ok, 6)
+
+    return bind_once(tokens_expr(text), score)
 
 
 def lang_id(text: Column) -> Column:
     """Stopword-vote language ID over {en,fr,es}; ties prefer en>fr>es."""
-    toks = tokens_expr(text)
-    en, fr, es = (
-        _hit_count(toks, EN_STOP),
-        _hit_count(toks, FR_STOP),
-        _hit_count(toks, ES_STOP),
-    )
-    return (
-        F.when((en >= fr) & (en >= es) & (en > 0), F.lit("en"))
-        .when((fr >= es) & (fr > 0), F.lit("fr"))
-        .when(es > 0, F.lit("es"))
-        .otherwise(F.lit("unknown"))
-    )
+
+    def vote(toks: Column) -> Column:
+        en, fr, es = (
+            _hit_count(toks, EN_STOP),
+            _hit_count(toks, FR_STOP),
+            _hit_count(toks, ES_STOP),
+        )
+        return (
+            F.when((en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+            .when((fr >= es) & (fr > 0), F.lit("fr"))
+            .when(es > 0, F.lit("es"))
+            .otherwise(F.lit("unknown"))
+        )
+
+    return bind_once(tokens_expr(text), vote)
 
 
 # ── model-based language ID (char-n-gram profiles) ──────────────────────────
@@ -344,6 +381,72 @@ def gopher_signals(text: Column) -> list[Column]:
         F.round(ell_lines / nl1, 6).alias("ellipsis_frac"),
         stop_hits.alias("stop_hits"),
     ]
+
+
+GOPHER_SIGNAL_NAMES = [
+    "n_words", "mean_word_len", "alpha_frac", "hash_ratio",
+    "ellipsis_char_ratio", "bullet_frac", "ellipsis_frac", "stop_hits",
+]
+
+
+def gopher_struct(text: Column) -> Column:
+    """:func:`gopher_signals` as ONE struct column with the token and line
+    arrays bound once per row (r14). The list form re-splits the text into
+    tokens for five of the eight signal columns and into lines for three —
+    the split regexes are HOF subtrees codegen CSE never shares. Field
+    values are the list form's expressions verbatim (same rounding, same
+    ``greatest`` guards), pinned equal by pytest. Consumers that project
+    several fields should materialize the struct behind a
+    ``functions.fence.compute_once`` fence first — an unfenced field
+    reference re-evaluates the whole struct."""
+    text = F.coalesce(text, F.lit(""))
+    bound = F.struct(
+        tokens_expr(text).alias("t"),
+        F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "").alias("l"),
+    )
+
+    def sig(b: Column) -> Column:
+        toks, lines = b["t"], b["l"]
+        n = F.size(toks)
+        n1 = F.greatest(n, F.lit(1)).cast("double")
+        total_chars = F.length(F.array_join(toks, ""))
+        alpha_hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        hash_cnt = F.length(text) - F.length(
+            F.replace(text, F.lit("#"), F.lit(""))
+        )
+        ell_cnt = (
+            F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+        ) / 3
+        nl1 = F.greatest(F.size(lines), F.lit(1)).cast("double")
+        bullet = F.size(
+            F.filter(
+                lines,
+                lambda ln: F.startswith(F.ltrim(ln), F.lit("- "))
+                | F.startswith(F.ltrim(ln), F.lit("* ")),
+            )
+        )
+        ell_lines = F.size(
+            F.filter(lines, lambda ln: F.endswith(F.rtrim(ln), F.lit("...")))
+        )
+        stop_hits = sum(
+            (
+                F.array_contains(toks, w).cast("int")
+                for w in GOPHER_REQUIRED_STOPS
+            ),
+            F.lit(0),
+        ).cast("bigint")
+        return F.struct(
+            n.cast("bigint").alias("n_words"),
+            F.round(total_chars / n1, 6).alias("mean_word_len"),
+            F.round(alpha_hits / n1, 6).alias("alpha_frac"),
+            F.round(hash_cnt / n1, 6).alias("hash_ratio"),
+            F.round(ell_cnt / n1, 6).alias("ellipsis_char_ratio"),
+            F.round(bullet / nl1, 6).alias("bullet_frac"),
+            F.round(ell_lines / nl1, 6).alias("ellipsis_frac"),
+            stop_hits.alias("stop_hits"),
+        )
+
+    return bind_once(bound, sig)
 
 
 def gopher_keep_expr(

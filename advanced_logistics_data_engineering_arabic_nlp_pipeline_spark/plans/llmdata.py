@@ -298,7 +298,17 @@ def curated_corpus(
     non_keepers = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
-    out = docs.withColumn("quality", ta.quality_score(t)).filter(
+    # compute_once fence (r14): `quality` feeds BOTH the gate filter and
+    # the output column; unfenced, PushPredicateThroughNonJoin inlines the
+    # score into the pushed filter AND the projection — two evaluations
+    # per row across operators, which no CSE recovers (the quality_sample
+    # pathology, SCALE.md §4; re-measured this round in isolation: the
+    # fenced filter+project shape runs 1.6–1.9× faster at 100 k rows —
+    # sub-noise at sf0.1's 5 k docs, a halved scoring pass at corpus
+    # scale). Output identical: same expression, same gate.
+    from ..functions.fence import compute_once
+
+    out = compute_once(docs, {"quality": ta.quality_score(t)}).filter(
         F.col("quality") >= CURATION_QUALITY_GATE
     )
     if gopher:
@@ -751,6 +761,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, emb, "embedding", "vec_id", k=k
     ).select("query_id", F.col("neighbor_id").alias("doc_id"))
 
+    # Examined for a guide-§2.6 thread-pool overlap of the four
+    # independent trainer chains (r14): measured FLAT — 11.69 s
+    # sequential vs 11.61 s threaded, isolated min-of-3 — because the
+    # trainer wall is driver-side numpy Lloyd iterations (GIL-bound),
+    # not cluster jobs, so overlapping the short collect jobs buys
+    # nothing. Kept sequential.
     cents = similarity.train_kmeans_centroids(
         emb, "embedding", "vec_id", k=16, n_iters=4
     )
@@ -1719,7 +1735,20 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 13 == 0,
         F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(GOPHER_PERTURB)),
     ).otherwise(F.col("text"))
-    sig = docs.select("doc_id", *ta.gopher_signals(text2))
+    # gopher_struct behind a compute_once fence (r14): the signal list form
+    # re-split the text into tokens for five of the eight columns and into
+    # lines for three (HOF subtrees — no codegen CSE); the struct binds both
+    # arrays once per row, and the fence materializes it so the eight field
+    # projections (and the keep conjunction) are attribute reads. Same
+    # expressions, same rounding — hash-identical output.
+    from ..functions.fence import compute_once
+
+    sig = compute_once(
+        docs.select("doc_id", "text"), {"__g": ta.gopher_struct(text2)}
+    ).select(
+        "doc_id",
+        *[F.col("__g")[n].alias(n) for n in ta.GOPHER_SIGNAL_NAMES],
+    )
     return sig.withColumn("keep", ta.gopher_keep_expr()).orderBy("doc_id")
 
 
@@ -2750,9 +2779,16 @@ def _ledger_gopher_ok(docs: DataFrame) -> DataFrame:
     """(doc_id, g_ok) — the ledger's Gopher verdict over RAW text (no
     demo perturbation — the audit runs the real filter; gopher_quality's
     suffix trick exists to exercise the line/symbol signals, which real
-    fixture text never trips)."""
-    return docs.select(
-        "doc_id", *ta.gopher_signals(F.col("text"))
+    fixture text never trips). gopher_struct behind a fence (r14): one
+    tokenization + one line split per row instead of ~8."""
+    from ..functions.fence import compute_once
+
+    return compute_once(
+        docs.select("doc_id", "text"),
+        {"__g": ta.gopher_struct(F.col("text"))},
+    ).select(
+        "doc_id",
+        *[F.col("__g")[n].alias(n) for n in ta.GOPHER_SIGNAL_NAMES],
     ).select(
         "doc_id",
         ta.gopher_keep_expr(
@@ -2828,19 +2864,17 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     curated_corpus ∩ repetition-keep − contaminated
     (invariant-pytested). Every stage carries positive fixture evidence
     (VERDICT r5 #3; stage-profile constants above)."""
+    from ..functions.fence import compute_once
+    from ..operators.classifier import score_hashed_expr
+    from ..operators.curation import repetition_keep_expr
+
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 97 != 0)
     ev = docs.filter(F.col("doc_id") % 97 == 0)
 
-    q_ok = docs.select(
-        "doc_id",
-        (ta.quality_score(F.col("text")) >= CURATION_QUALITY_GATE).alias(
-            "q_ok"
-        ),
-    )
-    g_ok = _ledger_gopher_ok(docs)
+    # Corpus-property stages — genuinely cross-document (an aggregate, a
+    # graph, or a reference-set join), so they stay joins:
     ppl_ok = _ledger_ppl_ok(docs)
-    c_ok = _ledger_clf_ok(docs)
     exact_keep = (
         docs.groupBy(ta.fingerprint(F.col("text")).alias("fpk"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -2853,21 +2887,59 @@ def curation_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     non_keep = comp.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     ).withColumn("near_dup", F.lit(True))
-    rep = curation.repetition_stats(docs, "text", "doc_id").select(
-        F.col("id").alias("doc_id"), F.col("keep").alias("rep_ok")
-    )
     dec = curation.decontaminate(train, ev, "text", "doc_id").select(
         F.col("id").alias("doc_id"), "contaminated"
     )
+
+    # Per-row stages (r14 rewrite): quality, Gopher, classifier and
+    # repetition are pure row expressions — the old shape materialized
+    # four flag frames from four extra corpus scans and shuffled each
+    # back onto the train slice by doc_id. Computing them in ONE
+    # projection removes 4 of the ledger's 8 joins and 4 full scans of
+    # documents: at 100 TB that is four fewer corpus-wide exchanges of
+    # (doc_id, bool) rows; at sf0.1 it is a plan with half the join
+    # stages. The compute_once fence materializes the flag struct so the
+    # two consumers above (kept + drop_reason, both derived from the
+    # reason chain) read attributes rather than re-inlined trees. Flag
+    # values are identical: the expression forms are pytest-pinned equal
+    # to the frame forms (repetition_keep_expr ≡ repetition_stats.keep;
+    # gopher_keep_expr/quality_score/score_hashed_expr are the very
+    # expressions the old frames projected), and the whole window stays
+    # hash-green against the DuckDB oracle.
+    t = F.col("text")
+    fenced = compute_once(
+        train.select("doc_id", "text"),
+        {
+            "__q": ta.quality_score(t),
+            "__g": ta.gopher_struct(t),
+            "__clf": score_hashed_expr(
+                t, LEDGER_CLF_WMAP, LEDGER_CLF_BIAS,
+                LEDGER_CLF_N_BUCKETS, LEDGER_CLF_SEED,
+            ),
+            "__rep_ok": repetition_keep_expr(t),
+        },
+    )
+    flags = fenced.select(
+        "doc_id",
+        (F.col("__q") >= CURATION_QUALITY_GATE).alias("q_ok"),
+        F.col("__clf"),
+        F.col("__rep_ok"),
+        *[F.col("__g")[n].alias(n) for n in ta.GOPHER_SIGNAL_NAMES],
+    ).select(
+        "doc_id",
+        "q_ok",
+        ta.gopher_keep_expr(
+            min_words=LEDGER_GOPHER_MIN_WORDS,
+            min_stop_hits=LEDGER_GOPHER_MIN_STOP_HITS,
+        ).alias("g_ok"),
+        (F.col("__clf") >= LEDGER_CLF_MIN).alias("clf_ok"),
+        F.col("__rep_ok").alias("rep_ok"),
+    )
     led = (
-        train.select("doc_id")
-        .join(q_ok, "doc_id", "left")
-        .join(g_ok, "doc_id", "left")
+        flags
         .join(ppl_ok, "doc_id", "left")
-        .join(c_ok, "doc_id", "left")
         .join(exact_keep, "doc_id", "left")
         .join(non_keep, "doc_id", "left")
-        .join(rep, "doc_id", "left")
         .join(dec, "doc_id", "left")
     )
     reason = (

@@ -18,7 +18,11 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import DataFrame
+try:  # Spark 4: runtime frames are the classic subclass, which overrides
+    # count/collect — patching the abstract parent never fires
+    from pyspark.sql.classic.dataframe import DataFrame
+except ImportError:  # Spark 3.x
+    from pyspark.sql import DataFrame
 from pyspark.sql.readwriter import DataFrameWriter
 
 from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark import registry
@@ -31,11 +35,11 @@ EVENTS: list[dict] = []
 def _site() -> str:
     for fr in reversed(traceback.extract_stack()):
         fn = fr.filename
-        if "advanced_logistics" in fn or fn.endswith(("bench.py", "r14_actions.py")):
-            if "r14_actions" in fn and fr.name in ("main", "_timed"):
-                continue
+        if "r14_actions" in fn or "pyspark" in fn or "functools" in fn:
+            continue
+        if "advanced_logistics" in fn or fn.endswith("bench.py"):
             return f"{os.path.basename(fn)}:{fr.lineno} {fr.name}"
-    return "?"
+    return "caller"
 
 
 def _wrap(cls, meth):
