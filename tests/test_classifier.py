@@ -83,17 +83,65 @@ def probe_data(spark, sf_dir):
     return data, df
 
 
-def test_dense_trainer_matches_python_reference_exactly(spark, probe_data):
+@pytest.mark.parametrize("mode", ["driver", "distributed"])
+def test_dense_trainer_matches_python_reference_exactly(spark, probe_data, mode):
+    # BOTH formulations (r14: mode="driver" collects the bounded probe set
+    # and replays the iterates in numpy; "distributed" is the per-iteration
+    # aggregation loop) must reproduce the pure-Python reference EXACTLY —
+    # same left-fold dots, same libm sigmoid/log, same scale-8 decimal sums.
     data, df = probe_data
     X = [d[1] for d in data]
     y = [d[2] for d in data]
     w, b, hist = classifier.train_logreg_dense(
-        df, "embedding", "y", dim=CLF_DIM, n_iters=4, lr=40.0
+        df, "embedding", "y", dim=CLF_DIM, n_iters=4, lr=40.0, mode=mode
     )
     pw, pb, phist = _py_train_dense(X, y, CLF_DIM, n_iters=4, lr=40.0)
     assert w == pw
     assert b == pb
     assert hist == pytest.approx(phist, abs=1e-12)
+
+
+def test_dense_trainer_modes_identical_and_auto_dispatch(spark, probe_data):
+    """mode='driver' ≡ mode='distributed' bit-for-bit on the fixtures
+    (weights, bias AND loss history — the r14 auto-dispatch contract);
+    'auto' under a tiny max_driver_rows falls back to the distributed
+    loop, and an explicit 'driver' above the bound refuses loudly."""
+    data, df = probe_data
+    wd, bd, hd = classifier.train_logreg_dense(
+        df, "embedding", "y", dim=CLF_DIM, n_iters=6, lr=40.0,
+        mode="distributed",
+    )
+    wv, bv, hv = classifier.train_logreg_dense(
+        df, "embedding", "y", dim=CLF_DIM, n_iters=6, lr=40.0, mode="driver"
+    )
+    assert wd == wv and bd == bv and hd == hv
+    wa, ba, ha = classifier.train_logreg_dense(
+        df, "embedding", "y", dim=CLF_DIM, n_iters=6, lr=40.0,
+        mode="auto", max_driver_rows=1,
+    )
+    assert wa == wd and ba == bd and ha == hd
+    with pytest.raises(ValueError, match="refuses to collect"):
+        classifier.train_logreg_dense(
+            df, "embedding", "y", dim=CLF_DIM, n_iters=1, lr=40.0,
+            mode="driver", max_driver_rows=1,
+        )
+
+
+def test_dsum_scale8_py_matches_decimal_reference():
+    """The vectorized fast path of the driver trainer's quantized sum must
+    agree with the exact Decimal mirror on adversarial values: exact .5e-8
+    ties (HALF_UP away from zero), negatives, zeros, near-tie dust around
+    the boundary, and large magnitudes."""
+    cases = [
+        [0.0, -0.0, 1.0, -1.0],
+        [1.5e-8, -1.5e-8, 2.5e-8, -2.5e-8],  # repr ties at the 8th decimal
+        [0.123456785, -0.123456785, 0.123456784999999, 0.12345678500000001],
+        [3.14159265358979, -2.718281828459045, 1e-12, -1e-12],
+        [27.6310211159285, -27.6310211159285],  # log-loss clamp magnitudes
+        [1234.56789012345, -9876.54321098765],
+    ]
+    for vals in cases:
+        assert classifier._dsum_scale8_py(vals) == _ds(vals), vals
 
 
 def test_dense_trainer_loss_decreases_and_learns(spark, probe_data):
