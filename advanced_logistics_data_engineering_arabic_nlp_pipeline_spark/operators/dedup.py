@@ -929,10 +929,21 @@ def connected_components(
     # pair-producing pipeline (LSH/shingle joins — the expensive part) from
     # scratch, because separate actions don't share physical stages.
     # Measured at sf0.1: dedup_clusters 12.6 s → ~5 s with edges pinned.
+    # Symmetrization is a 1:2 explode, NOT a union of two selects (r14):
+    # the union's branches are separate physical subtrees, so the ONE
+    # checkpoint job executed the whole pair pipeline twice (no exchange
+    # reuse fires across union branches in the initial plan). Same rows,
+    # order-immaterial (every consumer is a min-label aggregation or
+    # union-find).
     edges = ckpt(
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
-            pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-        )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        ).select("__e.a", "__e.b")
     )
     if max_driver_edges:
         # ONE action decides the path AND fetches the edges (r13 action
