@@ -212,11 +212,21 @@ def location_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: no persist here — the denominator branch gets column-pruned to
     # just the locs expression, which is cheaper than materializing the full
     # 25-column stage (measured: persist was ~2× slower at sf0.1)
-    m = _master_stage(spark, sf_dir).filter(F.col("num_locations") >= 2)
+    # Slim 3-column cut point (r14): the frequency/revenue branch AND the
+    # percentage denominator both need the NLP-enriched multi-trip slice;
+    # unpinned, the two subtrees each ran the full enrichment join (the
+    # r1-era note above rejected persisting the 25-COLUMN master — 2×
+    # slower; pinning only (#, sale_price, locs) measured 2.25 → 1.88 s
+    # interleaved same-session at sf0.1, output identical). At scale: one
+    # enrichment pass instead of two. Released by the registered-query
+    # cache contract (bench/driver clearCache between queries).
+    m = (
+        _master_stage(spark, sf_dir)
+        .filter(F.col("num_locations") >= 2)
+        .select("#", "sale_price", "locs")
+        .persist()
+    )
     total = m.select(F.count("*").alias("__tm"))
-    # locs is a join-output attribute after with_nlp_enrichment, so the
-    # pair-lambda references a materialized column, not the NLP chain
-    m = m.select("#", "sale_price", "locs")
     # bind `valid` as a LAMBDA VARIABLE (transform-over-singleton, the
     # shingles_expr pattern) so the sort+filter evaluates once per row: a
     # plain expression reference inside the pair lambdas re-evaluates it
@@ -264,7 +274,10 @@ def location_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H3/H4 location statistics (Main.py:266-290): melt Location_1..5,
     visits/revenue/primary-count + derived ratios. Visit_Percentage's
     denominator is ALL trips, not melted rows (Main.py:290)."""
-    m = _master_stage(spark, sf_dir)
+    # Same slim cut point as location_pairs (r14): the melt branch and the
+    # all-trips denominator share the enrichment join — pin 3 columns, run
+    # the NLP pass once.
+    m = _master_stage(spark, sf_dir).select("#", "sale_price", "locs").persist()
     total = m.select(F.count("*").alias("__tt"))
     melted = m.select(
         F.col("#").alias("id"),
