@@ -1039,10 +1039,14 @@ def connected_components_star(
         if _sym_edges is not None
         else pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     )
+    # 1:2 explode, not a two-branch union (r14, the connected_components
+    # symmetrization fix): on the direct-call path `base` is the raw pair
+    # pipeline, and the union's branches would execute it twice in the one
+    # nodes-checkpoint job.
     nodes = ckpt(
-        base.select(F.col("a").alias("id"))
-        .union(base.select(F.col("b").alias("id")))
-        .distinct()
+        base.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("id")
+        ).distinct()
     )
     edges = ckpt(
         base.filter(F.col("a") != F.col("b"))
