@@ -142,6 +142,82 @@ def test_gopher_rules_rule_by_rule(spark):
     assert s[5]["keep"] is False and s[5]["stop_hits"] == 0
 
 
+def test_gopher_struct_matches_signal_list_exactly(spark):
+    """The r14 bound-struct form (textanalysis.gopher_struct — token and
+    line arrays bound once in the tree, the fence-able shape the ledger
+    and gopher_quality consume) must reproduce the signal-list form's
+    eight fields AND the keep verdict exactly, on the rule-by-rule docs
+    plus the empty/whitespace/NULL edge docs."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.textanalysis import (
+        GOPHER_SIGNAL_NAMES,
+        gopher_struct,
+    )
+
+    rows = GOPHER_DOCS + [(9, ""), (10, "   "), (11, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.select("doc_id", *gopher_signals(F.col("text"))).withColumn(
+        "keep", gopher_keep_expr()
+    )
+    new = df.select(
+        "doc_id",
+        *[gopher_struct(F.col("text"))[n].alias(n) for n in GOPHER_SIGNAL_NAMES],
+    ).withColumn("keep", gopher_keep_expr())
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_token_scorers_bound_forms_match_inline_reference(spark):
+    """quality_score / lang_id / stopword_ratio / mean_token_len now bind
+    the token array via bind_once; values must equal the pre-r14 inline
+    forms (rebuilt here verbatim) on fixture-shaped, empty and NULL text."""
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.textanalysis import (
+        EN_STOP,
+        lang_id,
+        mean_token_len,
+        quality_score,
+        stopword_ratio,
+        tokens_expr,
+    )
+
+    def inline_mtl(t):
+        toks = tokens_expr(t)
+        total = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+        return F.round(total / F.greatest(F.size(toks), F.lit(1)), 6)
+
+    def inline_sw(t):
+        toks = tokens_expr(t)
+        hits = F.size(F.filter(toks, lambda x: x.isin(EN_STOP))).cast("bigint")
+        return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+    def inline_quality(t):
+        toks = tokens_expr(t)
+        n = F.size(toks)
+        len_ok = F.when((n >= 10) & (n <= 1000), 1.0).otherwise(0.5)
+        mtl = inline_mtl(t)
+        mtl_ok = F.when((mtl >= 3) & (mtl <= 12), 1.0).otherwise(0.5)
+        sw = inline_sw(t)
+        sw_ok = F.when(sw >= 0.05, 1.0).otherwise(0.6)
+        return F.round(len_ok * mtl_ok * sw_ok, 6)
+
+    rows = [(i, t) for i, (_, t) in enumerate(GOPHER_DOCS)] + [
+        (90, ""), (91, "   "), (92, None),
+        (93, "the la el of de y in is for le"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    old = df.select(
+        "doc_id", inline_quality(t).alias("q"), inline_mtl(t).alias("m"),
+        inline_sw(t).alias("s"),
+    )
+    new = df.select(
+        "doc_id", quality_score(t).alias("q"), mean_token_len(t).alias("m"),
+        stopword_ratio(t).alias("s"),
+    )
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+    langs = df.select("doc_id", lang_id(t).alias("l")).collect()
+    assert all(r["l"] in ("en", "fr", "es", "unknown") for r in langs)
+    assert {r["doc_id"]: r["l"] for r in langs}[92] == "unknown"
+
+
 def test_gopher_empty_doc_fails_not_escapes(spark):
     s = _sig(spark, [(9, ""), (10, "   ")])
     for i in (9, 10):
