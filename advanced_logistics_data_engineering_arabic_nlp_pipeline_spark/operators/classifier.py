@@ -83,26 +83,44 @@ def _dsum_scale8_py(vals) -> float:
     decimal repr, HALF_UP at the 8th decimal) and sums exactly. The fast
     path quantizes on the binary value with ``floor(|v|·1e8 + 0.5)``
     (HALF_UP = away from zero) and sums as exact integers; values whose
-    scaled fraction sits within 1e-5 of the .5 boundary — where binary
-    arithmetic error or the shortest-repr/binary gap could flip the
-    rounding — take the exact ``Decimal(repr(v))`` path (tests pin the
-    fast/exact agreement and the trainer-level parity)."""
+    scaled fraction sits near the .5 boundary — where binary arithmetic
+    error or the shortest-repr/binary gap could flip the rounding — take
+    the exact ``Decimal(repr(v))`` path. The risky window scales with
+    magnitude (ADVICE r14): the f64 error of ``|v|·1e8`` grows as
+    ~``scaled·2⁻⁵²`` (product rounding + the shortest-repr/binary gap),
+    so a fixed 1e-5 window stops covering it past |v| ≈ 1e3; the
+    ``max(1e-5, scaled·4e-16)`` bound covers both regimes, and once
+    scaled's ulp reaches 1 (≥ 2⁵², where frac is meaningless) it exceeds
+    0.5 so EVERY element routes exact. Integer accumulation is chunked
+    so a partial int64 sum can never wrap (ADVICE r14 — the 9e15 rail
+    bounds each element, not the sum) and chunk totals accumulate in an
+    arbitrary-precision Python int. Tests pin the fast/exact agreement
+    (incl. large-magnitude near-ties and overflow-scale sums) and the
+    trainer-level parity."""
     from decimal import ROUND_HALF_UP, Decimal
 
     s = np.asarray(vals, dtype=np.float64)
     if s.size == 0:
         return 0.0
     scaled = np.abs(s) * 1e8
-    if float(scaled.max()) >= 9e15:  # int64/f64-integer safety rail
+    smax = float(scaled.max())
+    if smax >= 9e15:  # per-element int64/f64-integer safety rail
         q8 = Decimal(1).scaleb(-GRAD_SCALE)
         return float(
             sum(Decimal(repr(float(v))).quantize(q8, ROUND_HALF_UP) for v in s)
         )
     frac = scaled - np.floor(scaled)
-    risky = np.abs(frac - 0.5) <= 1e-5
+    risky = np.abs(frac - 0.5) <= np.maximum(1e-5, scaled * 4e-16)
     q = np.floor(scaled + 0.5)
     q = np.where(np.signbit(s), -q, q)
-    total = int(q[~risky].astype(np.int64).sum())
+    qi = q[~risky].astype(np.int64)
+    total = 0
+    if qi.size:
+        # chunk length × max |element| ≤ 4e18 < 2⁶³ — one chunk (a single
+        # vectorized int64 sum) for every realistic gradient magnitude
+        step = max(1, int(4.0e18 // max(smax, 1.0)))
+        for i in range(0, qi.size, step):
+            total += int(qi[i : i + step].sum())
     if risky.any():
         q8 = Decimal(1).scaleb(-GRAD_SCALE)
         for v in s[risky]:

@@ -793,17 +793,20 @@ def scrub_boilerplate_increment(
     ).persist()
     track.append(out)
     try:
-        n_delta = out.count()  # materialize BEFORE the index write mutates history
-
         delta_counts.write.mode("overwrite").parquet(f"{seg_dir}/batch={batch_id}")
-        # One-row metadata write via range(1-partition) + lit — pure JVM
-        # (r13 profile finding: createDataFrame([...]).coalesce(1) splits
-        # the row across defaultParallelism pickled slices and the
-        # coalesced task replays ~32 sequential Python-worker roundtrips —
-        # measured 4.8 s PER metadata write vs 0.17 s for this form; the
-        # cost recurs per nightly increment and per stream epoch).
-        spark.range(0, 1, 1, 1).select(
-            F.lit(int(n_delta)).cast("long").alias("n_docs")
+        # The metadata row's n_docs is computed INSIDE the write job (r15
+        # action trim — an eager out.count() used to precede the writes):
+        # one aggregation over the persisted `out` both fills its cache
+        # (the InMemoryTableScan materializes every partition it reads, so
+        # the returned frame is still MATERIALIZED-and-pinned per the
+        # contract) and yields the single n_docs row — one job fewer per
+        # increment call and per stream epoch. Re-execution stays
+        # history-stable: the history read filters batch.isin(hist_ids),
+        # partition-pruning the dirs these writes create. The agg form is
+        # pure JVM like the range(1-partition) form it replaces (the r13
+        # profile finding about createDataFrame still applies).
+        out.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
         ).write.mode("overwrite").parquet(f"{meta_dir}/batch={batch_id}")
     except BaseException:
         # standalone path: never strand a cached frame on a failed

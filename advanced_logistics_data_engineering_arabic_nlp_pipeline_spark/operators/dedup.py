@@ -1034,20 +1034,28 @@ def connected_components_star(
     (connected_components passes its pinned one on fallback so the
     upstream pair pipeline is never re-executed)."""
     ckpt = _make_checkpointer(pairs.sparkSession, checkpoint, checkpoint_dir)
-    base = (
-        _sym_edges
-        if _sym_edges is not None
-        else pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    )
-    # 1:2 explode, not a two-branch union (r14, the connected_components
-    # symmetrization fix): on the direct-call path `base` is the raw pair
-    # pipeline, and the union's branches would execute it twice in the one
-    # nodes-checkpoint job.
-    nodes = ckpt(
-        base.select(
-            F.explode(F.array(F.col("a"), F.col("b"))).alias("id")
-        ).distinct()
-    )
+    if _sym_edges is not None:
+        base = _sym_edges  # already symmetric AND materialized by the caller
+    else:
+        # Materialize the symmetric 1:2 explode ONCE (r15): nodes and edges
+        # are consumed by SEPARATE actions, and each used to re-execute the
+        # whole upstream pair-producing pipeline (r14's explode fix removed
+        # the within-plan union duplication; this removes the across-action
+        # one — the pair pipeline now runs exactly once on the direct path).
+        base = ckpt(
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                        F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                    )
+                ).alias("__e")
+            ).select("__e.a", "__e.b")
+        )
+    # base is symmetric in both branches, so ONE endpoint column covers
+    # every node; nodes stays LAZY — its only consumer is the final
+    # star-forest join, and a ckpt here was a whole extra action (r15)
+    nodes = base.select(F.col("a").alias("id")).distinct()
     edges = ckpt(
         base.filter(F.col("a") != F.col("b"))
         .select(
@@ -1071,6 +1079,13 @@ def connected_components_star(
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            # round-frame pin (r15, VERDICT r14 #8): `large` appears three
+            # times in the small-star plan (the child⋈smins join and BOTH
+            # smins branches), and no exchange reuse spans them in the
+            # initial plan — unpinned, each round executed the large-star
+            # join three times. Filled by the round's ckpt action, released
+            # on round exit below.
+            .persist()
         )
         # small-star on child=a (max end): m = min over parents ∪ {a};
         # re-point every parent ≠ m and the child itself at m.
@@ -1089,7 +1104,13 @@ def connected_components_star(
         )
         new_edges = ckpt(small)
         new_count = new_edges.count()
-        if new_count == n_edges and new_edges.exceptAll(edges).limit(1).count() == 0:
+        converged = (
+            new_count == n_edges
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        large.unpersist()  # round exit: new_edges is checkpointed, the pin
+        # has no further reader
+        if converged:
             edges = new_edges
             break
         edges, n_edges = new_edges, new_count

@@ -226,6 +226,13 @@ def location_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("#", "sale_price", "locs")
         .persist()
     )
+    # Eager fill (r15, ADVICE r14): one consumer of this cut point is an
+    # ASYNC broadcast build (crossJoin(F.broadcast(total)) below) — left
+    # lazy, the broadcast-build job and the main scan race to fill the
+    # cache and can each run the full NLP-enrichment pass (the
+    # unfilled-lazy-cache race lookup.py documents). Filling synchronously
+    # makes the single-enrichment-pass win deterministic for one cheap job.
+    m.count()
     total = m.select(F.count("*").alias("__tm"))
     # bind `valid` as a LAMBDA VARIABLE (transform-over-singleton, the
     # shingles_expr pattern) so the sort+filter evaluates once per row: a
@@ -278,6 +285,7 @@ def location_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-trips denominator share the enrichment join — pin 3 columns, run
     # the NLP pass once.
     m = _master_stage(spark, sf_dir).select("#", "sale_price", "locs").persist()
+    m.count()  # eager fill — same broadcast-race rationale as location_pairs
     total = m.select(F.count("*").alias("__tt"))
     melted = m.select(
         F.col("#").alias("id"),

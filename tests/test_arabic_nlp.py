@@ -175,6 +175,48 @@ def test_categorize_trip_type(spark):
         assert got == EXPECTED_TYPES[t], f"{t!r}: {got}"
 
 
+def test_lcs_bitparallel_matches_dp_reference():
+    """r15: _lcs_len switched from the O(la·lb) rolling DP to the
+    bit-parallel Allison–Dix kernel. The kernel must compute the EXACT
+    same LCS length — pinned against the original DP on random mixed
+    Arabic/Latin strings (incl. empties, repeats, and full matches) and
+    through the mask-reuse path fuzzy_best_match takes."""
+    import random
+
+    from advanced_logistics_data_engineering_arabic_nlp_pipeline_spark.operators.lookup import (
+        _lcs_len,
+        _lcs_len_masked,
+        _lcs_masks,
+    )
+
+    def dp(a, b):
+        if not a or not b:
+            return 0
+        prev = [0] * (len(b) + 1)
+        for ca in a:
+            cur = [0]
+            for j, cb in enumerate(b, 1):
+                cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(13)
+    alph = "ابتجحด abxyz01"
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("aaaa", "aaaa"), ("ab", "ba")]
+    cases += [
+        (
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 70))),
+            "".join(rng.choice(alph) for _ in range(rng.randint(0, 70))),
+        )
+        for _ in range(3000)
+    ]
+    for a, b in cases:
+        want = dp(a, b)
+        assert _lcs_len(a, b) == want, (a, b)
+        masks, la = _lcs_masks(a)
+        assert _lcs_len_masked(masks, la, b) == want, (a, b)
+
+
 def test_fuzzy_length_blocking_is_lossless():
     """The length-window prune must never change fuzzy outcomes — verify
     against an unblocked reference implementation over mixed strings."""

@@ -144,6 +144,39 @@ def test_dsum_scale8_py_matches_decimal_reference():
         assert classifier._dsum_scale8_py(vals) == _ds(vals), vals
 
 
+def test_dsum_scale8_py_large_magnitude_near_ties():
+    """ADVICE r14: the f64 product error of |v|·1e8 grows with |v|, so the
+    tie window must widen with magnitude — the fixed 1e-5 window rounded
+    5305917.800537865 differently from Spark's double→decimal(28,8) cast.
+    Pins the exact repro plus near-tie dust across magnitudes 1e3..1e7."""
+    import random
+
+    assert classifier._dsum_scale8_py([5305917.800537865]) == _ds(
+        [5305917.800537865]
+    )
+    rng = random.Random(7)
+    for _ in range(500):
+        mag = 10 ** rng.uniform(3, 7.9)
+        v = round(rng.uniform(0, mag), 8) + rng.choice([-1, 1]) * rng.uniform(
+            0, 3e-9
+        )
+        v *= rng.choice([-1.0, 1.0])
+        assert classifier._dsum_scale8_py([v]) == _ds([v]), repr(v)
+
+
+def test_dsum_scale8_py_sum_overflow_safe():
+    """ADVICE r14: each scaled element is bounded by the 9e15 rail but the
+    int64 SUM of many mid-size values wraps past 2⁶³ — the chunked
+    accumulation must return the exact decimal sum, not a wrapped one."""
+    vals = [8.9e7 - 1] * 200_000
+    assert classifier._dsum_scale8_py(vals) == _ds(vals) == 17_799_999_800_000.0
+    import random
+
+    rng = random.Random(11)
+    vals = [8.9e7 * rng.uniform(0.5, 1.0) for _ in range(100_000)]
+    assert classifier._dsum_scale8_py(vals) == _ds(vals)
+
+
 def test_dense_trainer_loss_decreases_and_learns(spark, probe_data):
     data, df = probe_data
     train = df.filter(F.col("vec_id") % 5 != 0)
